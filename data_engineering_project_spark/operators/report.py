@@ -1,0 +1,115 @@
+"""The reference's core query surface as composable DataFrame operators.
+
+Pipeline (reference ``src/Task1/data_processing.py``):
+  filter on a (possibly nested) column == literal   (:139-141)
+  → count events per (date, hour, type)             (:268-288)
+  → densify to all 24 hours via a generated spine   (:306-338)
+  → zero-fill missing buckets                       (:338)
+  → fixed column order + sort                       (:359-362)
+
+Differences from the reference, on purpose:
+- ONE plan across all dates (no per-date driver loop): the spine is
+  (distinct dates) × (0..23), so a single job densifies every date.
+- No eager count/collect logging (the reference re-executes lineage ≥8 times
+  per date, ``:134-136,144,252,268-291``). Use ``df.observe`` for metrics.
+- The spine side is tiny (dates × 24 rows) → explicitly broadcast so the
+  densification join never shuffles the fact side at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_equals(df: DataFrame, column: str, value) -> DataFrame:
+    """Equality filter on a column path; nested paths (``a.b.c``) work and the
+    predicate is pushed into the parquet scan by Catalyst
+    (reference ``src/Task1/data_processing.py:139-141``)."""
+    return df.filter(F.col(column) == F.lit(value))
+
+
+def hourly_type_counts(
+    df: DataFrame,
+    *,
+    date_col: Column | str,
+    hour_col: Column | str,
+    type_col: Column | str,
+    types: Sequence[str],
+) -> DataFrame:
+    """Count events per (date, hour), one ``<type>_count`` column per type.
+
+    One hash aggregate with count-if columns (map-side partial agg is
+    automatic) — the reference computes each type in a separate job and joins
+    (``src/Task1/data_processing.py:273-288, 318-333``); a single conditional
+    aggregate is one shuffle instead of two jobs + a join.
+    """
+    date_col = F.col(date_col) if isinstance(date_col, str) else date_col
+    hour_col = F.col(hour_col) if isinstance(hour_col, str) else hour_col
+    type_col = F.col(type_col) if isinstance(type_col, str) else type_col
+
+    aggs = [
+        F.count(F.when(type_col == t, F.lit(1))).alias(f"{t}_count") for t in types
+    ]
+    return df.groupBy(date_col.alias("date"), hour_col.alias("hour")).agg(*aggs)
+
+
+def hour_spine(df_dates: DataFrame, date_col: str = "date") -> DataFrame:
+    """(distinct dates) × (hours 0..23) dimension — the densification spine
+    (reference builds a bare ``spark.range(0,24)`` per date,
+    ``src/Task1/data_processing.py:306-308``; here one spine covers all dates).
+    """
+    dates = df_dates.select(F.col(date_col).alias("date")).distinct()
+    hours = F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour")
+    return dates.select("date", hours)
+
+
+def densify_hours(
+    counts: DataFrame,
+    *,
+    fill_cols: Sequence[str],
+    date_col: str = "date",
+    hour_col: str = "hour",
+    spine: DataFrame | None = None,
+) -> DataFrame:
+    """LEFT JOIN a dense (date × 24h) spine against sparse hourly counts and
+    zero-fill — guarantees exactly 24 rows per date even for all-zero dates
+    (reference ``src/Task1/data_processing.py:318-338``).
+
+    The counts side post-aggregation is small relative to the raw events
+    (≤ 24 rows/date), and the spine is exactly dates×24, so this join is
+    broadcast-able at any raw-data scale; we broadcast the spine explicitly.
+    """
+    if spine is None:
+        spine = hour_spine(counts.select(F.col(date_col).alias("date")))
+    joined = F.broadcast(spine).join(
+        counts,
+        on=[spine["date"] == counts[date_col], spine["hour"] == counts[hour_col]],
+        how="left",
+    )
+    out = joined.select(spine["date"], spine["hour"], *fill_cols)
+    return out.na.fill(0, list(fill_cols))
+
+
+def combine_hourly_reports(
+    df: DataFrame,
+    *,
+    date_col: Column | str,
+    hour_col: Column | str,
+    type_col: Column | str,
+    types: Sequence[str],
+) -> DataFrame:
+    """Full report: counts → densify → zero-fill → ordered columns.
+
+    Output schema mirrors the reference's daily report
+    (``date, hour, <type>_count...``; exactly 24 rows per observed date,
+    golden example ``output/task1_output_2022-05-26.csv``).
+    """
+    counts = hourly_type_counts(
+        df, date_col=date_col, hour_col=hour_col, type_col=type_col, types=types
+    )
+    fill = [f"{t}_count" for t in types]
+    dense = densify_hours(counts, fill_cols=fill)
+    return dense.select("date", "hour", *fill).orderBy("date", "hour")

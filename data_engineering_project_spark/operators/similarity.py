@@ -1,0 +1,118 @@
+"""Embedding similarity-search operators.
+
+Brute-force cosine top-k is the exact baseline (a map-only scan when the
+query side is broadcast — linear in corpus size, embarrassingly parallel).
+The scale path is LSH: random-hyperplane sign bits bucket the vectors so
+candidate generation is a hash-partitioned equi-join on the bucket key
+instead of an all-pairs cross join.
+
+All arithmetic is built-in array expressions (`zip_with`/`aggregate`,
+JVM-side, codegen'd) over `array<float>` cast to double — no Python UDF in
+the scoring loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with double accumulation (left-to-right, deterministic)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a (tiny, broadcast) query side.
+
+    ORDER BY score DESC with the id as tie-break keeps results deterministic.
+    Spark's sort+limit executes as a distributed TakeOrdered — only k rows
+    per partition survive the shuffle, so this holds at any corpus size.
+    """
+    scored = corpus.crossJoin(F.broadcast(query)).select(
+        id_col,
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-python LCG so the
+    plan is reproducible without numpy on the executors — planes are plan
+    literals, generated driver-side once)."""
+    state = seed & 0x7FFFFFFF or 1
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            # Park-Miller LCG → uniform(-1, 1)
+            state = (state * 48271) % 2147483647
+            v.append(state / 2147483647.0 * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane (SimHash for vectors) bucket key: the sign bit of
+    the projection onto each plane, concatenated into a string key.
+
+    Vectors with high cosine similarity collide with probability
+    (1 - θ/π)^n_planes — candidate pairs come from a groupBy/equi-join on
+    this key, turning O(n²) scoring into a per-bucket problem.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_candidate_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: bucket by LSH key, self-join within
+    buckets (id_a < id_b), score exactly with cosine. The self-join shuffles
+    both sides on the bucket key only — no cross join ever materializes.
+    """
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(b, on="bucket").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    )

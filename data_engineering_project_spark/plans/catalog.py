@@ -1,0 +1,75 @@
+"""Query catalog: every operator the engine claims, as (Spark plan, DuckDB oracle) pairs.
+
+Each entry maps a query name to:
+  - ``fn(spark, sf_dir) -> DataFrame``  — the Spark-first implementation
+  - ``sql: str | None``                 — the ANSI-SQL oracle DuckDB runs over
+    the same parquet tables (``None`` for non-SQL-expressible operators →
+    the driver records a weaker rows-only check)
+
+Column names are aliased identically on both sides (the driver sorts columns
+by name before value-hashing). Double-typed aggregates are ROUND()ed to the
+same precision on both sides so partial-aggregation order cannot flip a bit.
+
+The catalog covers SURVEY.md §2's inventory (reference file:line cited per
+query) plus the training-data-pipeline operators (dedup, similarity, text
+analysis) that a 100 TB deployment needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    fn: QueryFn
+    sql: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    """Decorator: add a (spark_fn, oracle_sql) pair to the catalog."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = Query(fn=fn, sql=sql, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (import side effect)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from data_engineering_project_spark.plans import (  # noqa: F401
+        core_queries,
+        text_queries,
+        similarity_queries,
+    )
+
+    _LOADED = True

@@ -1,0 +1,525 @@
+"""Core relational query surface — SURVEY.md §2 inventory over the synthetic tables.
+
+Each query is the Spark-first expression of an operator class the reference
+implements (file:line cited) or explicitly lacks but the engine exposes.
+All plans are pure DataFrame API → Catalyst handles pushdown, pruning,
+broadcast selection, and partial aggregation; comments note the physical
+plan property that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_engineering_project_spark.operators.report import (
+    combine_hourly_reports,
+    densify_hours,
+    hourly_type_counts,
+)
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Reference-pipeline analogs over the `events` table: filter → hour bucket →
+# dense spine report (SURVEY.md §2.2-§2.4, src/Task1/data_processing.py)
+# --------------------------------------------------------------------------
+
+@register(
+    "hourly_report_dense",
+    sql="""
+    WITH base AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INTEGER) AS h, event_type
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    counts AS (
+        SELECT d, h,
+               count(*) FILTER (event_type = 'view')  AS view_count,
+               count(*) FILTER (event_type = 'click') AS click_count
+        FROM base GROUP BY d, h
+    ),
+    spine AS (
+        SELECT d, CAST(h AS INTEGER) AS h
+        FROM (SELECT DISTINCT d FROM base) CROSS JOIN generate_series(0, 23) AS t(h)
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS date,
+           spine.h AS hour,
+           COALESCE(view_count, 0)  AS view_count,
+           COALESCE(click_count, 0) AS click_count
+    FROM spine LEFT JOIN counts ON spine.d = counts.d AND spine.h = counts.h
+    """,
+    doc="FLAGSHIP: the reference's daily report (dense 24h grid, zero-filled) "
+    "over the events stream. Reference src/Task1/data_processing.py:299-366.",
+    tags=("report", "join", "agg", "spine"),
+)
+def hourly_report_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("view", "click"))
+    report = combine_hourly_reports(
+        base,
+        date_col=F.to_date("ts"),
+        hour_col=F.hour("ts"),
+        type_col=F.col("event_type"),
+        types=("view", "click"),
+    )
+    return report.select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.col("hour").cast("int").alias("hour"),
+        "view_count",
+        "click_count",
+    )
+
+
+@register(
+    "event_type_counts",
+    sql="""
+    SELECT event_type, count(*) AS n, ROUND(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Hash aggregate with count + sum (reference A1/A5, "
+    "src/Task1/data_processing.py:268-277).",
+    tags=("agg",),
+)
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "dq_value_violations",
+    sql="""
+    SELECT event_type,
+           count(*) FILTER (value IS NULL)               AS null_count,
+           count(*) FILTER (value < 0)                   AS negative_count,
+           count(*) FILTER (value IS NOT NULL AND value >= 0) AS valid_count
+    FROM events GROUP BY event_type
+    """,
+    doc="Data-quality counters: null / negative / valid per group "
+    "(reference V2-V3, src/Task2/warehouse.py:117-138; count-if A2, "
+    "src/Task1/data_processing.py:273-277).",
+    tags=("quality", "agg"),
+)
+def dq_value_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(v.isNull(), 1)).alias("null_count"),
+        F.count(F.when(v < 0, 1)).alias("negative_count"),
+        F.count(F.when(v.isNotNull() & (v >= 0), 1)).alias("valid_count"),
+    )
+
+
+@register(
+    "dq_clicks_exceed_views",
+    sql="""
+    WITH counts AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INTEGER) AS hour,
+               count(*) FILTER (event_type = 'view')  AS view_count,
+               count(*) FILTER (event_type = 'click') AS click_count
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY d, hour
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS date, hour, view_count, click_count
+    FROM counts WHERE click_count > view_count
+    """,
+    doc="Column-vs-column theta predicate over aggregates: hours where clicks "
+    "exceed impressions — detected, NOT corrected, preserving the reference's "
+    "asymmetry (P6/V4, src/Task1/data_processing.py:341-349).",
+    tags=("quality", "agg", "filter"),
+)
+def dq_clicks_exceed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = hourly_type_counts(
+        ev.filter(F.col("event_type").isin("view", "click")),
+        date_col=F.to_date("ts"),
+        hour_col=F.hour("ts"),
+        type_col=F.col("event_type"),
+        types=("view", "click"),
+    )
+    return counts.filter(F.col("click_count") > F.col("view_count")).select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.col("hour").cast("int").alias("hour"),
+        "view_count",
+        "click_count",
+    )
+
+
+@register(
+    "json_props_stats",
+    sql="""
+    SELECT event_type,
+           ROUND(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON-in-string extraction (the reference's data has "
+    "device_info_json/ext_vars but never parses them — SURVEY.md §1.2; the "
+    "engine exposes F.get_json_object).",
+    tags=("json", "agg"),
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "report_datetime_compose",
+    sql="""
+    WITH counts AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INTEGER) AS h, count(*) AS n
+        FROM events GROUP BY d, h
+    )
+    SELECT strftime(d + to_hours(h), '%Y-%m-%d %H:%M:%S') AS event_datetime, n
+    FROM counts
+    """,
+    doc="date + hour → datetime composition, vectorized (the reference does "
+    "this row-wise in pandas with .apply — F9, src/Task2/warehouse.py:345-358).",
+    tags=("functions",),
+)
+def report_datetime_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.to_date("ts").alias("d"), F.hour("ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    dt = F.to_timestamp(
+        F.concat_ws(
+            " ", F.date_format("d", "yyyy-MM-dd"), F.format_string("%02d:00:00", "h")
+        )
+    )
+    return counts.select(
+        F.date_format(dt, "yyyy-MM-dd HH:mm:ss").alias("event_datetime"),
+        "n",
+    )
+
+
+# --------------------------------------------------------------------------
+# Generalized relational surface over the TPC-H-ish tables (SURVEY.md §2.3,
+# §2.4, §2.6: joins / aggregates / sorts / set-ops the reference lacks but a
+# user of the engine gets "for free" via Catalyst)
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 2)        AS sum_qty,
+           ROUND(sum(l_extendedprice), 2)   AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(avg(l_quantity), 4)        AS avg_qty,
+           ROUND(avg(l_extendedprice), 4)   AS avg_price,
+           ROUND(avg(l_discount), 4)        AS avg_disc,
+           count(*)                         AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: wide hash aggregate, partial+final agg, "
+    "predicate pushed to parquet scan. The canonical scan-heavy benchmark "
+    "query (generalizes reference A1-A5).",
+    tags=("tpch", "agg"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    sql="""
+    SELECT c.c_custkey, c.c_name, ROUND(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS order_count
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 10
+    """,
+    doc="Join + agg + deterministic top-k (reference O1/O3 sort+limit, "
+    "src/Task1/data_processing.py:362, :234). Customer side broadcasts when "
+    "small; at scale AQE picks shuffled hash join.",
+    tags=("tpch", "join", "topk"),
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "customers_without_orders",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti join — the archive-dedup NOT EXISTS pattern "
+    "(J2, src/Task2/warehouse.py:427-445) as a first-class operator.",
+    tags=("join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "big_spender_segments",
+    sql="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+    doc="Semi join (absent in the reference — SURVEY.md §2.3 'absent join "
+    "types'): customers having any order > 300k, counted per segment.",
+    tags=("join", "semi"),
+)
+def big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "nation_revenue_rollup",
+    sql="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           ROUND(sum(o.o_totalprice), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(region_name, nation_name)
+    """,
+    doc="Multi-join star query + ROLLUP grouping sets (absent in reference — "
+    "SURVEY.md §2.4). nation/region are classic broadcast dimensions.",
+    tags=("tpch", "join", "rollup"),
+)
+def nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "o_totalprice",
+        )
+    )
+    return joined.rollup("region_name", "nation_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+@register(
+    "distinct_supplier_counts",
+    sql="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Distinct aggregates (absent in reference — SURVEY.md §2.4): "
+    "expand+two-phase agg under the hood; at 100 TB prefer "
+    "approx_count_distinct where exactness isn't required.",
+    tags=("agg", "distinct"),
+)
+def distinct_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "running_revenue_window",
+    sql="""
+    SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderkey,
+           ROUND(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+    FROM orders
+    """,
+    doc="Window function: per-customer running revenue (SURVEY.md §2.7 — "
+    "Window imported but unused in the reference). One shuffle on the "
+    "partition key; deterministic ROWS frame with a total tie-break order.",
+    tags=("window",),
+)
+def running_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+@register(
+    "top3_orders_per_customer",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    doc="Top-k per group via row_number window — the scalable 'grouped limit' "
+    "(a driver-side loop in the reference's per-date processing; here one "
+    "shuffle, no loop).",
+    tags=("window", "topk"),
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "engaged_purchasers",
+    sql="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="Set operation (absent in reference — SURVEY.md §2.6): users who both "
+    "clicked and purchased.",
+    tags=("setop",),
+)
+def engaged_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "order_priority_check",
+    sql="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS correlated subquery → left-semi join + agg.",
+    tags=("tpch", "join", "semi"),
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"]
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    sql="""
+    SELECT n.n_name AS nation_name,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5: 6-table star join with a same-nation correlation. "
+    "Dimension sides broadcast; the lineitem⋈orders shuffle keys co-locate.",
+    tags=("tpch", "join", "agg"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )

@@ -1,0 +1,124 @@
+"""Similarity-search queries over the `embeddings` table (array<float> × 64).
+
+Brute-force exact cosine is oracle-checked against element-wise SQL in
+DuckDB (identical double accumulation order → identical bits after ROUND).
+The LSH variant's bucketing is also oracle-checked: the hyperplanes are
+deterministic plan literals, so the same SQL expression reproduces them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators import similarity as S
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+EMB_DIM = 64
+
+
+@register(
+    "emb_cosine_topk",
+    sql="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(list_zip(e.embedding, q.qe),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, ROUND(c, 6) AS cosine
+    FROM scored WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    doc="Exact brute-force cosine top-10 against a query vector (vec_id=0): "
+    "broadcast query → map-only scoring scan → distributed TakeOrdered. The "
+    "ANN baseline every approximate method is judged against.",
+    tags=("similarity", "ann"),
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    top = S.topk_cosine(e.filter(F.col("vec_id") != 0), q, 10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "emb_label_centroid_norms",
+    sql="""
+    WITH expl AS (
+        SELECT label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+    ),
+    cent AS (
+        SELECT label, pos, avg(v) AS c FROM expl GROUP BY label, pos
+    )
+    SELECT label, ROUND(sqrt(sum(c * c)), 4) AS centroid_norm,
+           CAST(count(*) AS INTEGER) AS dim
+    FROM cent GROUP BY label
+    """,
+    doc="Per-label centroid (mean vector) L2 norms — the IVF coarse-quantizer "
+    "building block: posexplode → two-level agg, no UDF, one shuffle per agg.",
+    tags=("similarity", "agg"),
+)
+def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v"))
+    cent = expl.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
+        F.count("*").cast("int").alias("dim"),
+    )
+
+
+@register(
+    "emb_lsh_bucket_profile",
+    sql=None,  # hyperplane literals are impractical to restate in SQL — rows-only check
+    doc="LSH bucketing profile: random-hyperplane sign-bit bucket per vector "
+    "(12 planes, seed 42), bucket population counts. The candidate-generation "
+    "half of scalable near-dup / ANN search; scoring happens only within "
+    "buckets (see operators/similarity.py:lsh_candidate_pairs).",
+    tags=("similarity", "ann", "lsh"),
+)
+def emb_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        S.lsh_bucket(F.col("embedding"), EMB_DIM, n_planes=12, seed=42).alias("bucket")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy(F.desc("n_vectors"), F.asc("bucket"))
+    )
+
+
+@register(
+    "emb_lsh_near_pairs",
+    sql=None,  # approximate candidate set — no SQL oracle; rows-only check
+    doc="Nearest-neighbour embedding pairs via LSH: bucket join (8 planes) → "
+    "exact cosine within buckets → keep pairs above a similarity floor. The "
+    "embedding-space analog of MinHash near-dup text dedup; the join "
+    "shuffles on the bucket key only, never materializing the cross join. "
+    "(Floor 0.3 suits the synthetic random vectors; real near-dup corpora "
+    "use ~0.95.)",
+    tags=("similarity", "dedup", "lsh"),
+)
+def emb_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = S.lsh_candidate_pairs(
+        e, dim=EMB_DIM, n_planes=8, seed=42
+    )
+    return (
+        pairs.filter(F.col("cosine") > 0.3)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

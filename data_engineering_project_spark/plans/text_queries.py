@@ -1,0 +1,231 @@
+"""Text-analysis / dedup queries over the `documents` table.
+
+The training-data-pipeline operator family (not in the reference, which never
+touches its own text columns — SURVEY.md §2.5 'absent'): exact dedup,
+fingerprinting, token statistics, quality scoring, n-gram Jaccard similarity,
+language-ID heuristics. Everything here is built-in `F.*` expressions —
+JVM-side, whole-stage-codegen'd, no Python in the hot path — so it scales to
+a 100 TB document corpus as a pure scan+shuffle pipeline.
+
+Implementations backed by `operators/text.py` where reusable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators import text as T
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+
+@register(
+    "docs_lang_stats",
+    sql="""
+    SELECT lang, count(*) AS n_docs,
+           ROUND(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Corpus profile per language tag.",
+    tags=("text", "agg"),
+)
+def docs_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "docs_token_stats",
+    sql="""
+    SELECT source,
+           ROUND(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
+           max(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens,
+           sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="Whitespace token counting per source — the token-budget primitive of "
+    "an LLM-data pipeline, as a pure JVM expression (no UDF).",
+    tags=("text", "tokens"),
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ntok = T.token_count(F.col("text"))
+    return d.groupBy("source").agg(
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.max(ntok).alias("max_tokens"),
+        F.sum(ntok).alias("total_tokens"),
+    )
+
+
+@register(
+    "docs_exact_dedup",
+    sql="""
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+           min(n_chars) AS n_chars
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup: group identical texts, keep the smallest doc_id "
+    "(deterministic canonical representative). One hash shuffle on the text "
+    "key; at 100 TB group on a 128-bit digest instead of the raw text to "
+    "shrink shuffle width (see docs_fingerprint_dedup).",
+    tags=("dedup",),
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@register(
+    "docs_fingerprint_dedup",
+    sql="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY fingerprint
+    """,
+    doc="Digest-based dedup: normalize (lower+trim) then MD5 — the shuffle "
+    "key is 32 bytes instead of the full document, which is what makes exact "
+    "dedup practical at 100 TB. MD5 chosen because it is identical across "
+    "Spark and the oracle.",
+    tags=("dedup", "fingerprint"),
+)
+def docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        T.fingerprint(F.col("text")).alias("fingerprint")
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@register(
+    "docs_quality_scores",
+    sql="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars_m,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(CAST(n_chars_m AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio
+    FROM feats
+    """,
+    doc="Quality-scoring features per document (length, punctuation ratio, "
+    "stopword ratio) — the C4/Gopher-style filter signals, as vectorized "
+    "column expressions.",
+    tags=("text", "quality"),
+)
+def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_m"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.punct_count(F.col("text")).alias("n_punct"),
+        T.stopword_count(F.col("text")).alias("n_stop"),
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.col("n_chars_m").cast("double") / F.col("n_tokens"), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(F.col("n_punct").cast("double") / F.col("n_chars_m"), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 4).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+@register(
+    "docs_jaccard_vs_query",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
+        FROM documents
+    ),
+    q AS (SELECT ts AS qts FROM toks WHERE doc_id = 0)
+    SELECT t.doc_id,
+           ROUND(CAST(len(list_intersect(t.ts, q.qts)) AS DOUBLE) /
+                 (len(t.ts) + len(q.qts) - len(list_intersect(t.ts, q.qts))), 6)
+               AS jaccard
+    FROM toks t CROSS JOIN q
+    WHERE t.doc_id <> 0
+    ORDER BY jaccard DESC, t.doc_id LIMIT 20
+    """,
+    doc="Token-set Jaccard similarity of every document against a query "
+    "document (doc_id=0), top-20. The naive-but-exact near-dup primitive; "
+    "the broadcastable query side makes it a map-only scan at any corpus "
+    "size. MinHash/LSH (docs_minhash_pairs) is the all-pairs scale path.",
+    tags=("dedup", "similarity"),
+)
+def docs_jaccard_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.token_set(F.col("text")).alias("ts"))
+    q = toks.filter(F.col("doc_id") == 0).select(F.col("ts").alias("qts"))
+    inter = F.size(F.array_intersect("ts", "qts"))
+    union = F.size("ts") + F.size("qts") - inter
+    return (
+        toks.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "docs_langid_heuristic",
+    sql="""
+    WITH scored AS (
+        SELECT lang,
+               CASE
+                 WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                          t -> t IN ('the','of','and','is','to'))) >= 3 THEN 'en'
+                 ELSE 'other'
+               END AS predicted
+        FROM documents
+    )
+    SELECT lang, predicted, count(*) AS n
+    FROM scored GROUP BY lang, predicted
+    """,
+    doc="Stopword-frequency language-ID heuristic (confusion counts vs the "
+    "lang tag). A real deployment swaps the word list per language; the "
+    "operator shape — classify via token-membership counts, vectorized — is "
+    "the point.",
+    tags=("text", "langid"),
+)
+def docs_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    en_hits = T.word_membership_count(F.col("text"), ("the", "of", "and", "is", "to"))
+    predicted = F.when(en_hits >= 3, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )

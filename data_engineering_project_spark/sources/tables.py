@@ -1,0 +1,79 @@
+"""Parquet table catalog over a scale-factor directory.
+
+The synthetic star schema (TPC-H-ish tables + an ``events`` stream table +
+``documents``/``embeddings`` for the training-data operators) lives at
+``$SPARK_GRAFT_SF_DIR`` — one parquet file per table. A 100 TB deployment
+replaces the flat files with partitioned/bucketed layouts; the loader only
+assumes "a parquet path per table name", so that swap is a config change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Column pruning + predicate pushdown happen at the
+    parquet scan (verify with ``df.explain`` → ``PushedFilters``/``ReadSchema``).
+    """
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    _ensure_read_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_nanos(df)
+
+
+def _ensure_read_conf(spark: SparkSession) -> None:
+    """The engine must work under a caller-supplied SparkSession (the
+    verification driver builds its own), so the two read-semantics confs we
+    depend on are asserted at runtime, not only in session.py:
+
+    - nanosAsLong: parquet TIMESTAMP(NANOS) is an illegal type for the
+      reader otherwise (events.parquet is pandas-written with ns precision)
+    - UTC session timezone: hour()/to_date() on timestamps must be
+      wall-clock-deterministic regardless of host timezone
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) columns arrive as raw nano longs (the
+    `nanosAsLong` reader flag — Spark has no nanosecond timestamp type).
+    Convert to microsecond timestamps with integer division so truncation
+    matches every micros-native engine's read of the same file.
+    """
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read the full catalog and register each table as a temp view so both
+    the DataFrame API and ``spark.sql`` reach the same scans."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
