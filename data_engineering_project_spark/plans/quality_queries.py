@@ -1,0 +1,137 @@
+"""Data-quality queries: the validation rule engine over the hourly report.
+
+Mirrors the reference's warehouse-load validation flow
+(``src/Task2/warehouse.py:91-256``): the Task-1 report is checked for nulls,
+negatives, and the clicks-vs-impressions invariant; offenders route to a
+dead-letter output with a ``validation_error`` reason; with auto_correct the
+clicks are clipped instead. All rules are column predicates — the oracle
+restates them as SQL CASE expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark import quality as Q
+from data_engineering_project_spark.operators.report import hourly_type_counts
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+# the (date, hour, impression_count, click_count) report the reference loads
+# into its warehouse — views play impressions (FIXTURES.md §C mapping)
+_REPORT_SQL = """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           count(*) FILTER (event_type = 'view')  AS impression_count,
+           count(*) FILTER (event_type = 'click') AS click_count
+    FROM events WHERE event_type IN ('view', 'click')
+    GROUP BY 1, 2
+"""
+
+
+def _report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = hourly_type_counts(
+        ev.filter(F.col("event_type").isin("view", "click")),
+        date_col=F.to_date("ts"),
+        hour_col=F.hour("ts"),
+        type_col=F.col("event_type"),
+        types=("view", "click"),
+    )
+    return counts.select(
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("view_count").alias("impression_count"),
+        "click_count",
+    )
+
+
+def _rules() -> list[Q.Rule]:
+    return [
+        Q.null_rule(["date", "hour", "impression_count", "click_count"]),
+        Q.negative_rule(["impression_count", "click_count"]),
+        Q.clicks_exceed_impressions_rule(),
+    ]
+
+
+@register(
+    "dq_invalid_routing",
+    sql=f"""
+    WITH report AS ({_REPORT_SQL})
+    SELECT date, hour, impression_count, click_count,
+           CASE
+             WHEN date IS NULL OR hour IS NULL OR impression_count IS NULL
+                  OR click_count IS NULL THEN 'Contains null values'
+             WHEN impression_count < 0 OR click_count < 0
+                  THEN 'Contains negative values'
+             WHEN click_count > impression_count THEN 'Clicks exceed impressions'
+           END AS validation_error,
+           'events' AS source_file
+    FROM report
+    WHERE click_count > impression_count
+       OR impression_count < 0 OR click_count < 0
+       OR date IS NULL OR hour IS NULL OR impression_count IS NULL
+       OR click_count IS NULL
+    """,
+    doc="Dead-letter routing: report rows violating V2/V3/V4 with their "
+    "first-violated-rule reason and source provenance "
+    "(reference warehouse.py:117-163, client_report_invalid DDL).",
+    tags=("quality",),
+)
+def dq_invalid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    report = _report(spark, sf_dir)
+    res = Q.split_valid_invalid(report, _rules(), source_file="events")
+    return res.invalid
+
+
+@register(
+    "dq_autocorrect_clip",
+    sql=f"""
+    WITH report AS ({_REPORT_SQL})
+    SELECT date, hour, impression_count,
+           least(click_count, impression_count) AS click_count
+    FROM report
+    WHERE click_count > impression_count
+    """,
+    doc="Auto-correct mode: clicks clipped to impressions (only rows that "
+    "needed clipping shown). The reference does this ONLY at the warehouse "
+    "layer with auto_correct=True (warehouse.py:144-148) and deliberately "
+    "not on the Spark path — the engine preserves that switch.",
+    tags=("quality",),
+)
+def dq_autocorrect_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    report = _report(spark, sf_dir)
+    needs_fix = report.filter(F.col("click_count") > F.col("impression_count"))
+    res = Q.split_valid_invalid(needs_fix, _rules(), auto_correct=True)
+    return res.valid
+
+
+@register(
+    "dq_count_relationship",
+    sql=f"""
+    WITH report AS ({_REPORT_SQL})
+    SELECT CASE
+             WHEN impression_count = 0 AND click_count > 0
+                  THEN 'clicks_without_impressions'
+             WHEN click_count > impression_count THEN 'clicks_exceed_impressions'
+             WHEN impression_count > click_count THEN 'impressions_exceed_clicks'
+             ELSE 'equal'
+           END AS count_relationship,
+           count(*) AS n_hours,
+           sum(impression_count) AS total_impressions,
+           sum(click_count) AS total_clicks
+    FROM report GROUP BY count_relationship
+    """,
+    doc="The reference's 3-way count-relationship classifier "
+    "(warehouse.py:179-256) aggregated into a profile.",
+    tags=("quality", "agg"),
+)
+def dq_count_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    report = _report(spark, sf_dir)
+    classified = Q.classify_count_relationship(report)
+    return classified.groupBy("count_relationship").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("impression_count").alias("total_impressions"),
+        F.sum("click_count").alias("total_clicks"),
+    )
