@@ -1,0 +1,159 @@
+"""Incremental (streaming) mode — the reference's cron loop, done right.
+
+The reference re-runs the whole batch pipeline every 6 hours from cron
+(``docker/cron/schedules.py:16-23``), tracking "processed" by *deleting input
+files* (``src/Task1/data_processing.py:181-185``) and keeping output
+idempotent via archive/delete/insert (T1-T7 in SURVEY.md §2.8).
+
+Structured Streaming replaces every piece:
+
+| reference mechanism            | here                                       |
+|--------------------------------|--------------------------------------------|
+| cron cadence                   | ``trigger(availableNow=True)`` per run, or a long-running ``processingTime`` trigger |
+| delete-file-after-success      | file-source checkpoint WAL (+ optional ``cleanSource``) — exactly-once input without destroying data |
+| filename hour bucketing        | same filename-derived ``batch_ts`` column, tumbling ``F.window(batch_ts, '1 hour')`` |
+| no late-data policy            | ``withWatermark`` — late files update their hour until the watermark closes it |
+| archive/delete/insert rerun    | ``foreachBatch`` upsert keyed on (date, hour, type) |
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.sources.events import (
+    filename_batch_ts,
+    filename_event_type,
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    *,
+    path_glob: str = "*.parquet",
+    max_files_per_trigger: int | None = None,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
+) -> DataFrame:
+    """File-source stream with filename-derived event metadata.
+
+    Streaming uses the ``_metadata.file_path`` column (not
+    ``input_file_name()``, which is unreliable once the plan grows joins —
+    SURVEY.md §7.3 hard item 1). ``cleanSource='archive'|'delete'`` gives the
+    reference's consume-the-input behavior without losing replayability.
+    """
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", path_glob)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+        if archive_dir:
+            reader = reader.option("sourceArchiveDir", archive_dir)
+    df = reader.parquet(input_dir)
+    file_col = F.col("_metadata.file_path")
+    batch_ts = filename_batch_ts(file_col)
+    return (
+        df.withColumn("source_file", file_col)
+        .withColumn("event_type", filename_event_type(file_col))
+        .withColumn("batch_ts", batch_ts)
+    )
+
+
+def hourly_counts_stream(
+    events: DataFrame,
+    *,
+    watermark: str = "2 hours",
+    time_col: str = "batch_ts",
+) -> DataFrame:
+    """Tumbling 1-hour counts per event type with late-data tolerance.
+
+    The watermark bounds state: hours older than (max seen ts − watermark)
+    finalize and their state is dropped — the piece the reference's
+    'any file whose name parses lands in that date's output' policy lacks
+    (T5). Output mode 'update' emits revised counts per micro-batch.
+    """
+    return (
+        events.filter(F.col(time_col).isNotNull())
+        .withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("date"),
+            F.hour("win.start").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def upsert_parquet_batch(target_dir: str, key_cols: list[str]) -> Callable:
+    """foreachBatch writer: upsert each micro-batch into a parquet target
+    keyed on ``key_cols`` — the reference's archive→delete→insert (T4) for a
+    file warehouse. Production targets swap this for Delta/Iceberg MERGE or
+    the JDBC merge sink (sinks/warehouse_sink.py); the batch-function shape
+    is identical.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.dropDuplicates(key_cols)
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            current = spark.read.parquet(target_dir)
+            keep = current.join(new.select(key_cols), on=key_cols, how="left_anti")
+            merged = keep.unionByName(new)
+        else:
+            merged = new
+        # rewrite-on-merge is fine for a ≤(dates×24×types) report table;
+        # real fact tables use a transactional table format instead
+        merged.write.mode("overwrite").parquet(target_dir + "_next")
+        spark.read.parquet(target_dir + "_next").write.mode("overwrite").parquet(
+            target_dir
+        )
+
+    return _write
+
+
+def run_incremental_report(
+    spark: SparkSession,
+    input_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    schema,
+    *,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
+) -> None:
+    """One incremental run (the cron-tick replacement): process exactly the
+    files the checkpoint hasn't seen, upsert hour counts into the target.
+    Blocks until the availableNow trigger drains."""
+    events = read_event_stream(
+        spark,
+        input_dir,
+        schema,
+        clean_source=clean_source,
+        archive_dir=archive_dir,
+    )
+    counts = hourly_counts_stream(events, watermark=watermark)
+    writer = (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert_parquet_batch(target_dir, ["date", "hour", "event_type"]))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.trigger(processingTime="1 minute").start()
