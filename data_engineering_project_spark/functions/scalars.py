@@ -1,0 +1,78 @@
+"""Scalar column functions for the reference's exotic encodings.
+
+The raw AdTech parquet carries three non-standard encodings (SURVEY.md §1.2)
+that the reference never decodes but any real consumer of those files needs:
+
+- 128-bit decimals as ``struct<lo: long, hi: int, signScale: int>``
+  (``rtb_vars.winning_price_in_dkk`` and dozens of ``*_cost_*`` fields)
+- 128-bit GUIDs as ``struct<lo: long, hi: long>``
+  (``transaction_header.transaction_id``)
+- epoch-millis int64 timestamps (``transaction_header.creation_time``)
+
+All are pure column expressions — decodable at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def epoch_millis_to_ts(col: Column) -> Column:
+    """int64 epoch millis → timestamp (reference value 1653557530942 →
+    2022-05-26 09:32:10.942 UTC, SURVEY.md §1.2)."""
+    return F.timestamp_millis(col)
+
+
+def decimal_from_struct(
+    col: Column | str, *, precision: int = 38, max_scale: int = 18
+) -> Column:
+    """Reconstruct ``struct<lo: long, hi: int|long, signScale: int>`` into a
+    DecimalType value (SURVEY.md §7.3 hard item 4).
+
+    Encoding (a protobuf-style 128-bit decimal):
+      unscaled = hi * 2^64 + unsigned(lo)
+      sign     = signScale bit 0 (1 → negative)
+      scale    = signScale >> 1
+      value    = ±unscaled / 10^scale
+
+    128-bit arithmetic is done in DecimalType(38): ``unsigned(lo)`` needs the
+    2^64 wrap-around correction because Spark longs are signed.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")  # 2^64
+    lo_unsigned = F.when(
+        c["lo"] >= 0, c["lo"].cast("decimal(38,0)")
+    ).otherwise(c["lo"].cast("decimal(38,0)") + two64)
+    unscaled = c["hi"].cast("decimal(38,0)") * two64 + lo_unsigned
+    sign = F.when(c["signScale"].bitwiseAND(F.lit(1)) == 1, F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    scale = F.shiftright(c["signScale"], 1)
+    # divide by 10^scale in decimal space; result scale pinned to max_scale
+    value = (unscaled * sign) / F.pow(F.lit(10.0), scale).cast(
+        f"decimal({precision},0)"
+    )
+    return value.cast(f"decimal({precision},{max_scale})")
+
+
+def guid_hex(col: Column | str) -> Column:
+    """``struct<lo: long, hi: long>`` GUID → 32-char lowercase hex string
+    (hi then lo, zero-padded) — a joinable/printable identity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.concat(
+            F.lpad(F.hex(c["hi"]), 16, "0"),
+            F.lpad(F.hex(c["lo"]), 16, "0"),
+        )
+    )
+
+
+def compose_datetime(date_col: Column | str, hour_col: Column | str) -> Column:
+    """(date-string 'yyyy-MM-dd', hour int) → timestamp at :00:00 — the
+    reference's row-wise pandas apply (warehouse.py:345-358), vectorized."""
+    d = F.col(date_col) if isinstance(date_col, str) else date_col
+    h = F.col(hour_col) if isinstance(hour_col, str) else hour_col
+    return F.to_timestamp(
+        F.concat_ws(" ", F.date_format(d, "yyyy-MM-dd"), F.format_string("%02d:00:00", h))
+    )

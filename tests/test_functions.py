@@ -1,0 +1,91 @@
+"""Tests for the exotic-encoding scalar functions (SURVEY.md §1.2): struct
+decimals (values match the reference raw_data pattern, e.g.
+{lo:123456, hi:0, signScale:6} → 123.456), struct GUIDs, epoch millis."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_project_spark.functions import (
+    compose_datetime,
+    decimal_from_struct,
+    epoch_millis_to_ts,
+    guid_hex,
+)
+
+DEC_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "price",
+            T.StructType(
+                [
+                    T.StructField("lo", T.LongType()),
+                    T.StructField("hi", T.IntegerType()),
+                    T.StructField("signScale", T.IntegerType()),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def _decode(spark, lo, hi, sign_scale):
+    df = spark.createDataFrame([((lo, hi, sign_scale),)], DEC_SCHEMA)
+    return df.select(decimal_from_struct("price").alias("v")).first()["v"]
+
+
+def test_decimal_reference_pattern(spark):
+    # the exact struct committed in the reference's raw_data parquet
+    assert _decode(spark, 123456, 0, 6) == Decimal("123.456")
+    assert _decode(spark, 123, 0, 4) == Decimal("1.23")
+    assert _decode(spark, 123456, 0, 10) == Decimal("1.23456")
+
+
+def test_decimal_sign_bit(spark):
+    assert _decode(spark, 123456, 0, 7) == Decimal("-123.456")
+
+
+def test_decimal_128bit_hi_word(spark):
+    # unscaled = hi*2^64 + lo = 2*2^64 + 5, scale 0
+    expected = Decimal(2 * (1 << 64) + 5)
+    assert _decode(spark, 5, 2, 0) == expected
+
+
+def test_decimal_negative_lo_is_unsigned(spark):
+    # lo = -1 as signed long == 2^64 - 1 unsigned
+    assert _decode(spark, -1, 0, 0) == Decimal((1 << 64) - 1)
+
+
+def test_guid_hex(spark):
+    schema = T.StructType(
+        [
+            T.StructField(
+                "g",
+                T.StructType(
+                    [
+                        T.StructField("lo", T.LongType()),
+                        T.StructField("hi", T.LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    df = spark.createDataFrame([((255, 1),)], schema)
+    out = df.select(guid_hex("g").alias("h")).first()["h"]
+    assert out == "0000000000000001" + "00000000000000ff"
+    assert len(out) == 32
+
+
+def test_epoch_millis(spark):
+    # SURVEY.md §1.2 verified value: 1653557530942 → 2022-05-26 09:32:10.942 UTC
+    df = spark.range(1).select(epoch_millis_to_ts(F.lit(1653557530942)).alias("ts"))
+    assert str(df.first()["ts"]) == "2022-05-26 09:32:10.942000"
+
+
+def test_compose_datetime(spark):
+    df = spark.createDataFrame([("2022-05-27", 7)], "date string, hour int")
+    out = df.select(compose_datetime("date", "hour").alias("dt")).first()["dt"]
+    assert str(out) == "2022-05-27 07:00:00"
