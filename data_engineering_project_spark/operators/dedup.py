@@ -1,0 +1,158 @@
+"""Near-duplicate detection operators: MinHash+LSH, SimHash, shingles.
+
+The scale path for corpus dedup (the docs_* exact/fingerprint queries handle
+identical text; these handle *near*-identical):
+
+- **MinHash + LSH banding**: shingle → per-seed min-hash signature → band the
+  signature → group by (band, band-signature) → candidate pairs only within
+  buckets → verify with true Jaccard. All-pairs similarity without an
+  all-pairs join: the only shuffles are the explode/groupBy for signatures
+  and the band-key self-join, both hash-partitioned and skew-tolerant.
+- **SimHash**: 64-bit weighted-token fingerprint where near-duplicates land
+  within a small Hamming distance; pure column expressions.
+
+Hashes are MD5-based (not xxhash64) so signatures are portable across
+engines — the DuckDB oracle can restate signature generation exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators.text import jaccard, tokens
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles ('a b c' word n-grams) — the MinHash unit
+    set. Built with transform over the token array: no explode needed yet."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    make = lambda i: F.array_join(F.slice(toks, i + 1, k), " ")  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(idx, make))).otherwise(
+        F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: for seed i, min over shingles of md5(i || shingle).
+
+    min() over hex-string md5 is a valid uniform min-hash (lexicographic
+    order on a uniformly distributed digest). Jaccard(a, b) ≈ fraction of
+    signature positions that agree.
+    """
+    # factory keeps each transform lambda UNARY: a 2-param lambda (even with
+    # a default) makes pyspark pass the array index as the second arg,
+    # silently corrupting the seed
+    def min_for_seed(i: int):
+        seed = F.lit(f"{i}:")
+        return F.array_min(
+            F.transform(shingle_col, lambda s: F.md5(F.concat(seed, s)))
+        )
+
+    return F.array(*[min_for_seed(i) for i in range(n_hashes)])
+
+
+def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Split the signature into bands; each band's joined value is an LSH
+    bucket key. Docs agreeing on ALL rows of ANY band become candidates."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.element_at(signature, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pairs: signature → band explode → bucket self-join
+    → exact Jaccard verification ≥ min_jaccard.
+
+    Plan shape at 100 TB: one scan computes signatures (map-only), the band
+    explode multiplies rows ×n_bands (still narrow: id + key), the self-join
+    shuffles on the band key, and only bucket-mates get exact verification.
+    Hot buckets (boilerplate docs) are the skew risk — AQE skew-join handles
+    moderate cases; pathological buckets should be capped upstream.
+    """
+    rows_per_band = n_hashes // n_bands
+    base = docs.select(
+        F.col(id_col),
+        shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    banded = base.select(
+        id_col,
+        "sh",
+        F.explode(band_keys(F.col("sig"), n_bands, rows_per_band)).alias("band_key"),
+    )
+    # self-join on disjoint column names: alias-qualified self-joins on the
+    # same lineage resolve ambiguously in Spark — rename BEFORE joining
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band_key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band_key"
+    )
+    cand = (
+        left.join(right, on="band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    Per token: 64-bit hash (xxhash64 — JVM-side, fast); per bit: +1 if set
+    else −1, summed over tokens; fingerprint bit = sign of the sum. Documents
+    within small Hamming distance are near-duplicates. One expression tree,
+    no explode — at scale this is a pure map over the corpus.
+    """
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    one = F.lit(1).cast("long")
+
+    # factory keeps the merge lambda binary — pyspark rejects extra
+    # (defaulted) params; shiftleft stays JVM-side and wraps correctly at
+    # bit 63 (a Python 1 << 63 literal would overflow LongType)
+    def bit_sum(i: int):
+        mask = F.shiftleft(one, i)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    bit_sums = [bit_sum(i) for i in range(64)]
+    out = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

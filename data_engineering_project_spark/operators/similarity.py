@@ -108,11 +108,17 @@ def lsh_candidate_pairs(
     bucketed = corpus.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket")
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pairs = a.join(b, on="bucket").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # rename BEFORE the self-join: alias-qualified self-joins on the same
+    # lineage resolve ambiguously in Spark
+    left = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    right = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    pairs = left.join(right, on="bucket").filter(F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        "id_a",
+        "id_b",
+        cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
     )

@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         return
     from data_engineering_project_spark.plans import (  # noqa: F401
         core_queries,
+        dedup_queries,
         quality_queries,
         similarity_queries,
         text_queries,

@@ -1,0 +1,145 @@
+"""Near-dup dedup queries over `documents` (MinHash+LSH, SimHash).
+
+The MinHash pipeline is fully oracle-checked: hashing is MD5-on-string so
+DuckDB can restate signature generation, banding, the bucket self-join, and
+exact-Jaccard verification — byte-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators import dedup as D
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+_N_HASHES = 16
+_N_BANDS = 4
+_ROWS = _N_HASHES // _N_BANDS
+
+# DuckDB restatement of shingles → signature → bands → pairs → verify
+_SIG_ELEMS = ",\n             ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}:' || s)))" for i in range(_N_HASHES)
+)
+_BAND_ELEMS = ", ".join(
+    "'{b}' || '|' || ".format(b=b)
+    + " || '|' || ".join(f"sig[{b * _ROWS + r + 1}]" for r in range(_ROWS))
+    for b in range(_N_BANDS)
+)
+
+_MINHASH_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                        range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                    ELSE [] END AS sh
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id, sh,
+             [{_SIG_ELEMS}] AS sig
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, unnest([{_BAND_ELEMS}]) AS band_key FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b USING (band_key)
+        WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.id_a
+        JOIN sh sb ON sb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    FROM verified WHERE j >= 0.5
+"""
+
+
+@register(
+    "docs_minhash_pairs",
+    sql=_MINHASH_SQL,
+    doc="MinHash(16)+LSH(4 bands) near-duplicate pairs with exact-Jaccard "
+    "verification ≥ 0.5 — the scalable all-pairs text dedup: candidates come "
+    "only from band-bucket collisions, so no cross join exists in the plan. "
+    "(Synthetic corpus has no near-dups, so an empty result that MATCHES the "
+    "oracle's empty result is the correct answer; the operator's recall is "
+    "unit-tested with constructed near-dups in tests/test_dedup.py.)",
+    tags=("dedup", "minhash", "lsh"),
+)
+def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, n_hashes=_N_HASHES, n_bands=_N_BANDS, shingle_k=3, min_jaccard=0.5
+    )
+
+
+@register(
+    "docs_minhash_signature_profile",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                        range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' ')))
+                    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                    ELSE [] END AS sh
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(sh) AS BIGINT) AS n_shingles,
+           list_min(list_transform(sh, s -> md5('0:' || s))) AS minhash_0
+    FROM sh
+    """,
+    doc="Per-document MinHash signature head (seed 0) + shingle count — "
+    "pins the signature generation itself to the oracle even when the "
+    "corpus has no near-dup pairs to surface.",
+    tags=("dedup", "minhash"),
+)
+def docs_minhash_signature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", D.shingles(F.col("text"), 3).alias("sh"))
+    return sh.select(
+        "doc_id",
+        F.size("sh").cast("bigint").alias("n_shingles"),
+        F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit("0:"), s)))
+        ).alias("minhash_0"),
+    )
+
+
+@register(
+    "docs_simhash_buckets",
+    sql=None,  # xxhash64 is Spark-specific → rows-only check
+    doc="SimHash-64 fingerprints bucketed by their top-16 bits: documents "
+    "sharing a bucket are Hamming-close candidates. Pure map + one small "
+    "agg; pairs within buckets verify with hamming64 ≤ threshold "
+    "(operators/dedup.py).",
+    tags=("dedup", "simhash"),
+)
+def docs_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = D.simhash64(F.col("text"))
+    return (
+        d.select(F.shiftrightunsigned(fp, 48).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("bucket"))
+        .limit(50)
+    )

@@ -1,0 +1,73 @@
+"""MinHash/SimHash behavioral tests with constructed near-duplicates —
+proving recall/precision the synthetic corpus (no near-dups) can't."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun near the old barn door waiting for dinner time"
+)
+NEAR = BASE.replace("lazy dog", "lazy hound")  # one-token edit
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines today"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, FAR), (3, BASE)],  # 3 is exact dup of 0
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_finds_near_and_exact_dups(spark):
+    pairs = D.minhash_lsh_pairs(_docs(spark), min_jaccard=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 3)] == 1.0  # exact dup: full signature collision
+    assert (0, 1) in got and got[(0, 1)] >= 0.5  # near dup caught by LSH
+    assert not any(2 in p for p in got)  # unrelated doc never pairs
+
+
+def test_minhash_jaccard_matches_direct_computation(spark):
+    pairs = D.minhash_lsh_pairs(_docs(spark), min_jaccard=0.1)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # direct shingle Jaccard for (BASE, NEAR): one token differs → k=3
+    # shingles touching it differ
+    sh = spark.createDataFrame([(0, BASE), (1, NEAR)], "doc_id long, text string")
+    sdf = sh.select("doc_id", D.shingles(F.col("text"), 3).alias("s"))
+    a, b = [set(r["s"]) for r in sdf.orderBy("doc_id").collect()]
+    expected = round(len(a & b) / len(a | b), 6)
+    assert got[(0, 1)] == expected
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "two words"), (1, "one"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", D.shingles(F.col("text"), 3).alias("s")).collect()
+    }
+    assert out[0] == ["two words"]  # < k tokens → whole doc is the shingle
+    assert out[1] == ["one"]
+    assert out[2] == [""]  # empty text → single empty shingle (still hashable)
+
+
+def test_simhash_near_dups_are_hamming_close(spark):
+    df = _docs(spark)
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", D.simhash64(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[0] == fps[3]  # identical text → identical fingerprint
+    pairs = spark.createDataFrame(
+        [(fps[0], fps[1]), (fps[0], fps[2])], "a long, b long"
+    ).select(D.hamming64(F.col("a"), F.col("b")).alias("d"))
+    d_near, d_far = [r["d"] for r in pairs.collect()]
+    assert d_near < d_far  # one-token edit is closer than unrelated text
+    assert d_near <= 12
