@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video as `binary`
+columns beside typed metadata, processed by Arrow-batched Python
+(`mapInPandas`) because media codecs don't exist as Spark expressions. This
+module makes the Spark-side plumbing real — schemas, batch iteration,
+partition sizing — while the codec itself is stubbed (no media libraries in
+this environment): `decode_image_meta` uses a deterministic fake decoder and
+raises `NotImplementedError` from the real-codec hook.
+
+Plumbing rules encoded here:
+- binary payloads ride along untouched until the UDF that needs them —
+  column pruning keeps them out of every other operator's shuffle
+- mapInPandas streams Arrow batches: peak executor memory is
+  O(batch bytes), not O(partition bytes) — set
+  `spark.sql.execution.arrow.maxRecordsPerBatch` by payload size
+- output schemas are explicit StructTypes: never inferred from Python
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Demo payload: utf-8 bytes of a text column as the opaque `binary`
+    (stands in for image bytes; the pipeline shape is identical)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, int]:
+    """Hook for an actual image codec (PIL/libvips). Not available in this
+    environment — deployments override this function."""
+    raise NotImplementedError(
+        "media codecs are not installed; deployments plug PIL/libvips here"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in: dimensions derived from payload length so
+    tests and oracles can verify the plumbing end-to-end."""
+    n = len(payload)
+    return (64 + n % 577, 64 + (n * 31) % 577, 3)
+
+
+def decode_image_meta(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """binary payload → (id, n_bytes, md5 checksum, width, height, channels)
+    via mapInPandas. The iterator-of-batches shape is the real contract: each
+    Arrow batch decodes independently, so executor memory stays bounded
+    regardless of partition size."""
+    # NOTE: the decoder is re-bound to a local closure so cloudpickle
+    # serializes the UDF BY VALUE — the external driver's Python workers
+    # don't have this package on sys.path, so a by-reference pickle of a
+    # module-level function would raise ModuleNotFoundError on executors.
+    if use_real_codec:
+        decode = _real_decode
+    else:
+        def decode(payload: bytes) -> tuple[int, int, int]:
+            n = len(payload)
+            return (64 + n % 577, 64 + (n * 31) % 577, 3)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = pdf[payload_col]
+            dims = [decode(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.str.len().astype("int64"),
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "channels": pd.Series([d[2] for d in dims], dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_META_SCHEMA)

@@ -1,0 +1,230 @@
+"""Advanced analytics queries: as-of join, sessionization, cube, percentiles,
+promo revenue, multimodal metadata extraction.
+
+These extend the reference's surface with the operators a production event
+pipeline reaches for next (SURVEY.md §2.3 'absent join types', §2.7 windows)
+— each one still a single declarative plan with one shuffle where one is
+unavoidable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators.asof import asof_join, sessionize
+from data_engineering_project_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_meta,
+)
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+
+@register(
+    "events_asof_purchase_click",
+    sql="""
+    WITH both_sides AS (
+        SELECT user_id, ts, event_id, value, event_type,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+        SELECT user_id, ts, event_id, value, event_type, side,
+               last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w
+                   AS click_ts,
+               last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER w
+                   AS click_value
+        FROM both_sides
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           click_value
+    FROM carried WHERE side = 1
+    """,
+    doc="As-of join: each purchase matched to the user's most recent "
+    "at-or-before click (union + window carry-forward — one shuffle, no "
+    "range join; operators/asof.py). Purchases with no prior click keep "
+    "NULLs, like a left as-of join.",
+    tags=("asof", "window", "join"),
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        carry=["value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("asof_value").alias("click_value"),
+    )
+
+
+@register(
+    "events_sessionization",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag + cumulative-sum "
+    "window, then per-session aggregates. The batch equivalent of streaming "
+    "session windows (operators/asof.py:sessionize).",
+    tags=("window", "sessionize"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, key="user_id", time_col="ts", gap="30 minutes", order_tie_break="event_id"
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+@register(
+    "lineitem_cube",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (absent in reference — SURVEY.md §2.4): all "
+    "2^2 grouping combinations in one pass (Expand + single aggregate).",
+    tags=("agg", "cube"),
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "orders_price_quantiles",
+    sql="""
+    SELECT o_orderpriority,
+           ROUND(median(o_totalprice), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact percentiles per group (median + p90, linear interpolation). "
+    "At 100 TB swap for approx_percentile and accept the sketch error — "
+    "exact percentile requires a per-group sort.",
+    tags=("agg", "percentile"),
+)
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "promo_revenue_by_brand",
+    sql="""
+    SELECT p.p_brand,
+           ROUND(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2) AS promo_revenue,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q14 shape: fact⋈dimension with conditional revenue split. "
+    "part broadcasts below the threshold; the date filter pushes to the "
+    "lineitem scan.",
+    tags=("tpch", "join", "agg"),
+)
+def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.filter(
+            F.to_date("l_shipdate").between("1996-01-01", "1996-12-31")
+        )
+        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "user_distinct_profile",
+    sql=None,  # approx_count_distinct is sketch-based → rows-only check
+    doc="HyperLogLog profile: approx distinct users per event type plus "
+    "exact comparison column. At 100 TB approx_count_distinct is the "
+    "default; exact countDistinct is the audit path.",
+    tags=("agg", "approx"),
+)
+def user_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "docs_multimodal_meta",
+    sql="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(64 + strlen(text) % 577 AS INTEGER) AS width,
+           CAST(64 + (strlen(text) * 31) % 577 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels
+    FROM documents
+    """,
+    doc="Multimodal plumbing end-to-end: text → binary payload → "
+    "mapInPandas (Arrow-batched) metadata extraction with the deterministic "
+    "stand-in codec (operators/multimodal.py; real codecs plug into "
+    "_real_decode). The oracle restates the fake decode over byte lengths — "
+    "checksums prove the payload bytes crossed the boundary intact.",
+    tags=("multimodal", "udf"),
+)
+def docs_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(attach_binary_payload(d))

@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from data_engineering_project_spark.plans import (  # noqa: F401
+        analytics_queries,
         core_queries,
         dedup_queries,
         quality_queries,

@@ -119,8 +119,8 @@ def dq_autocorrect_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 'equal'
            END AS count_relationship,
            count(*) AS n_hours,
-           sum(impression_count) AS total_impressions,
-           sum(click_count) AS total_clicks
+           CAST(sum(impression_count) AS BIGINT) AS total_impressions,
+           CAST(sum(click_count) AS BIGINT) AS total_clicks
     FROM report GROUP BY count_relationship
     """,
     doc="The reference's 3-way count-relationship classifier "

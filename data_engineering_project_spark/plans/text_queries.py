@@ -46,8 +46,10 @@ def docs_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT source,
            ROUND(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
-           max(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens,
-           sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens
+           CAST(max(len(regexp_split_to_array(trim(text), '\\s+'))) AS INTEGER)
+               AS max_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+               AS total_tokens
     FROM documents GROUP BY source
     """,
     doc="Whitespace token counting per source — the token-budget primitive of "

@@ -52,6 +52,40 @@ def _ensure_read_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_pyfiles(spark)
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to executors. The external driver imports
+    ``__spark_entry__`` from an arbitrary cwd, so Python workers can't
+    resolve ``data_engineering_project_spark`` from their own sys.path;
+    any UDF that cloudpickle serializes by reference (module-level
+    function, class method) would die with ModuleNotFoundError. A one-time
+    ``addPyFile`` of a package zip makes by-reference pickles safe."""
+    sc = spark.sparkContext
+    if getattr(sc, "_dep_spark_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parent = os.path.dirname(pkg_root)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"dep_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_root):
+                for fn in filenames:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, parent))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:  # noqa: BLE001 — duplicate adds raise on some versions
+        pass
+    sc._dep_spark_pkg_shipped = True
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:
