@@ -76,3 +76,21 @@ def compose_datetime(date_col: Column | str, hour_col: Column | str) -> Column:
     return F.to_timestamp(
         F.concat_ws(" ", F.date_format(d, "yyyy-MM-dd"), F.format_string("%02d:00:00", h))
     )
+
+
+def exact_decimal_sum(expr: Column, scale: int, out_dp: int = 2) -> Column:
+    """SUM of fixed-decimal values whose result does not depend on
+    accumulation order.
+
+    Naive ``sum(double)`` accumulates rounding error that differs with merge
+    order — Spark's partial-aggregate merge order varies run to run, so a
+    downstream ``ROUND(sum, 2)`` can flip on a .005 boundary between two
+    executions (or between Spark and an oracle engine). Snapping each term
+    to an integer in 1/``scale`` units makes every addition exact (integer
+    doubles add losslessly below 2^53), so all orders and all engines
+    produce identical bits. Grouped money sums stay far below 2^53; a
+    global sum at extreme scale should aggregate int128/decimal instead.
+
+    SQL equivalent: ``ROUND(sum(ROUND(x * scale, 0)) / scale, out_dp)``.
+    """
+    return F.round(F.sum(F.round(expr * scale, 0)) / scale, out_dp)

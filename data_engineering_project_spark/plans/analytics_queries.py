@@ -161,9 +161,10 @@ def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT p.p_brand,
            ROUND(sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0 END), 2) AS promo_revenue,
-           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+                          THEN ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                          ELSE 0 END) / 10000, 2) AS promo_revenue,
+           ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
+                 / 10000, 2) AS total_revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
     GROUP BY p.p_brand
@@ -176,8 +177,12 @@ def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    # terms snap to integer 1/10000ths pre-sum: order-independent money sums
+    # (see functions/scalars.py:exact_decimal_sum)
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000, 0
+    )
+    promo_units = F.when(F.col("p_type") == "PROMO", rev_units).otherwise(F.lit(0))
     return (
         li.filter(
             F.to_date("l_shipdate").between("1996-01-01", "1996-12-31")
@@ -185,8 +190,8 @@ def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(promo), 2).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(promo_units) / 10_000, 2).alias("promo_revenue"),
+            F.round(F.sum(rev_units) / 10_000, 2).alias("total_revenue"),
         )
     )
 

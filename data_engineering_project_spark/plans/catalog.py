@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
         analytics_queries,
         core_queries,
         dedup_queries,
+        extended_queries,
         quality_queries,
         similarity_queries,
         text_queries,

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_engineering_project_spark.functions import scalars as S
 from data_engineering_project_spark.operators.report import (
     combine_hourly_reports,
     densify_hours,
@@ -212,9 +213,11 @@ def report_datetime_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT l_returnflag, l_linestatus,
            ROUND(sum(l_quantity), 2)        AS sum_qty,
-           ROUND(sum(l_extendedprice), 2)   AS sum_base_price,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(sum(ROUND(l_extendedprice * 100, 0)) / 100, 2) AS sum_base_price,
+           ROUND(sum(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)) / 10000, 2)
+               AS sum_disc_price,
+           ROUND(sum(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0))
+                 / 1000000, 2) AS sum_charge,
            ROUND(avg(l_quantity), 4)        AS avg_qty,
            ROUND(avg(l_extendedprice), 4)   AS avg_price,
            ROUND(avg(l_discount), 4)        AS avg_disc,
@@ -237,9 +240,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            # money sums snap terms to integer units so the result is
+            # independent of partial-agg merge order (functions/scalars.py)
+            S.exact_decimal_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            S.exact_decimal_sum(disc_price, 10_000).alias("sum_disc_price"),
+            S.exact_decimal_sum(charge, 1_000_000).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -251,7 +256,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_customers_by_revenue",
     sql="""
-    SELECT c.c_custkey, c.c_name, ROUND(sum(o.o_totalprice), 2) AS revenue,
+    SELECT c.c_custkey, c.c_name,
+           ROUND(sum(ROUND(o.o_totalprice * 1000, 0)) / 1000, 2) AS revenue,
            count(*) AS order_count
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -269,7 +275,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            S.exact_decimal_sum(F.col("o_totalprice"), 1000).alias("revenue"),
             F.count("*").alias("order_count"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -324,7 +330,7 @@ def big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_revenue_rollup",
     sql="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           ROUND(sum(o.o_totalprice), 2) AS revenue
+           ROUND(sum(ROUND(o.o_totalprice * 1000, 0)) / 1000, 2) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -351,7 +357,7 @@ def nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.rollup("region_name", "nation_name").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        S.exact_decimal_sum(F.col("o_totalprice"), 1000).alias("revenue")
     )
 
 
@@ -382,9 +388,9 @@ def distinct_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_revenue_window",
     sql="""
     SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderkey,
-           ROUND(sum(o_totalprice) OVER (
+           ROUND(sum(ROUND(o_totalprice * 1000, 0)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000, 2) AS running_revenue
     FROM orders
     """,
     doc="Window function: per-customer running revenue (SURVEY.md §2.7 — "
@@ -403,7 +409,9 @@ def running_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 1000, 0)).over(w) / 1000, 2
+        ).alias("running_revenue"),
     )
 
 
@@ -487,7 +495,8 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     sql="""
     SELECT n.n_name AS nation_name,
-           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
+                 / 10000, 2) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -521,5 +530,5 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
         .filter(F.col("r_name") == "ASIA")
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(S.exact_decimal_sum(revenue, 10_000).alias("revenue"))
     )

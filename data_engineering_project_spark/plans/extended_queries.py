@@ -1,0 +1,406 @@
+"""Extended relational surface: pivot, set ops, statistical aggregates,
+range joins, tumbling windows, and the remaining classic TPC-H shapes.
+
+SURVEY.md §2 lists these operator classes as absent in the reference
+(§2.3 'Absent join types', §2.4 'Absent aggregates', §2.6 set ops) — the
+engine exposes them anyway because a user at 100 TB reaches for each of
+them within the first week. Every query notes the physical-plan property
+that makes it survive a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.functions.scalars import exact_decimal_sum
+from data_engineering_project_spark.operators import similarity as S
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_daily_type_pivot",
+    sql="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY date
+    """,
+    doc="Pivot: one column per event type, one row per day. The explicit "
+    "value list keeps it a single-pass pivot (no extra distinct job to "
+    "discover the columns) — mandatory at 100 TB where the discovery pass "
+    "would rescan the fact table.",
+    tags=("pivot", "agg"),
+)
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("date"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@register(
+    "repeat_buyer_setops",
+    sql="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= DATE '1995-01-01'
+                   AND o_orderdate < DATE '1996-01-01'),
+    y96 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01')
+    SELECT o_custkey, 'both_years' AS cohort
+    FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT o_custkey, '1995_only' FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT o_custkey, '1996_only' FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+    """,
+    doc="Set operators (SURVEY.md §2.6: unused in the reference): customer "
+    "cohorts via INTERSECT / EXCEPT / UNION ALL. Catalyst rewrites intersect "
+    "and except into semi/anti joins on the distinct sets — same shuffle "
+    "count as hand-written joins, clearer plan.",
+    tags=("setops", "join"),
+)
+def repeat_buyer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_customers(y: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= f"{y}-01-01")
+                & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year_customers(1995), year_customers(1996)
+    tag = lambda df, t: df.withColumn("cohort", F.lit(t))  # noqa: E731
+    return (
+        tag(y95.intersect(y96), "both_years")
+        .unionByName(tag(y95.exceptAll(y96), "1995_only"))
+        .unionByName(tag(y96.exceptAll(y95), "1996_only"))
+    )
+
+
+@register(
+    "lineitem_price_stats",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           ROUND(avg(l_extendedprice), 2) AS price_avg,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_discount, l_tax), 6) AS disc_tax_covar,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (absent in reference — SURVEY.md §2.4): "
+    "stddev / corr / covar per group. All are single-pass partial-aggregable "
+    "moments, so the plan is the same partial+final hash aggregate as a "
+    "plain SUM — no extra shuffle for the second moment.",
+    tags=("agg", "stats"),
+)
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.avg("l_extendedprice"), 2).alias("price_avg"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "purchase_click_attribution_1h",
+    sql="""
+    SELECT p.event_id,
+           CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h,
+           ROUND(coalesce(sum(c.value), 0), 4) AS click_value_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+    doc="Range (interval) join — SURVEY.md §2.3 lists interval joins as "
+    "absent: clicks attributed to each purchase within the preceding hour. "
+    "The user_id equi-key carries the shuffle (hash join); the time range is "
+    "a post-join filter, so there is no quadratic cross product — per-key "
+    "fan-out is bounded by a user's own event count.",
+    tags=("join", "range"),
+)
+def purchase_click_attribution_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("c_event_id").alias("n_clicks_1h"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias(
+            "click_value_1h"
+        ),
+    )
+
+
+@register(
+    "events_hourly_tumbling",
+    sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           ROUND(sum(value), 4) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    doc="Tumbling 1-hour event-time window via F.window() — the exact "
+    "batch analog of the Structured Streaming windowed aggregation in "
+    "streaming/pipeline.py (SURVEY.md §2.8 T2), sharing semantics with the "
+    "reference's filename-hour bucketing (data_processing.py:238-244).",
+    tags=("window", "agg", "streaming-analog"),
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    sql="""
+    SELECT l.l_orderkey,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+    HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > 100000
+    """,
+    doc="TPC-H Q3 shape (unshipped high-revenue orders for one segment): "
+    "3-way star join. customer filters to ~1/5 then broadcasts; the two date "
+    "predicates push into the orders/lineitem scans. HAVING replaces Q3's "
+    "LIMIT 10 so the result set is deterministic under the order-insensitive "
+    "hash compare (float near-ties at a LIMIT boundary are not).",
+    tags=("tpch", "join", "agg"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") > "1998-01-01")
+        .join(
+            o.filter(F.col("o_orderdate") < "1998-01-01"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).alias("rev_raw"))
+        .filter(F.col("rev_raw") > 100000)
+        .select(
+            "l_orderkey",
+            # 4dp: revenue values are exact 4-decimal sums (2dp price ×
+            # 2dp discount); ROUND(x,2) lands on .005 boundaries where the
+            # engines' different summation order flips the rounding
+            F.round("rev_raw", 4).alias("revenue"),
+            "orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    sql="""
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(big.sum_qty, 2) AS sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): aggregate-then-join. The "
+    "HAVING runs before the joins so only qualifying orderkeys shuffle into "
+    "the join — at 100 TB this ordering (agg first, join after) is the "
+    "difference between shuffling 2% of lineitem and all of it.",
+    tags=("tpch", "join", "agg"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .filter(F.col("sum_qty_raw") > 180)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty_raw", 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "brand_disjunctive_revenue",
+    sql="""
+    SELECT ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
+                 / 10000, 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 1 AND 25)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 35)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-clause predicate across both "
+    "join sides. Catalyst extracts the common subexpressions "
+    "(p_brand IN (...), l_quantity <= 35) as pushable conjuncts so each scan "
+    "still prunes, leaving the full OR as the post-join filter.",
+    tags=("tpch", "join", "predicate"),
+)
+def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#4") & F.col("l_quantity").between(1, 25)
+    ) | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 35))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(cond).agg(
+        exact_decimal_sum(rev, 10_000).alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@register(
+    "emb_blocked_near_pairs",
+    sql="""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, label, ROUND(c, 6) AS cosine
+    FROM pairs WHERE c >= 0.35
+    """,
+    doc="Blocked exact near-duplicate search: self-join only within a "
+    "blocking key (label — in production: an LSH bucket or IVF cell), exact "
+    "cosine inside the block, threshold filter. The equi-join on the block "
+    "key is what keeps this O(sum of block²) instead of O(n²) — the "
+    "oracle-checked exact complement to emb_lsh_near_pairs. (0.35 floor "
+    "suits the synthetic random vectors; real corpora use ~0.95.)",
+    tags=("similarity", "dedup", "join"),
+)
+def emb_blocked_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        "label",
+        S.cosine(F.col("vec_a"), F.col("vec_b")).alias("c"),
+    )
+    return pairs.filter(F.col("c") >= 0.35).select(
+        "id_a", "id_b", "label", F.round("c", 6).alias("cosine")
+    )
+
+
+@register(
+    "events_value_histogram",
+    sql="""
+    SELECT event_type,
+           CAST(floor(value / 50) AS INTEGER) AS bucket,
+           count(*) AS n,
+           ROUND(min(value), 4) AS min_value,
+           ROUND(max(value), 4) AS max_value
+    FROM events GROUP BY event_type, bucket
+    """,
+    doc="Equi-width histogram (50-unit buckets) per event type — the "
+    "distribution-profiling primitive for skew diagnosis. A pure "
+    "partial-aggregable groupBy: the bucket expression is computed map-side, "
+    "so the shuffle carries only (type, bucket) partial rows.",
+    tags=("agg", "histogram"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50).cast("int").alias("bucket"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
