@@ -100,3 +100,106 @@ def decode_image_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 128,
+    stride: int = 2,
+) -> DataFrame:
+    """Video-style frame sampling over an opaque binary payload: split into
+    fixed-size frames, keep every ``stride``-th, emit one row per sampled
+    frame (the 1→N flat-map shape real frame extractors need). Executor
+    memory is O(one Arrow batch); the exploded rows never pass through the
+    driver. A real video codec replaces the byte-slicing with keyframe
+    decode at the same interface."""
+
+    # self-contained closure: pickled by value so the external driver's
+    # workers don't need this package on sys.path (see decode_image_meta)
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, idxs, offs, lens, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                n_frames = max(1, -(-n // frame_bytes))
+                for i in range(0, n_frames, stride):
+                    chunk = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * frame_bytes)
+                    lens.append(len(chunk))
+                    sums.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+#: order of the character-class ratio features emitted by extract_features
+FEATURE_NAMES = ("vowel_ratio", "digit_ratio", "space_ratio", "upper_ratio")
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Feature extraction over binary payloads → fixed-dim double vector
+    (here: byte-class frequency ratios; a real featurizer — CLIP embedding,
+    MFCC, perceptual hash — slots into the same mapInPandas contract and
+    output schema). Count/total ratios are exact integer divisions, so the
+    values are engine-reproducible bit-for-bit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vowels = frozenset(b"aeiou")
+        digits = frozenset(b"0123456789")
+        uppers = frozenset(range(ord("A"), ord("Z") + 1))
+
+        for pdf in it:
+            ids, feats = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload) or 1
+                low = payload.lower()
+                ids.append(doc_id)
+                feats.append(
+                    [
+                        sum(b in vowels for b in low) / n,
+                        sum(b in digits for b in payload) / n,
+                        payload.count(b" ") / n,
+                        sum(b in uppers for b in payload) / n,
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)

@@ -16,6 +16,8 @@ from data_engineering_project_spark.operators.asof import asof_join, sessionize
 from data_engineering_project_spark.operators.multimodal import (
     attach_binary_payload,
     decode_image_meta,
+    extract_features,
+    sample_frames,
 )
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
@@ -233,3 +235,66 @@ def user_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return decode_image_meta(attach_binary_payload(d))
+
+
+@register(
+    "docs_frame_sampling",
+    sql="""
+    WITH f AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+    frames AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
+               CAST(u.i * 128 AS INTEGER) AS frame_offset,
+               substr(text, CAST(u.i * 128 + 1 AS INTEGER), 128) AS frame_text
+        FROM f, LATERAL (SELECT unnest(range(0, CAST(ceil(n / 128.0) AS BIGINT))) AS i) u
+    )
+    SELECT doc_id, frame_idx, frame_offset,
+           CAST(strlen(frame_text) AS INTEGER) AS frame_len,
+           md5(frame_text) AS frame_checksum
+    FROM frames WHERE frame_idx % 2 = 0
+    """,
+    doc="Video-style frame sampling: binary payload → fixed 128-byte frames, "
+    "every 2nd kept, one row per sampled frame via mapInPandas (the 1→N "
+    "flat-map multimodal shape; operators/multimodal.py:sample_frames). The "
+    "oracle restates the byte slicing with substr + generate_series — valid "
+    "because the corpus is ASCII, so byte and char offsets coincide; the "
+    "per-frame MD5s prove the sliced bytes crossed the Arrow boundary intact.",
+    tags=("multimodal", "udf"),
+)
+def docs_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(d), frame_bytes=128, stride=2)
+
+
+@register(
+    "docs_payload_features",
+    sql="""
+    SELECT doc_id,
+           ROUND(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                 / CAST(strlen(text) AS DOUBLE), 6) AS vowel_ratio,
+           ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / CAST(strlen(text) AS DOUBLE), 6) AS digit_ratio,
+           ROUND(length(regexp_replace(text, '[^ ]', '', 'g'))
+                 / CAST(strlen(text) AS DOUBLE), 6) AS space_ratio,
+           ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                 / CAST(strlen(text) AS DOUBLE), 6) AS upper_ratio
+    FROM documents
+    """,
+    doc="Multimodal feature extraction: payload → fixed-dim double vector "
+    "(byte-class frequency ratios as the deterministic stand-in featurizer; "
+    "a CLIP/MFCC model slots into the same mapInPandas contract — "
+    "operators/multimodal.py:extract_features). Ratios are exact integer "
+    "divisions so both engines produce identical doubles.",
+    tags=("multimodal", "udf", "features"),
+)
+def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(d))
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(name)
+            for i, name in enumerate(
+                ("vowel_ratio", "digit_ratio", "space_ratio", "upper_ratio")
+            )
+        ],
+    )

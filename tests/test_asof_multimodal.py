@@ -1,0 +1,151 @@
+"""Unit tests: as-of join, sessionization, and multimodal operators.
+
+Hand-computed golden values on tiny in-memory frames — the operator-level
+complement to the DuckDB oracle parity tests (SURVEY.md §5 test strategy:
+(a) operator unit tests + (b) golden values + (c) oracle harness).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators.asof import asof_join, sessionize
+from data_engineering_project_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_meta,
+    extract_features,
+    sample_frames,
+)
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2022, 5, 26, h, m)
+
+
+class TestAsofJoin:
+    def test_matches_latest_at_or_before(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts(10), 100.0), (1, _ts(12), 200.0), (2, _ts(11), 300.0)],
+            "k long, t timestamp, v double",
+        )
+        right = spark.createDataFrame(
+            [(1, _ts(11)), (1, _ts(13)), (2, _ts(10))],
+            "k long, rt timestamp",
+        )
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt", carry=["v"]
+        )
+        rows = {(r.k, r.rt): (r.asof_t, r.asof_v) for r in out.collect()}
+        # right@11 sees left@10; right@13 sees left@12
+        assert rows[(1, _ts(11))] == (_ts(10), 100.0)
+        assert rows[(1, _ts(13))] == (_ts(12), 200.0)
+        # right@10 for key 2: left@11 is in the future -> nulls
+        assert rows[(2, _ts(10))] == (None, None)
+
+    def test_equal_timestamps_are_inclusive(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts(10), 1.0)], "k long, t timestamp, v double"
+        )
+        right = spark.createDataFrame([(1, _ts(10))], "k long, rt timestamp")
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt", carry=["v"]
+        ).collect()
+        assert out[0].asof_v == 1.0  # at-or-before: ties match
+
+    def test_right_columns_survive_untouched(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts(9), 5.0)], "k long, t timestamp, v double"
+        )
+        right = spark.createDataFrame(
+            [(1, _ts(10), "payload")], "k long, rt timestamp, tag string"
+        )
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt", carry=["v"]
+        )
+        assert set(out.columns) == {"k", "rt", "tag", "asof_t", "asof_v"}
+        assert out.collect()[0].tag == "payload"
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        ev = spark.createDataFrame(
+            [
+                (1, _ts(10, 0), 1),
+                (1, _ts(10, 20), 2),   # within 30 min -> same session
+                (1, _ts(11, 10), 3),   # 50 min gap -> new session
+                (2, _ts(10, 0), 4),    # other key -> its own session 1
+            ],
+            "user long, t timestamp, eid long",
+        )
+        out = sessionize(ev, key="user", time_col="t", gap="30 minutes")
+        sess = {r.eid: r.session_id for r in out.collect()}
+        assert sess[1] == sess[2] == 1
+        assert sess[3] == 2
+        assert sess[4] == 1
+
+    def test_exact_gap_boundary_stays_in_session(self, spark):
+        # strictly-greater-than comparison: a 30:00 gap does NOT split
+        ev = spark.createDataFrame(
+            [(1, _ts(10, 0), 1), (1, _ts(10, 30), 2)],
+            "user long, t timestamp, eid long",
+        )
+        out = sessionize(ev, key="user", time_col="t", gap="30 minutes")
+        sess = {r.eid: r.session_id for r in out.collect()}
+        assert sess[1] == sess[2] == 1
+
+
+class TestMultimodal:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_decode_meta_golden(self, spark):
+        text = "a" * 100
+        out = decode_image_meta(
+            attach_binary_payload(self._docs(spark, [text]))
+        ).collect()[0]
+        assert out.n_bytes == 100
+        assert out.checksum == hashlib.md5(text.encode()).hexdigest()
+        assert (out.width, out.height, out.channels) == (
+            64 + 100 % 577,
+            64 + (100 * 31) % 577,
+            3,
+        )
+
+    def test_frame_sampling_counts_and_checksums(self, spark):
+        text = "x" * 300  # 3 frames of 128 -> sampled idx 0, 2
+        out = sample_frames(
+            attach_binary_payload(self._docs(spark, [text])),
+            frame_bytes=128,
+            stride=2,
+        ).collect()
+        by_idx = {r.frame_idx: r for r in out}
+        assert sorted(by_idx) == [0, 2]
+        assert by_idx[0].frame_len == 128 and by_idx[0].frame_offset == 0
+        assert by_idx[2].frame_len == 300 - 256 and by_idx[2].frame_offset == 256
+        assert (
+            by_idx[2].frame_checksum
+            == hashlib.md5(text.encode()[256:]).hexdigest()
+        )
+
+    def test_frame_sampling_short_payload_yields_one_frame(self, spark):
+        out = sample_frames(
+            attach_binary_payload(self._docs(spark, ["tiny"]))
+        ).collect()
+        assert len(out) == 1
+        assert out[0].frame_idx == 0 and out[0].frame_len == 4
+
+    def test_feature_ratios_golden(self, spark):
+        text = "Ab 12"  # 5 bytes: 1 vowel(a), 2 digits, 1 space, 1 upper
+        feats = extract_features(
+            attach_binary_payload(self._docs(spark, [text]))
+        ).collect()[0].features
+        assert feats == [1 / 5, 2 / 5, 1 / 5, 1 / 5]
+
+    def test_payload_column_pruned_from_meta_output(self, spark):
+        out = decode_image_meta(attach_binary_payload(self._docs(spark, ["abc"])))
+        assert "payload" not in out.columns
