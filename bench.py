@@ -35,6 +35,13 @@ HEADLINE = (
     "docs_jaccard_vs_query",
     "emb_cosine_topk",
     "emb_lsh_bucket_profile",
+    # second wave: join/window/pivot/skew/UDF classes
+    "events_asof_purchase_click",
+    "purchase_click_attribution_1h",
+    "events_daily_type_pivot",
+    "events_salted_type_stats",
+    "q18_large_orders",
+    "docs_frame_sampling",
 )
 
 

@@ -110,6 +110,12 @@ def combine_hourly_reports(
     counts = hourly_type_counts(
         df, date_col=date_col, hour_col=hour_col, type_col=type_col, types=types
     )
+    # The spine derives its date list from `counts`, but Catalyst collapses
+    # distinct-over-aggregate into distinct-over-base, turning the spine into
+    # a SECOND full scan of the raw events — 2× scan cost at 100 TB. Persist
+    # the post-agg counts (≤ 24 rows/date — trivially memory-resident) so
+    # both the spine and the join read the cached aggregate instead.
+    counts = counts.persist()
     fill = [f"{t}_count" for t in types]
     dense = densify_hours(counts, fill_cols=fill)
     return dense.select("date", "hour", *fill).orderBy("date", "hour")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_project_spark.functions.scalars import exact_decimal_sum
 from data_engineering_project_spark.operators import similarity as S
+from data_engineering_project_spark.operators.skew import salted_aggregate
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
 
@@ -403,4 +404,45 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "events_salted_type_stats",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           ROUND(min(value), 4) AS min_value,
+           ROUND(max(value), 4) AS max_value,
+           ROUND(sum(ROUND(value * 100, 0)) / 100, 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-proof aggregation via salting (operators/skew.py): the 5 "
+    "event types are genuinely hot keys — a plain groupBy sends ~20% of the "
+    "table to each of 5 reducers regardless of cluster size. Salting "
+    "scatters each key over 16 sub-keys (first shuffle), then merges 16 "
+    "partial rows per key (second, trivial shuffle). Results are identical "
+    "to the plain aggregate — the oracle IS the plain aggregate.",
+    tags=("agg", "skew", "salting"),
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = salted_aggregate(
+        ev,
+        ["event_type"],
+        [
+            ("count", "*", "n"),
+            ("min", "value", "min_raw"),
+            ("max", "value", "max_raw"),
+            # integer-unit sum stays order-independent under salting
+            ("sum", F.round(F.col("value") * 100, 0), "total_units"),
+        ],
+        n_salt=16,
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round("min_raw", 4).alias("min_value"),
+        F.round("max_raw", 4).alias("max_value"),
+        F.round(F.col("total_units") / 100, 2).alias("total_value"),
     )

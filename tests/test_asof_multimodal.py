@@ -149,3 +149,45 @@ class TestMultimodal:
     def test_payload_column_pruned_from_meta_output(self, spark):
         out = decode_image_meta(attach_binary_payload(self._docs(spark, ["abc"])))
         assert "payload" not in out.columns
+
+
+class TestSaltedAggregate:
+    def test_matches_plain_groupby(self, spark, sf_dir):
+        from data_engineering_project_spark.operators.skew import salted_aggregate
+        from data_engineering_project_spark.sources.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        salted = salted_aggregate(
+            ev,
+            ["event_type"],
+            [
+                ("count", "*", "n"),
+                ("min", "value", "min_v"),
+                ("max", "value", "max_v"),
+                ("avg", "user_id", "avg_uid"),
+            ],
+            n_salt=8,
+        )
+        plain = ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.avg("user_id").alias("avg_uid"),
+        )
+        s = {r.event_type: r for r in salted.collect()}
+        p = {r.event_type: r for r in plain.collect()}
+        assert set(s) == set(p)
+        for k in p:
+            assert s[k].n == p[k].n
+            assert s[k].min_v == p[k].min_v
+            assert s[k].max_v == p[k].max_v
+            assert abs(s[k].avg_uid - p[k].avg_uid) < 1e-9
+
+    def test_rejects_non_decomposable(self, spark):
+        import pytest
+
+        from data_engineering_project_spark.operators.skew import salted_aggregate
+
+        df = spark.range(10).withColumn("k", F.lit("a"))
+        with pytest.raises(ValueError, match="not salt-decomposable"):
+            salted_aggregate(df, ["k"], [("median", "id", "m")])
