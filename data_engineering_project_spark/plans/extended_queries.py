@@ -446,3 +446,153 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_raw", 4).alias("max_value"),
         F.round(F.col("total_units") / 100, 2).alias("total_value"),
     )
+
+
+@register(
+    "q7_nation_volume",
+    sql="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
+                 / 10000, 2) AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    doc="TPC-H Q7 shape (bilateral trade volume): the same dimension table "
+    "joined twice under different roles (supplier vs customer nation) with a "
+    "symmetric disjunctive filter. Both nation sides broadcast; the "
+    "fact-side shuffle is only lineitem⋈orders.",
+    tags=("tpch", "join", "agg"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(exact_decimal_sum(rev, 10_000).alias("volume"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    sql="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
+                 / 10000, 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    HAVING sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)) / 10000
+             > 50000
+    """,
+    doc="TPC-H Q10 shape (returned-item revenue by customer): selective "
+    "fact filters (returnflag + date window) push to the scans before the "
+    "3-way join; HAVING keeps the result deterministic instead of Q10's "
+    "LIMIT 20 over float ordering.",
+    tags=("tpch", "join", "agg"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000, 0
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(rev_units) / 10_000).alias("rev_raw"), F.count("*").alias("n_items"))
+        .filter(F.col("rev_raw") > 50_000)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            # 4dp = the exact decimal width of price*(1-disc) sums; a 2dp
+            # round would hit .005 values where Spark (shortest-decimal) and
+            # DuckDB (binary) rounding disagree
+            F.round("rev_raw", 4).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+@register(
+    "q16_part_supplier_variety",
+    sql="""
+    SELECT p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (10, 20, 30)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape: COUNT(DISTINCT) per group with a NOT IN "
+    "anti-subquery (excluded suppliers). Catalyst plans NOT IN as a "
+    "null-aware anti join against the (broadcast) exclusion list; the "
+    "distinct count adds its own Expand+agg pass.",
+    tags=("tpch", "join", "anti", "distinct"),
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(excluded),
+            li["l_suppkey"] == excluded["s_suppkey"],
+            "left_anti",
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_size").isin(10, 20, 30))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -122,3 +122,89 @@ def emb_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "emb_ivf_topk",
+    sql="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    expl AS (
+        SELECT label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+    ),
+    cent AS (SELECT label, pos, avg(v) AS c FROM expl GROUP BY label, pos),
+    cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    cscore AS (
+        SELECT label,
+               list_sum(list_transform(list_zip(cv, qe),
+                        p -> p[1] * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cc
+        FROM cvec CROSS JOIN q
+    ),
+    probe AS (SELECT label FROM cscore ORDER BY cc DESC, label LIMIT 2),
+    cand AS (
+        SELECT e.vec_id, e.label, e.embedding
+        FROM embeddings e JOIN probe t ON e.label = t.label
+        WHERE e.vec_id <> 0
+    ),
+    scored AS (
+        SELECT vec_id, label,
+               list_sum(list_transform(list_zip(embedding, qe),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        FROM cand CROSS JOIN q
+    )
+    SELECT vec_id, label, ROUND(c, 6) AS cosine
+    FROM scored ORDER BY c DESC, vec_id LIMIT 10
+    """,
+    doc="IVF-style ANN — the scale path for similarity search: per-label "
+    "mean vectors form the coarse quantizer (in production: k-means "
+    "centroids), the query probes its nprobe=2 nearest cells, and exact "
+    "cosine runs only inside those cells. The candidate scan is "
+    "|2 cells| ≪ N; the brute-force baseline emb_cosine_topk is the recall "
+    "oracle. Everything is deterministic, so the full IVF pipeline "
+    "(centroids → probe → rank) is SQL-restatable and hash-checked.",
+    tags=("similarity", "ann", "ivf"),
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    # coarse quantizer: mean vector per label (posexplode → 2-level agg,
+    # same building block as emb_label_centroid_norms)
+    expl = e.select("label", F.posexplode("embedding").alias("pos", "v0")).select(
+        "label", "pos", F.col("v0").cast("double").alias("v")
+    )
+    cent = expl.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+
+    # probe: nprobe=2 nearest centroids to the query vector
+    probe = (
+        cvec.crossJoin(F.broadcast(q))
+        .select("label", S.cosine(F.col("cv"), F.col("qe")).alias("cc"))
+        .orderBy(F.desc("cc"), F.asc("label"))
+        .limit(2)
+        .select("label")
+    )
+
+    # exact search inside the probed cells only
+    cand = e.filter(F.col("vec_id") != 0).join(F.broadcast(probe), "label")
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        S.cosine(F.col("embedding"), F.col("qe")).alias("c"),
+    )
+    return (
+        scored.orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("c", 6).alias("cosine"))
+    )

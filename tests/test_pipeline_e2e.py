@@ -132,3 +132,31 @@ def test_malformed_filename_routes_to_dead_letter(result):
     assert len(bad) == 2
     assert all(r["validation_error"] == "Invalid hour" for r in bad)
     assert all("malformed_name.parquet" in r["source_file"] for r in bad)
+
+
+def test_cli_batch_mode(spark, landing_dir, tmp_path_factory, capsys):
+    """The argparse surface (reference main.py:249-258 analog) end-to-end."""
+    from data_engineering_project_spark.cli import main
+
+    out = tmp_path_factory.mktemp("cli_output")
+    rc = main(
+        [
+            "batch",
+            "--input-dir",
+            landing_dir,
+            "--output-dir",
+            str(out),
+            "--user-agent",
+            UA,
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()
+    assert sorted(os.path.basename(p) for p in printed) == [
+        "task1_output_2022-05-26.csv",
+        "task1_output_2022-05-27.csv",
+    ]
+    with open(os.path.join(str(out), "task1_output_2022-05-26.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 24
+    assert (rows[11]["impression_count"], rows[11]["click_count"]) == ("4", "0")
