@@ -157,3 +157,70 @@ def run_incremental_report(
         q.awaitTermination()
     else:
         writer.trigger(processingTime="1 minute").start()
+
+
+def session_counts_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "batch_ts",
+) -> DataFrame:
+    """Streaming session windows (gap-close semantics) via the built-in
+    ``F.session_window`` — the declarative streaming twin of the batch
+    ``operators/asof.py:sessionize``. A session closes when no event for
+    ``key_col`` arrives within ``gap``; the watermark lets Spark finalize and
+    drop closed-session state. Append mode emits each session exactly once,
+    on close."""
+    return (
+        events.filter(F.col(time_col).isNotNull())
+        .withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("sw"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_type_totals_stream(events: DataFrame, *, key_col: str = "event_type"):
+    """Custom stateful operator via ``applyInPandasWithState``: cumulative
+    per-key totals across ALL micro-batches — state no window can express
+    (unbounded running total, checkpoint-recovered across restarts). The
+    pattern slot for anything stateful the built-ins lack: CDC dedup,
+    anomaly trackers, incremental sketches.
+
+    State is one bigint per key; each micro-batch emits the key's new total
+    plus how many rows this batch contributed."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, total bigint, batch_rows bigint"
+    )
+    state_schema = "total bigint"
+
+    # self-contained: pickled by value, no module deps on the workers
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        rows = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+        total = state.get[0] if state.exists else 0
+        total += rows
+        state.update((total,))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "total": [total], "batch_rows": [rows]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

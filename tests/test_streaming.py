@@ -75,3 +75,83 @@ def test_multi_type_and_late_file(spark, dirs):
     got = _counts(spark, dirs["target"])
     assert got[("2022-05-27", 11, "clicks")] == 3
     assert got[("2022-05-27", 12, "clicks")] == 7
+
+
+def test_session_window_stream(spark, dirs):
+    """Built-in session windows over the file stream: bursts 40 min apart
+    (gap 30 min) split into separate sessions; append mode emits a session
+    only once the watermark passes its close. maxFilesPerTrigger=1 makes
+    each file its own micro-batch so the watermark actually advances."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_event_stream,
+        session_counts_stream,
+    )
+
+    # burst 1: 11:00 + 11:10 (one session, 6 events, closes at 11:40)
+    _write_events(f"{dirs['in']}/clicks_processed_dk_20220526110000000_1-4_1.parquet", 4)
+    _write_events(f"{dirs['in']}/clicks_processed_dk_20220526111000000_5-6_1.parquet", 2)
+    # burst 2: 11:50 advances the watermark past burst 1's close
+    _write_events(f"{dirs['in']}/clicks_processed_dk_20220526115000000_7-9_1.parquet", 3)
+    # 13:00 file: the batch that processes it runs with watermark 11:49
+    _write_events(f"{dirs['in']}/clicks_processed_dk_20220526130000000_10-10_1.parquet", 1)
+
+    events = read_event_stream(spark, dirs["in"], SCHEMA, max_files_per_trigger=1)
+    sessions = session_counts_stream(events, gap="30 minutes", watermark="1 minute")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_t")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sessions_t ORDER BY session_start").collect()
+    # both closed sessions emit (availableNow's final flush advances the
+    # watermark past 12:20); the 13:00 session is still open -> withheld
+    assert len(rows) == 2
+    assert rows[0].n_events == 6
+    assert rows[0].session_start.minute == 0
+    # session end = last event (11:10) + 30 min gap
+    assert (rows[0].session_end - rows[0].session_start).seconds == 40 * 60
+    assert rows[1].n_events == 3
+    assert rows[1].session_start.minute == 50
+
+
+def test_stateful_totals_recover_across_runs(spark, dirs):
+    """applyInPandasWithState: running totals accumulate across two separate
+    availableNow runs — state restores from the checkpoint (the property the
+    reference's delete-files-and-rerun cycle cannot provide)."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_event_stream,
+        stateful_type_totals_stream,
+    )
+
+    def run_once():
+        events = read_event_stream(spark, dirs["in"], SCHEMA)
+        totals = stateful_type_totals_stream(events)
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(dirs["target"])
+
+        q = (
+            totals.writeStream.outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526110000000_1-5_1.parquet", 5)
+    run_once()
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526120000000_6-8_1.parquet", 3)
+    run_once()
+
+    emitted = {
+        (r["total"], r["batch_rows"])
+        for r in spark.read.parquet(dirs["target"]).collect()
+    }
+    # run 1 emitted (5,5); run 2 restored total=5 from the checkpoint and
+    # added this batch's 3 rows
+    assert emitted == {(5, 5), (8, 3)}
