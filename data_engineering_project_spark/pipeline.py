@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark import quality as Q
@@ -35,6 +35,8 @@ class PipelineResult:
     report: DataFrame
     invalid: DataFrame
     csv_paths: list[str]
+    #: filled after the write action; None when observation was disabled
+    observation: Observation | None = None
 
 
 def build_daily_report(
@@ -45,17 +47,33 @@ def build_daily_report(
     ua_column: str = "device_settings.user_agent",
     type_columns: Mapping[str, str] = DEFAULT_TYPE_COLUMNS,
     schema=None,
+    observation: Observation | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Landing dir → (dense daily report, invalid-rows dead letter).
 
     Steps mirror the reference exactly (filter on the nested UA column
     :139-141; hour from filename :238-244; out-of-domain hours excluded
     :247-265; dense 24h grid :306-338) but compiled into one Catalyst plan.
+
+    ``observation``: the reference fires ≥8 eager count/collect actions per
+    date purely for logging, re-executing lineage each time
+    (data_processing.py:134-291 — SURVEY.md §3.1). ``df.observe`` collects
+    the same numbers as a side effect of the one real action, at zero extra
+    jobs; read ``observation.get`` after the write.
     """
     raw = read_event_files(spark, input_dir, schema=schema)
     filtered = (
         filter_equals(raw, ua_column, user_agent) if user_agent is not None else raw
     )
+    if observation is not None:
+        filtered = filtered.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_matched"),
+            # observed metrics forbid DISTINCT aggregates; the HLL sketch is
+            # exact at date-cardinality scales and always merge-safe
+            F.approx_count_distinct(F.col("event_date")).alias("n_dates"),
+            F.count(F.when(F.col(ua_column).isNull(), 1)).alias("null_ua_rows"),
+        )
     split = Q.split_valid_invalid(
         filtered,
         [
@@ -85,14 +103,19 @@ def run_daily_report(
     user_agent: str | None = None,
     type_columns: Mapping[str, str] = DEFAULT_TYPE_COLUMNS,
     schema=None,
+    observe: bool = True,
 ) -> PipelineResult:
     """Full Task-1 analog: build the report and write one CSV per date."""
+    observation = Observation("task1_metrics") if observe else None
     report, invalid = build_daily_report(
         spark,
         input_dir,
         user_agent=user_agent,
         type_columns=type_columns,
         schema=schema,
+        observation=observation,
     )
     paths = write_daily_csv(report, output_dir)
-    return PipelineResult(report=report, invalid=invalid, csv_paths=paths)
+    return PipelineResult(
+        report=report, invalid=invalid, csv_paths=paths, observation=observation
+    )

@@ -14,10 +14,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from data_engineering_project_spark.session import get_spark
 
+    import tempfile
+
     spark = get_spark(
         app_name="tests",
         master="local[4]",
-        extra_conf={"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.sql.shuffle.partitions": "4",
+            "spark.ui.enabled": "false",
+            # saveAsTable targets (bucketed-layout tests) land in a tmp dir
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     yield spark
 

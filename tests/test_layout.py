@@ -1,0 +1,92 @@
+"""Storage-layout proofs: partition pruning, dynamic-partition overwrite,
+and shuffle-free co-bucketed joins — the physical properties that carry the
+engine from local[32] to a 1000-executor cluster (README 'scale design')."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.sinks.layout import (
+    write_bucketed_table,
+    write_partitioned,
+)
+from data_engineering_project_spark.sources.tables import load_table
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def partitioned_events(spark, sf_dir, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("bronze") / "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write_partitioned(ev, out, ["event_date", "event_type"])
+    return out
+
+
+def test_partition_pruning_reaches_the_scan(spark, partitioned_events):
+    df = spark.read.parquet(partitioned_events)
+    one_type = df.filter(F.col("event_type") == "click")
+    plan = _physical_plan(one_type)
+    # the predicate must appear as a PartitionFilter (plan-time pruning),
+    # not a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert one_type.count() == df.filter(F.col("event_type") == "click").count()
+
+
+def test_dynamic_partition_overwrite_replaces_only_delivered_dates(
+    spark, sf_dir, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("dyn") / "report")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    dates = sorted(r[0] for r in ev.select("event_date").distinct().collect())
+    write_partitioned(ev, out, ["event_date"])
+    before = spark.read.parquet(out).count()
+
+    # redeliver ONE date with half its rows: only that partition changes
+    redelivered = ev.filter(
+        (F.col("event_date") == dates[0]) & (F.col("event_id") % 2 == 0)
+    )
+    n_redelivered = redelivered.count()
+    n_first_date = ev.filter(F.col("event_date") == dates[0]).count()
+    write_partitioned(redelivered, out, ["event_date"])
+
+    after = spark.read.parquet(out)
+    assert after.count() == before - n_first_date + n_redelivered
+    # other dates untouched
+    assert (
+        after.filter(F.col("event_date") == dates[1]).count()
+        == ev.filter(F.col("event_date") == dates[1]).count()
+    )
+
+
+def test_cobucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(o, "orders_b", ["o_orderkey"], 8)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        plan = _physical_plan(j)
+        assert "SortMergeJoin" in plan
+        # co-bucketed scan feeds the join directly: the shuffle was paid
+        # once at write time, zero Exchange at query time
+        assert "Exchange" not in plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

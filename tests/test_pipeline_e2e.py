@@ -160,3 +160,16 @@ def test_cli_batch_mode(spark, landing_dir, tmp_path_factory, capsys):
         rows = list(csv.DictReader(f))
     assert len(rows) == 24
     assert (rows[11]["impression_count"], rows[11]["click_count"]) == ("4", "0")
+
+
+def test_observation_metrics_collected_without_extra_jobs(result):
+    """df.observe replaces the reference's >=8 eager logging actions per
+    date (data_processing.py:134-291): the counts come back as a side
+    effect of the CSV-write action."""
+    res, _ = result
+    metrics = res.observation.get
+    # 26 target-UA rows from FIXTURE_FILES + 2 rows in the malformed file
+    assert metrics["rows_matched"] == sum(n for _, _, n in FIXTURE_FILES) + 2
+    # 2 parseable dates + NULL date from the malformed filename
+    assert metrics["n_dates"] == 2
+    assert metrics["null_ua_rows"] == 0
