@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) — the layer SURVEY.md §5 notes the
+reference lacks. Invariants over arbitrary inputs, not fixtures:
+
+- densification always yields exactly 24 rows per date, zero-filled
+- dense totals preserve the input row count (nothing lost, nothing invented)
+- the salted aggregate equals the plain aggregate for any salt count
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators.report import combine_hourly_reports
+from data_engineering_project_spark.operators.skew import salted_aggregate
+
+# events: (day 1-3, hour 0-23, type) — arbitrary sparse/dense/skewed mixes
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=23),
+        st.sampled_from(["view", "click"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(events=EVENTS)
+@settings(**_SETTINGS)
+def test_densified_report_is_always_a_full_grid(spark, events):
+    df = spark.createDataFrame(
+        [(dt.date(2022, 5, d), h, t) for d, h, t in events],
+        "d date, h int, t string",
+    )
+    report = combine_hourly_reports(
+        df, date_col="d", hour_col="h", type_col="t", types=("view", "click")
+    ).collect()
+
+    n_dates = len({d for d, _, _ in events})
+    assert len(report) == 24 * n_dates
+    by_date: dict = {}
+    for r in report:
+        by_date.setdefault(r["date"], []).append(r)
+    for rows in by_date.values():
+        assert sorted(r["hour"] for r in rows) == list(range(24))
+        assert all(r["view_count"] >= 0 and r["click_count"] >= 0 for r in rows)
+
+    # conservation: dense totals == input multiset counts
+    total_views = sum(r["view_count"] for r in report)
+    total_clicks = sum(r["click_count"] for r in report)
+    assert total_views == sum(1 for _, _, t in events if t == "view")
+    assert total_clicks == sum(1 for _, _, t in events if t == "click")
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "hot"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    n_salt=st.sampled_from([1, 2, 7, 32]),
+)
+@settings(**_SETTINGS)
+def test_salted_aggregate_equals_plain_for_any_salt(spark, rows, n_salt):
+    df = spark.createDataFrame(rows, "k string, v long")
+    salted = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            [("count", "*", "n"), ("sum", "v", "s"), ("min", "v", "mn"), ("max", "v", "mx")],
+            n_salt=n_salt,
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert salted == plain
