@@ -596,3 +596,78 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "events_map_roundtrip",
+    sql="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+           event_type,
+           count(*) AS n
+    FROM events GROUP BY date, event_type
+    """,
+    doc="Map-type surface (SURVEY.md §2.5 lists array/map functions as "
+    "absent): per-date counts are packed into a map<event_type, n> via "
+    "collect_list + map_from_entries, then exploded back to rows. The "
+    "round-trip hash-matches the plain aggregate, proving the map "
+    "construction/explosion is lossless; from_json parses the props column "
+    "with an explicit schema along the way.",
+    tags=("map", "json", "functions"),
+)
+def events_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # from_json with a declared schema (vs the schema-less get_json_object
+    # in json_props_stats) — parse once, then treat as a typed struct
+    parsed = ev.withColumn(
+        "props_struct", F.from_json("props", "k INT")
+    ).filter(F.col("props_struct").isNotNull())
+    counts = parsed.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("date"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    as_map = counts.groupBy("date").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("type_counts")
+    )
+    return as_map.select(
+        "date", F.explode("type_counts").alias("event_type", "n")
+    )
+
+
+@register(
+    "orders_decimal_struct_roundtrip",
+    sql="""
+    SELECT o_orderkey, ROUND(o_totalprice, 3) AS decoded_price
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    doc="The raw data's 128-bit struct-encoded decimal (SURVEY.md §1.2: "
+    "rtb_vars.winning_price struct<lo,hi,signScale>; §7.3 hard item 4): "
+    "encode o_totalprice into the wire struct, then reconstruct through "
+    "functions/scalars.py:decimal_from_struct — the oracle checks the "
+    "round-trip reproduces the original value in exact decimal space.",
+    tags=("functions", "decimal"),
+)
+def orders_decimal_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.functions.scalars import decimal_from_struct
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    # build the wire encoding: unscaled = price * 10^3 (fits a long),
+    # signScale = scale<<1 | sign-bit
+    unscaled = F.round(F.col("o_totalprice") * 1000, 0).cast("long")
+    encoded = o.withColumn(
+        "wire",
+        F.struct(
+            F.abs(unscaled).alias("lo"),
+            F.lit(0).cast("int").alias("hi"),
+            (F.lit(3 << 1) + F.when(unscaled < 0, 1).otherwise(0))
+            .cast("int")
+            .alias("signScale"),
+        ),
+    )
+    decoded = decimal_from_struct("wire", max_scale=3)
+    # emit as double: the driver hash-compares stringified values, and a
+    # DECIMAL(38,3) prints '….260' where the oracle's double prints '….26'
+    return encoded.select(
+        "o_orderkey", decoded.cast("double").alias("decoded_price")
+    )
