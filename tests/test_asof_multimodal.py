@@ -191,3 +191,34 @@ class TestSaltedAggregate:
         df = spark.range(10).withColumn("k", F.lit("a"))
         with pytest.raises(ValueError, match="not salt-decomposable"):
             salted_aggregate(df, ["k"], [("median", "id", "m")])
+
+
+class TestVectorizedLsh:
+    def test_matches_expression_buckets(self, spark, sf_dir):
+        """The numpy matmul path must assign exactly the buckets the
+        bit-exact expression path does on the real vectors."""
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_spark.operators.similarity import (
+            lsh_bucket,
+            lsh_buckets_vectorized,
+        )
+        from data_engineering_project_spark.sources.tables import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        expr_side = {
+            r["vec_id"]: r["bucket"]
+            for r in e.select(
+                "vec_id",
+                lsh_bucket(F.col("embedding"), 64, n_planes=12, seed=42).alias(
+                    "bucket"
+                ),
+            ).collect()
+        }
+        vec_side = {
+            r["vec_id"]: r["bucket"]
+            for r in lsh_buckets_vectorized(
+                e, dim=64, n_planes=12, seed=42
+            ).collect()
+        }
+        assert expr_side == vec_side
