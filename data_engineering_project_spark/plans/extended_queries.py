@@ -329,9 +329,7 @@ def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "emb_blocked_near_pairs",
-    sql="""
+_BLOCKED_PAIRS_CTE = """
     WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
@@ -343,6 +341,37 @@ def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     )
+"""
+
+
+def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked exact-cosine candidate pairs (shared by the near-pair
+    listing and the duplicate-cluster queries)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    return a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        "label",
+        S.cosine(F.col("vec_a"), F.col("vec_b")).alias("c"),
+    )
+
+
+@register(
+    "emb_blocked_near_pairs",
+    sql=_BLOCKED_PAIRS_CTE
+    + """
     SELECT id_a, id_b, label, ROUND(c, 6) AS cosine
     FROM pairs WHERE c >= 0.35
     """,
@@ -355,25 +384,7 @@ def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "join"),
 )
 def emb_blocked_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label"),
-        F.col("embedding").alias("vec_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("vec_b"),
-    )
-    pairs = a.join(
-        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select(
-        "id_a",
-        "id_b",
-        "label",
-        S.cosine(F.col("vec_a"), F.col("vec_b")).alias("c"),
-    )
+    pairs = _blocked_pairs(spark, sf_dir)
     return pairs.filter(F.col("c") >= 0.35).select(
         "id_a", "id_b", "label", F.round("c", 6).alias("cosine")
     )
@@ -670,4 +681,48 @@ def orders_decimal_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     # DECIMAL(38,3) prints '….260' where the oracle's double prints '….26'
     return encoded.select(
         "o_orderkey", decoded.cast("double").alias("decoded_price")
+    )
+
+
+@register(
+    "emb_dup_clusters",
+    sql=_BLOCKED_PAIRS_CTE.replace("WITH e AS", "WITH RECURSIVE e AS") + """
+    , edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs WHERE c >= 0.35
+        UNION ALL
+        SELECT id_b, id_a FROM pairs WHERE c >= 0.35
+    ),
+    reach (node, root) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS vec_id, min(root) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT vec_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM comp
+    """,
+    doc="Near-dup PAIRS → duplicate CLUSTERS: connected components over the "
+    "similarity graph via iterative min-label propagation "
+    "(operators/components.py) — the one genuinely iterative algorithm in a "
+    "dedup pipeline (transitive closure; A~B~C must collapse into one "
+    "cluster even though A≁C). Each round is one distributed join+min; the "
+    "driver only sees the convergence counter. The oracle restates it as a "
+    "recursive CTE, so the fixpoint itself is hash-checked.",
+    tags=("dedup", "components", "iterative"),
+)
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = _blocked_pairs(spark, sf_dir).filter(F.col("c") >= 0.35)
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
     )

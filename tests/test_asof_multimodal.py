@@ -222,3 +222,34 @@ class TestVectorizedLsh:
             ).collect()
         }
         assert expr_side == vec_side
+
+
+class TestConnectedComponents:
+    def test_chain_and_island_and_singleton_edge(self, spark):
+        from data_engineering_project_spark.operators.components import (
+            connected_components,
+        )
+
+        # chain 1-2-3-4 (diameter 3, needs >1 round), island 10-11, pair 20-21
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "src long, dst long"
+        )
+        comp = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, max_iter=10).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_nonconvergence_raises(self, spark):
+        import pytest
+
+        from data_engineering_project_spark.operators.components import (
+            connected_components,
+        )
+
+        # a 6-chain cannot converge in 1 round of min-propagation
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError, match="no convergence"):
+            connected_components(edges, max_iter=1)
