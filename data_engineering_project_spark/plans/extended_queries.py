@@ -726,3 +726,45 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    sql="""
+    WITH cutoff AS (
+        SELECT avg(c_acctbal) AS threshold FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS n_customers,
+           ROUND(sum(ROUND(c.c_acctbal * 1000, 0)) / 1000, 2) AS total_acctbal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.threshold
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (recently-dormant high-balance customers): a "
+    "scalar aggregate subquery (global avg → broadcast single row) gates "
+    "the filter, then NOT EXISTS over date-filtered orders plans as a "
+    "left-anti join. Two subquery kinds in one plan; the date predicate "
+    "pushes into the anti-join's build-side scan.",
+    tags=("tpch", "subquery", "anti", "agg"),
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    threshold = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("threshold")
+    )
+    rich = c.crossJoin(F.broadcast(threshold)).filter(
+        F.col("c_acctbal") > F.col("threshold")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01")
+    dormant = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            F.sum(F.round(F.col("c_acctbal") * 1000, 0)) / 1000, 2
+        ).alias("total_acctbal"),
+    )

@@ -231,3 +231,42 @@ def docs_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "docs_bpe_token_stats",
+    sql=r"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS ws_tokens,
+           ROUND(sum(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+                 / CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                        AS DOUBLE), 4) AS fertility
+    FROM documents GROUP BY lang
+    """,
+    doc="BPE-style regex pre-tokenization (letter runs / digit runs / "
+    "punctuation — the GPT-2 pre-tokenizer shape, char-classes only so Java "
+    "and RE2 regex engines agree) vs whitespace tokens, per language. "
+    "`fertility` (regex tokens per whitespace word) is the token-budget "
+    "planning number an LLM-data pipeline tracks per corpus slice. Pure JVM "
+    "expressions — no UDF in the hot path.",
+    tags=("text", "tokens"),
+)
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(
+            "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
+    ws = T.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.round(
+            F.sum(bpe) / F.sum(ws).cast("double"), 4
+        ).alias("fertility"),
+    )
