@@ -69,3 +69,37 @@ def salted_aggregate(
     salt = F.floor(F.rand(seed) * n_salt).alias("_salt")
     stage1 = df.groupBy(*keys, salt).agg(*partials)
     return stage1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    how: str = "inner",
+    n_salt: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-proof equi-join: scatter the (large, skewed) left side across
+    ``n_salt`` sub-keys and replicate the right side once per sub-key, so a
+    hot join key's rows spread over ``n_salt`` reducers instead of
+    hammering one.
+
+    AQE's skew-join splitting usually makes this unnecessary — it detects
+    oversized partitions at runtime and splits them — but AQE only splits
+    *sort-merge* joins; a skewed key inside a shuffled hash join, or a skew
+    known ahead of time, still wants explicit salting. Replication cost:
+    right side × n_salt, so keep the replicated side the smaller one.
+
+    Result is identical to ``left.join(right, on, how)`` for inner/left
+    joins (tested property).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt_l = F.floor(F.rand(seed) * n_salt).cast("int")
+    lhs = left.withColumn("_salt", salt_l)
+    rhs = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = lhs.join(rhs, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

@@ -224,3 +224,55 @@ def stateful_type_totals_stream(events: DataFrame, *, key_col: str = "event_type
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_attribution(
+    events: DataFrame,
+    *,
+    left_type: str = "impressions",
+    right_type: str = "clicks",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "batch_ts",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each right-side
+    event (click) matched to same-batch-hour left events (impressions)
+    whose time is in ``[right - within, right]`` — the streaming twin of
+    the batch interval join (plans: purchase_click_attribution_1h).
+
+    Both sides carry watermarks, and the join condition bounds event-time
+    distance, so Spark can expire left-side state once the right watermark
+    passes ``left_time + within`` — without the time bound the state would
+    grow forever. This is the piece the reference's cron-batch design
+    simply cannot express (it reprocesses whole files instead).
+
+    Stream-stream joins REQUIRE an equality predicate (state is keyed by
+    it); the synthetic stream has no shared entity column, so the calendar
+    date serves as the equi-key here — production schemas key on the
+    correlation id (user_id, campaign_id), which also shards the join
+    state.
+    """
+    base = events.filter(F.col(time_col).isNotNull())
+    left = (
+        base.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("source_file").alias("l_file"),
+            F.col(time_col).alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        base.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("source_file").alias("r_file"),
+            F.col(time_col).alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.to_date("l_ts") == F.to_date("r_ts"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {within}")),
+        "inner",
+    )

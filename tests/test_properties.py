@@ -97,3 +97,34 @@ def test_salted_aggregate_equals_plain_for_any_salt(spark, rows, n_salt):
         .collect()
     }
     assert salted == plain
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.sampled_from(["hot", "a", "b"]), st.integers(0, 99)),
+        min_size=1,
+        max_size=40,
+    ),
+    right_rows=st.lists(
+        st.tuples(st.sampled_from(["hot", "a", "c"]), st.integers(0, 99)),
+        min_size=0,
+        max_size=10,
+    ),
+    how=st.sampled_from(["inner", "left"]),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, left_rows, right_rows, how):
+    from data_engineering_project_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(left_rows, "k string, lv long")
+    right = spark.createDataFrame(right_rows, "k string, rv long") if right_rows else (
+        spark.createDataFrame([], "k string, rv long")
+    )
+    salted = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(left, right, "k", how=how, n_salt=4).collect()
+    )
+    plain = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k", how).collect()
+    )
+    assert salted == plain

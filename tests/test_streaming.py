@@ -155,3 +155,35 @@ def test_stateful_totals_recover_across_runs(spark, dirs):
     # run 1 emitted (5,5); run 2 restored total=5 from the checkpoint and
     # added this batch's 3 rows
     assert emitted == {(5, 5), (8, 3)}
+
+
+def test_stream_stream_interval_join(spark, dirs):
+    """Stream-stream join with event-time bounds: impressions at 11:00 and
+    11:30 join clicks at 11:45 (both within 1 h); the 09:00 impression is
+    outside the window and must not match."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_stream_attribution,
+    )
+
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526090000000_1-2_1.parquet", 2)
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526110000000_3-4_1.parquet", 2)
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526113000000_5-6_1.parquet", 2)
+    _write_events(f"{dirs['in']}/clicks_processed_dk_20220526114500000_7-8_1.parquet", 2)
+
+    events = read_event_stream(spark, dirs["in"], SCHEMA)
+    joined = stream_stream_attribution(events, within="1 hour")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_t")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT l_ts, r_ts FROM attr_t").collect()
+    # 2 impressions@11:00 x 2 clicks + 2 impressions@11:30 x 2 clicks = 8;
+    # the 09:00 impressions are > 1h before the click -> excluded
+    assert len(rows) == 8
+    assert all(r.l_ts.hour == 11 for r in rows)
