@@ -270,3 +270,63 @@ def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bpe) / F.sum(ws).cast("double"), 4
         ).alias("fertility"),
     )
+
+
+@register(
+    "docs_deterministic_sample",
+    sql="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < 2000
+    """,
+    doc="Reproducible 20% corpus sample via hash-bucket membership "
+    "(operators/sampling.py): a pure filter, so it pushes past joins and "
+    "costs no shuffle — and unlike df.sample() the selected set is "
+    "identical on any cluster, partitioning, or engine (the oracle "
+    "restates the MD5 bucket exactly). Salt 'v1' names the sample; a new "
+    "salt draws an independent one.",
+    tags=("sampling", "filter"),
+)
+def docs_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", 0.20, salt="v1").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "docs_mixture_resample",
+    sql="""
+    SELECT lang, count(*) AS n_kept
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000
+          < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 8000 ELSE 10000 END
+    GROUP BY lang
+    """,
+    doc="Mixture re-weighting (the data-mixing operator): per-language "
+    "keep-rates downsample the over-represented languages (en→25%, "
+    "zh→80%, rest kept) with the same reproducible hash-bucket mechanism — "
+    "sampleBy semantics, but bit-identical on every run and engine.",
+    tags=("sampling", "mixture"),
+)
+def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.sampling import (
+        stratified_deterministic_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = stratified_deterministic_sample(
+        d,
+        "doc_id",
+        "lang",
+        {"en": 0.25, "zh": 0.80},
+        default_fraction=1.0,
+        salt="mix",
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))

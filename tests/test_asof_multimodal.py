@@ -253,3 +253,44 @@ class TestConnectedComponents:
         )
         with pytest.raises(RuntimeError, match="no convergence"):
             connected_components(edges, max_iter=1)
+
+
+class TestDeterministicSampling:
+    def test_monotone_nesting_and_reproducibility(self, spark, sf_dir):
+        from data_engineering_project_spark.operators.sampling import (
+            deterministic_sample,
+        )
+        from data_engineering_project_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        s10 = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.10).select("doc_id").collect()}
+        s20 = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.20).select("doc_id").collect()}
+        s20_again = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.20).select("doc_id").collect()}
+        assert s10 <= s20              # monotone: smaller sample nests
+        assert s20 == s20_again        # reproducible across evaluations
+        n = d.count()
+        assert 0.1 * n <= len(s20) <= 0.3 * n   # roughly the asked rate
+
+    def test_salt_draws_independent_sample(self, spark, sf_dir):
+        from data_engineering_project_spark.operators.sampling import (
+            deterministic_sample,
+        )
+        from data_engineering_project_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        a = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.20, salt="a").select("doc_id").collect()}
+        b = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.20, salt="b").select("doc_id").collect()}
+        assert a != b
+
+    def test_stratified_rates(self, spark, sf_dir):
+        from data_engineering_project_spark.operators.sampling import (
+            stratified_deterministic_sample,
+        )
+        from data_engineering_project_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        kept = stratified_deterministic_sample(
+            d, "doc_id", "lang", {"en": 0.0}, default_fraction=1.0
+        )
+        langs = {r.lang for r in kept.select("lang").distinct().collect()}
+        assert "en" not in langs and len(langs) >= 2
