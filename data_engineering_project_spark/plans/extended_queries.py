@@ -768,3 +768,85 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("c_acctbal") * 1000, 0)) / 1000, 2
         ).alias("total_acctbal"),
     )
+
+
+@register(
+    "q15_top_supplier",
+    sql="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)) AS units
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, ROUND(rev.units / 10000, 2) AS total_revenue
+    FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.units = (SELECT max(units) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier by quarterly revenue): an aggregate "
+    "CTE consumed twice — once joined, once reduced to a max scalar "
+    "subquery. The equality against max is exact because revenue sums are "
+    "integer-snapped, so ties and float drift can't make the engines "
+    "disagree on who is top.",
+    tags=("tpch", "subquery", "agg"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    units = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000, 0)
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(units.alias("units"))
+    )
+    top = rev.agg(F.max("units").alias("max_units"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("units") == F.col("max_units"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("units") / 10_000, 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q11_part_value_concentration",
+    sql="""
+    WITH pv AS (
+        SELECT l_partkey,
+               sum(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)) AS units
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(units / 10000, 2) AS part_value
+    FROM pv
+    WHERE units > (SELECT sum(units) FROM pv) * 0.0007
+    """,
+    doc="TPC-H Q11 shape (value concentration): per-part revenue kept only "
+    "when above a fraction of the GLOBAL total — an aggregate compared "
+    "against a scalar subquery over the same aggregate. One shuffle builds "
+    "pv; the grand total reduces from pv, not from a second lineitem scan.",
+    tags=("tpch", "subquery", "agg"),
+)
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    units = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000, 0)
+    )
+    pv = li.groupBy("l_partkey").agg(units.alias("units")).persist()
+    total = pv.agg(F.sum("units").alias("total_units"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("units") > F.col("total_units") * 0.0007)
+        .select(
+            "l_partkey", F.round(F.col("units") / 10_000, 2).alias("part_value")
+        )
+    )
