@@ -153,3 +153,35 @@ def test_prepare_and_validate_spark_side(spark, tmp_path):
     }
     assert all(r["validation_error"] == "Clicks exceed impressions" for r in invalid)
     assert all(r["source_file"] == csv.name for r in invalid)
+
+
+def test_cli_load_end_to_end(spark, tmp_path, capsys):
+    """Task-2 via the CLI: CSV (with one invalid row) → validate →
+    merge into an embedded DuckDB warehouse → verify summary."""
+    import json
+
+    import duckdb
+
+    from data_engineering_project_spark.cli import main
+
+    csv = tmp_path / "task1_output_2022-05-26.csv"
+    csv.write_text(
+        "date,hour,impression_count,click_count\n"
+        "2022-05-26,11,4,0\n"
+        "2022-05-26,19,10,0\n"
+        "2022-05-26,20,-1,0\n"  # negative -> dead letter
+    )
+    db = str(tmp_path / "wh.duckdb")
+    rc = main(["load", "--csv", str(csv), "--db", db])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["record_count"] == "2"
+    assert summary["total_impressions"] == "14"
+    assert summary["invalid_rows"] == "1"
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM client_report").fetchone()[0] == 2
+    inv = con.execute(
+        "SELECT validation_error FROM client_report_invalid"
+    ).fetchall()
+    assert len(inv) == 1 and "egative" in inv[0][0]
+    con.close()
