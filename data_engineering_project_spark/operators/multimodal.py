@@ -203,3 +203,52 @@ def extract_features(
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "features": feats})
 
     return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_checksum", T.StringType()),
+    ]
+)
+
+
+def resize_payload(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_bytes: int = 96,
+) -> DataFrame:
+    """Resize stub with real plumbing: strided byte downsampling — keep
+    every ceil(n/target)-th byte so the output is ≤ ``target_bytes`` — the
+    exact access pattern of nearest-neighbor image downsampling (a real
+    codec resize plugs into the same mapInPandas contract and schema).
+    Deterministic, so the oracle can restate the stride arithmetic and the
+    output checksums verify the resampled bytes end-to-end."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, orig, rb, cs = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                stride = max(1, -(-n // target_bytes))
+                resized = payload[::stride]
+                ids.append(doc_id)
+                orig.append(n)
+                rb.append(len(resized))
+                cs.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "orig_bytes": pd.Series(orig, dtype="int64"),
+                    "resized_bytes": pd.Series(rb, dtype="int64"),
+                    "resized_checksum": pd.Series(cs, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_SCHEMA)

@@ -298,3 +298,39 @@ def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+
+
+@register(
+    "docs_payload_resize",
+    sql="""
+    WITH p AS (
+        SELECT doc_id, text, strlen(text) AS n,
+               GREATEST(1, CAST(ceil(strlen(text) / 96.0) AS BIGINT)) AS stride
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n,
+               array_to_string(list_transform(
+                   range(0, CAST(ceil(n * 1.0 / stride) AS BIGINT)),
+                   i -> substr(text, CAST(i * stride + 1 AS INT), 1)), '')
+                   AS resized
+        FROM p
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes,
+           CAST(strlen(resized) AS BIGINT) AS resized_bytes,
+           md5(resized) AS resized_checksum
+    FROM r
+    """,
+    doc="Multimodal resize plumbing: strided byte downsampling to ≤96 bytes "
+    "— the nearest-neighbor-downsample access pattern — via mapInPandas "
+    "(operators/multimodal.py:resize_payload; a real image codec slots into "
+    "the same contract). Checksums of the resampled bytes hash-match the "
+    "oracle's restatement of the stride arithmetic (ASCII corpus ⇒ byte "
+    "and char indexing coincide).",
+    tags=("multimodal", "udf", "resize"),
+)
+def docs_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.multimodal import resize_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    return resize_payload(attach_binary_payload(d), target_bytes=96)

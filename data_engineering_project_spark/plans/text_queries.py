@@ -330,3 +330,33 @@ def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="mix",
     )
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@register(
+    "docs_rolling_hash_fingerprint",
+    sql="""
+    SELECT doc_id,
+           list_reduce(
+               list_transform(string_split_regex(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT)),
+               (a, b) -> (a * 131 + b) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+    doc="Karp-Rabin polynomial rolling hash (base 131 mod 2^31-1) as a "
+    "document fingerprint — the hash family behind content-defined "
+    "chunking and substring dedup, computed as a pure fold expression "
+    "(F.aggregate / list_reduce — bit-identical across engines, no UDF). "
+    "MD5 (docs_fingerprint_dedup) is the collision-resistant digest; the "
+    "rolling hash is the incrementally-updatable one.",
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def docs_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
