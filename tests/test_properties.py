@@ -128,3 +128,68 @@ def test_salted_join_equals_plain_join(spark, left_rows, right_rows, how):
         (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k", how).collect()
     )
     assert salted == plain
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=1,
+        max_size=25,
+    ),
+    right_rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    """operators/asof.py against the canonical reference implementation
+    (pandas merge_asof, direction='backward') on arbitrary inputs."""
+    import pandas as pd
+
+    from data_engineering_project_spark.operators.asof import asof_join
+
+    # dedup (key, time) on the left like merge_asof's last-wins: keep max v
+    best = {}
+    for k, t, v in left_rows:
+        best[(k, t)] = max(v, best.get((k, t), -1))
+    left_rows = [(k, t, v) for (k, t), v in best.items()]
+
+    left = spark.createDataFrame(
+        [(k, dt.datetime(2022, 1, 1, 0, t), float(v)) for k, t, v in left_rows],
+        "k long, t timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [
+            (i, k, dt.datetime(2022, 1, 1, 0, t))
+            for i, (k, t) in enumerate(right_rows)
+        ],
+        "rid long, k long, rt timestamp",
+    )
+    got = {
+        r["rid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt", carry=["v"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, dt.datetime(2022, 1, 1, 0, t), float(v)) for k, t, v in left_rows],
+        columns=["k", "t", "v"],
+    ).sort_values(["t", "k"]).reset_index(drop=True)
+    rp = pd.DataFrame(
+        [
+            (i, k, dt.datetime(2022, 1, 1, 0, t))
+            for i, (k, t) in enumerate(right_rows)
+        ],
+        columns=["rid", "k", "rt"],
+    ).sort_values(["rt", "k"]).reset_index(drop=True)
+    expected_df = pd.merge_asof(
+        rp, lp, left_on="rt", right_on="t", by="k", direction="backward"
+    )
+    expected = {
+        int(r.rid): (None if pd.isna(r.v) else float(r.v))
+        for r in expected_df.itertuples()
+    }
+    assert got == expected
