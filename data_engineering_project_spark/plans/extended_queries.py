@@ -850,3 +850,36 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", F.round(F.col("units") / 10_000, 2).alias("part_value")
         )
     )
+
+
+@register(
+    "sql_interface_shipmode_profile",
+    sql="""
+    SELECT l_linestatus,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           count(*) AS n_items,
+           ROUND(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_linestatus, ship_year
+    """,
+    doc="The SQL entry point: this query is authored as a spark.sql string "
+    "over the registered temp-view catalog (sources/tables.py:load_tables) "
+    "rather than the DataFrame API — both compile to the same Catalyst "
+    "plan, and the engine supports either surface (the reference's only "
+    "SQL-string usage is a smoke test, verify_setup.py:288-289).",
+    tags=("sql", "agg"),
+)
+def sql_interface_shipmode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               count(*) AS n_items,
+               ROUND(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        GROUP BY l_linestatus, ship_year
+        """
+    )

@@ -89,3 +89,25 @@ def test_compose_datetime(spark):
     df = spark.createDataFrame([("2022-05-27", 7)], "date string, hour int")
     out = df.select(compose_datetime("date", "hour").alias("dt")).first()["dt"]
     assert str(out) == "2022-05-27 07:00:00"
+
+
+def test_sql_and_dataframe_surfaces_agree(spark, sf_dir):
+    """load_tables registers every table as a temp view; spark.sql and the
+    DataFrame API over the same scan must return identical results (the
+    reference's verify_setup.py:288-289 SQL round-trip, generalized)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.sources.tables import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    via_sql = spark.sql(
+        "SELECT r_regionkey, count(*) AS n FROM region GROUP BY r_regionkey"
+    ).collect()
+    via_df = (
+        tables["region"].groupBy("r_regionkey").agg(F.count("*").alias("n"))
+    ).collect()
+    assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_df))
+    assert set(tables) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
