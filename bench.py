@@ -42,6 +42,8 @@ HEADLINE = (
     "events_salted_type_stats",
     "q18_large_orders",
     "docs_frame_sampling",
+    "emb_ivf_topk",
+    "docs_bpe_token_stats",
 )
 
 
