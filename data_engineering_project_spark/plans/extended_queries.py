@@ -883,3 +883,98 @@ def sql_interface_shipmode_profile(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY l_linestatus, ship_year
         """
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    sql="""
+    WITH part_supp AS (
+        SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_acctbal, s.s_name
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ),
+    ranked AS (
+        SELECT l_partkey, l_suppkey, s_name, s_acctbal,
+               min(s_acctbal) OVER (PARTITION BY l_partkey) AS min_bal
+        FROM part_supp
+    )
+    SELECT l_partkey, l_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM ranked
+    WHERE s_acctbal = min_bal AND l_partkey < 100
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part): the correlated "
+    "'WHERE x = (SELECT min(..) ... WHERE same part)' subquery expressed as "
+    "a window min over the part partition — one shuffle instead of a "
+    "re-scanning correlated subquery, the standard decorrelation Catalyst "
+    "itself would apply.",
+    tags=("tpch", "window", "subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("l_partkey", "l_suppkey", "s_acctbal", "s_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = ps.withColumn("min_bal", F.min("s_acctbal").over(w))
+    return (
+        ranked.filter(
+            (F.col("s_acctbal") == F.col("min_bal")) & (F.col("l_partkey") < 100)
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    sql="""
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    heavy AS (SELECT DISTINCT l_suppkey FROM shipped WHERE qty > 50)
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+      AND n.n_regionkey = 1
+    """,
+    doc="TPC-H Q20 shape (suppliers with heavy part movements): an IN "
+    "subquery over an aggregate (planned as a left-semi join against the "
+    "pre-aggregated, thus tiny, qualifying set) chained with a broadcast "
+    "dimension filter — aggregate-then-semi-join keeps the fact shuffle to "
+    "one pass.",
+    tags=("tpch", "semi", "subquery", "agg"),
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    heavy = shipped.filter(F.col("qty") > 50).select("l_suppkey").distinct()
+    return (
+        s.join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(
+            F.broadcast(n.filter(F.col("n_regionkey") == 1)),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
