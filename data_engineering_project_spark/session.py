@@ -40,6 +40,17 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
     "spark.driver.maxResultSize": "4g",
+    # runtime bloom-filter join pre-filtering: a selective join side injects
+    # a bloom filter into the other side's scan — at 100 TB this is the
+    # difference between shuffling the whole fact table and only the
+    # qualifying keys (semi-join reduction without rewriting queries)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # MIN/MAX/COUNT answered from parquet footer statistics where legal —
+    # a metadata read instead of a scan
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # bound Arrow batch size so pandas-UDF executor memory is O(batch), not
+    # O(partition), even with fat binary payload columns (multimodal ops)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
     # keep broadcast threshold at default 10MB; dimension tables at test SFs
     # broadcast automatically, large-cluster users tune per-deployment
 }
