@@ -187,3 +187,83 @@ def test_stream_stream_interval_join(spark, dirs):
     # the 09:00 impressions are > 1h before the click -> excluded
     assert len(rows) == 8
     assert all(r.l_ts.hour == 11 for r in rows)
+
+
+def test_foreachbatch_drives_the_warehouse_merge_sink(spark, dirs, tmp_path):
+    """T4 end-to-end with the REAL merge sink: streaming hourly counts land
+    in a DuckDB warehouse through the archive/replace/insert transaction
+    per micro-batch; a re-delivered hour replaces and archives, never
+    duplicates."""
+    import duckdb
+
+    from data_engineering_project_spark.sinks.warehouse_sink import (
+        MergeSpec,
+        execute_merge,
+    )
+    from data_engineering_project_spark.streaming.pipeline import (
+        hourly_counts_stream,
+        read_event_stream,
+    )
+
+    db = str(tmp_path / "wh.duckdb")
+    con0 = duckdb.connect(db)
+    con0.execute(
+        """CREATE TABLE hourly_counts (
+               datetime TIMESTAMP, event_type TEXT, n BIGINT)"""
+    )
+    con0.execute("CREATE TABLE hourly_counts_archive AS SELECT * FROM hourly_counts LIMIT 0")
+    con0.close()
+
+    spec = MergeSpec(
+        target="hourly_counts",
+        archive="hourly_counts_archive",
+        staging="hourly_counts_staging",
+        key="datetime",
+        columns=("datetime", "event_type", "n"),
+        invalid_table=None,
+    )
+
+    def merge_batch(batch_df, _batch_id):
+        pdf = (
+            batch_df.selectExpr(
+                "to_timestamp(concat(date, ' ', lpad(hour, 2, '0'), ':00:00'))"
+                " AS datetime",
+                "event_type",
+                "n",
+            )
+        ).toPandas()
+        if not len(pdf):
+            return
+        con = duckdb.connect(db)
+        con.register("_batch", pdf)
+        con.execute(
+            "CREATE OR REPLACE TABLE hourly_counts_staging AS SELECT * FROM _batch"
+        )
+        execute_merge(con, spec)
+        con.close()
+
+    def run_once():
+        counts = hourly_counts_stream(read_event_stream(spark, dirs["in"], SCHEMA))
+        q = (
+            counts.writeStream.outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526110000000_1-4_1.parquet", 4)
+    run_once()
+    con = duckdb.connect(db)
+    assert con.execute("SELECT n FROM hourly_counts").fetchall() == [(4,)]
+    con.close()
+
+    # late file for the SAME hour: the merge must replace (4 -> 7) and
+    # archive the replaced row exactly once
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526114500000_5-7_1.parquet", 3)
+    run_once()
+    con = duckdb.connect(db)
+    assert con.execute("SELECT n FROM hourly_counts").fetchall() == [(7,)]
+    assert con.execute("SELECT n FROM hourly_counts_archive").fetchall() == [(4,)]
+    con.close()
