@@ -1080,3 +1080,158 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT ROUND(sum(ROUND(l_extendedprice * l_discount * 10000, 0)) / 10000, 2)
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount >= 0.045 AND l_discount <= 0.075
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): pure scan-filter-"
+    "aggregate with NO join and NO groupBy — the canonical pushdown "
+    "benchmark. All three predicates (date range, discount band, quantity "
+    "cap) reach the parquet reader as PushedFilters; at 100 TB this is an "
+    "embarrassingly parallel partial-agg with a single-row final merge. "
+    "Discount band uses 0.045/0.075 bounds so no stored 2dp value sits on "
+    "a comparison boundary. Reference analog: the compound range predicate "
+    "of src/Task1/data_processing.py:248-252 (P5).",
+    tags=("tpch", "scan", "agg", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.045)
+            & (F.col("l_discount") <= 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_decimal_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 10_000
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    sql="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT OUTER "
+    "join with a predicate ON THE JOIN CONDITION (not a post-filter — "
+    "customers whose only orders are urgent must still appear with "
+    "c_count=0), a per-customer count, then a second aggregation over the "
+    "counts. Two shuffles (o_custkey, then c_count); the second input is "
+    "one row per customer so the re-aggregation is cheap at any scale. "
+    "The urgent-priority exclusion mirrors Q13's NOT LIKE comment filter.",
+    tags=("tpch", "join", "outer", "agg"),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q8_nation_market_share",
+    sql="""
+    WITH vol AS (
+        SELECT CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
+               ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                   AS volume_units,
+               n.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           ROUND(sum(CASE WHEN supp_nation = 'NATION_0'
+                          THEN volume_units ELSE 0 END) / 10000, 2)
+               AS nation_volume,
+           ROUND(sum(volume_units) / 10000, 2) AS total_volume,
+           ROUND(sum(CASE WHEN supp_nation = 'NATION_0'
+                          THEN volume_units ELSE 0 END)
+                 / sum(volume_units), 6) AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): conditional share of "
+    "revenue attributable to one supplier nation per order year. The "
+    "numerator is a count-if-style conditional SUM (SURVEY.md §2.4 A2) "
+    "inside the same aggregate pass as the denominator — one shuffle, not "
+    "two plans. supplier+nation are broadcast; the orders join shuffles "
+    "on l_orderkey. Both sums snap 4dp volume terms to integer units "
+    "first, so numerator, denominator, and their ratio are bit-identical "
+    "across engines and merge orders.",
+    tags=("tpch", "join", "agg", "broadcast"),
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000, 0
+    )
+    nation_units = F.when(F.col("n_name") == "NATION_0", F.col("volume_units")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            units.alias("volume_units"),
+            F.col("n_name"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(F.sum(nation_units) / 10_000, 2).alias("nation_volume"),
+            F.round(F.sum("volume_units") / 10_000, 2).alias("total_volume"),
+            F.round(F.sum(nation_units) / F.sum("volume_units"), 6).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
