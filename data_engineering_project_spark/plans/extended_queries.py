@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_project_spark.functions.scalars import exact_decimal_sum
 from data_engineering_project_spark.operators import similarity as S
+from data_engineering_project_spark.operators import sketch as K
 from data_engineering_project_spark.operators.skew import salted_aggregate
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
@@ -1235,3 +1236,23 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "events_cms_heavy_hitters",
+    sql=None,  # xxhash64-based sketch is Spark-specific → rows-only check
+    doc="φ-heavy-hitters over event user_ids via a count-min sketch "
+    "(operators/sketch.py): pass 1 folds the stream into a fixed "
+    "depth×width counter table (the shuffle is sketch-sized, independent "
+    "of data volume — THE property that matters at 100 TB where exact "
+    "per-key state for billions of long-tail keys would dominate "
+    "memory); pass 2 broadcast-probes candidate keys and keeps "
+    "est ≥ φ·N. Overestimate-only error: recall of true heavy hitters "
+    "is 100% by construction (property-tested in tests/test_sketch.py). "
+    "Fully deterministic (fixed hash seeds), so the rows-only check is "
+    "stable across runs.",
+    tags=("sketch", "approx", "agg"),
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return K.cms_heavy_hitters(ev, "user_id", threshold_frac=0.008)

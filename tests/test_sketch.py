@@ -1,0 +1,87 @@
+"""Count-min sketch property tests: the CMS guarantees, checked exactly.
+
+CMS theory promises (i) est ≥ true for every key (one-sided error),
+(ii) est ≤ true + eps·N with probability 1−delta, and (iii) therefore
+100% recall of true φ-heavy-hitters. (i) and (iii) are deterministic
+consequences of the structure — we assert them universally; (ii) is
+probabilistic — we assert the *expected-case* bound with generous slack
+on a fixed-seed dataset (deterministic test, no flake).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators import sketch as K
+from data_engineering_project_spark.sources.tables import load_table
+
+
+def _est_vs_true(spark, sf_dir, depth, width):
+    ev = load_table(spark, sf_dir, "events")
+    sk = K.count_min_sketch(ev, "user_id", depth=depth, width=width)
+    est = K.cms_estimate(
+        sk, ev.select("user_id").distinct(), "user_id", depth=depth, width=width
+    )
+    true = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    return est.join(true, "user_id").collect(), ev.count()
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    rows, _ = _est_vs_true(spark, sf_dir, K.DEPTH, K.WIDTH)
+    assert rows
+    for r in rows:
+        assert r.est_count >= r.true_count, r
+
+
+def test_cms_error_within_bound(spark, sf_dir):
+    # eps = e/width; expected per-probe collision mass is N/width, and the
+    # min over `depth` rows is far below the worst-case bound — assert the
+    # formal eps·N bound, which the expected case clears by orders of
+    # magnitude on this data.
+    rows, n = _est_vs_true(spark, sf_dir, K.DEPTH, K.WIDTH)
+    bound = math.e / K.WIDTH * n
+    for r in rows:
+        assert r.est_count - r.true_count <= bound, r
+
+
+def test_cms_heavy_hitters_perfect_recall(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    phi = 0.008
+    exact = {
+        r.user_id
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= phi * n)
+        .collect()
+    }
+    detected = {
+        r.user_id
+        for r in K.cms_heavy_hitters(ev, "user_id", threshold_frac=phi).collect()
+    }
+    assert exact, "threshold too high — test would be vacuous"
+    assert exact <= detected  # one-sided error ⇒ no false negatives
+
+
+def test_cms_sketch_is_bounded(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sk = K.count_min_sketch(ev, "user_id", depth=3, width=64)
+    assert sk.count() <= 3 * 64
+    # every input occurrence lands in every row ⇒ each row's cnt sums to N
+    per_row = sk.groupBy("row_idx").agg(F.sum("cnt").alias("s")).collect()
+    n = ev.count()
+    assert {r.s for r in per_row} == {n}
+    assert {r.row_idx for r in per_row} == {0, 1, 2}
+
+
+def test_cms_deterministic_across_builds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = sorted(
+        K.cms_heavy_hitters(ev, "user_id", threshold_frac=0.008).collect()
+    )
+    b = sorted(
+        K.cms_heavy_hitters(ev, "user_id", threshold_frac=0.008).collect()
+    )
+    assert a == b
