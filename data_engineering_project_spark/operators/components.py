@@ -47,7 +47,14 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        # localCheckpoint (not persist): each round's plan embeds the
+        # previous round's twice (neighbor join + convergence join), so
+        # without lineage TRUNCATION the logical plan doubles per round
+        # and Catalyst itself OOMs after ~15 rounds. persist() caches data
+        # but keeps the full plan; checkpointing cuts it. On a real
+        # cluster prefer setCheckpointDir + checkpoint() so executor loss
+        # cannot drop a round.
+        .localCheckpoint()
     )
     try:
         for _ in range(max_iter):
@@ -67,7 +74,7 @@ def connected_components(
                         F.coalesce(F.col("nbr_component"), F.col("component")),
                     ).alias("component"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -75,7 +82,6 @@ def connected_components(
                 .filter(F.col("n.component") != F.col("o.component"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 return labels
@@ -86,3 +92,99 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every neighbor larger than u links to u's min.
+
+    Per node u over the symmetric edge view, ``m = min(neighbors ∪ {u})``;
+    emits (v, m) for neighbors v > u. Expressed as groupBy-min + join —
+    NOT ``collect_set`` — so a hub node with millions of neighbors streams
+    through the join instead of materializing one giant array row. Both
+    the aggregate and the join shuffle on u; AQE reuses the partitioning.
+    """
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round over the (larger → smaller) directed view.
+
+    Per node u whose directed neighbors are all smaller, ``m = min(N)``;
+    re-links u and every v ∈ N to m. Same join-based single-aggregate
+    shape as large-star.
+    """
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        directed.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = mins.filter(F.col("u") != F.col("m")).select(
+        "u", F.col("m").alias("v")
+    )
+    return relink.unionByName(self_link).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Converges in O(log² n) rounds regardless of graph DIAMETER — the
+    scale path for chain-shaped graphs where plain min-label propagation
+    (``connected_components``) needs diameter-many shuffles. Convergence
+    is reached when large-star is a fixed point (every component has
+    contracted to a star rooted at its minimum node). Per-round
+    ``localCheckpoint`` truncates the plan lineage, which otherwise
+    doubles every iteration; on a real cluster prefer
+    ``sparkContext.setCheckpointDir`` + ``checkpoint()`` so executor loss
+    cannot silently drop a round.
+
+    Returns ``(node, component)`` — identical contract to
+    ``connected_components``; equality on random graphs is
+    property-tested in tests/test_components_star.py.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if e.isEmpty():
+        return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        ls = _large_star(e2).localCheckpoint()
+        stable = ls.exceptAll(e2).isEmpty() and e2.exceptAll(ls).isEmpty()
+        e = e2
+        if stable:
+            roots = (
+                e.select(F.col("v").alias("node"))
+                .distinct()
+                .withColumn("component", F.col("node"))
+            )
+            leaves = e.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            )
+            return leaves.unionByName(roots).distinct()
+    raise RuntimeError(
+        f"connected_components_star: no convergence in {max_iter} rounds"
+    )

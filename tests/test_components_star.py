@@ -1,0 +1,54 @@
+"""Star-contraction connected components vs plain min-label propagation.
+
+The two algorithms must produce identical (node, component) maps; the
+star variant must additionally handle a long path graph whose diameter
+exceeds the propagation variant's round budget — the exact case it
+exists for.
+"""
+
+from __future__ import annotations
+
+import random
+
+from data_engineering_project_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _as_map(rows):
+    return {r.node: r.component for r in rows}
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    star = _as_map(connected_components_star(df).collect())
+    prop = _as_map(connected_components(df, max_iter=30).collect())
+    assert star == prop
+
+
+def test_star_handles_high_diameter_path(spark):
+    # path 0-1-2-…-199: diameter 199. Min propagation needs ~200 shuffles;
+    # star contraction must finish in its default round budget (O(log²)).
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src: long, dst: long"
+    )
+    got = _as_map(connected_components_star(df).collect())
+    assert got == {i: 0 for i in range(200)}
+
+
+def test_star_two_components_and_isolated_pair(spark):
+    df = spark.createDataFrame(
+        [(10, 11), (11, 12), (3, 4), (20, 21), (21, 20)],
+        "src: long, dst: long",
+    )
+    got = _as_map(connected_components_star(df).collect())
+    assert got == {10: 10, 11: 10, 12: 10, 3: 3, 4: 3, 20: 20, 21: 20}
+
+
+def test_star_empty_edges(spark):
+    df = spark.createDataFrame([], "src: long, dst: long")
+    assert connected_components_star(df).count() == 0
