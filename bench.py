@@ -44,6 +44,9 @@ HEADLINE = (
     "docs_frame_sampling",
     "emb_ivf_topk",
     "docs_bpe_token_stats",
+    # third wave: pure-pushdown scan and sketch classes
+    "q6_forecast_revenue",
+    "events_cms_heavy_hitters",
 )
 
 
