@@ -226,6 +226,67 @@ def stateful_type_totals_stream(events: DataFrame, *, key_col: str = "event_type
     )
 
 
+def idle_timeout_sessions_stream(
+    events: DataFrame, *, key_col: str = "event_type", idle_ms: int = 1000
+):
+    """Idle-timeout sessionization via ``applyInPandasWithState`` +
+    ``ProcessingTimeTimeout`` — the session variant ``F.session_window``
+    cannot express: a session closes when the KEY GOES QUIET for
+    ``idle_ms`` of processing time, even if no further event for that key
+    EVER arrives. The built-in gap-close semantics only finalize a session
+    once the watermark passes it, which requires later events to advance
+    event time; an idle timeout instead arms a wall-clock timer per key
+    (``state.setTimeoutDuration``) that Spark fires on the first
+    micro-batch after expiry, handing the function ``state.hasTimedOut``
+    so it can emit the closed session and drop the state.
+
+    Emits ``(key, n_events, closed)``: an open-session snapshot on every
+    batch that touches the key, and a final ``closed=true`` row when the
+    timer fires. State per key is one counter — bounded, and reaped on
+    close, so quiet keys cost nothing after ``idle_ms``.
+
+    Run under a RUNNING trigger (``processingTime=...``), never
+    ``availableNow``: processing-time timers need the micro-batch engine
+    alive to fire, and with availableNow the engine keeps scheduling
+    no-data batches to poll timers instead of terminating — the query
+    spins forever (observed empirically; the other stateful operators
+    here use NoTimeout and drain cleanly under availableNow).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} string, n_events bigint, closed boolean"
+    state_schema = "n_events bigint"
+
+    # self-contained: pickled by value, no module deps on the workers
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "closed": [True]}
+            )
+        else:
+            rows = 0
+            for pdf in pdfs:
+                rows += len(pdf)
+            n = (state.get[0] if state.exists else 0) + rows
+            state.update((n,))
+            state.setTimeoutDuration(idle_ms)
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "closed": [False]}
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_stream_attribution(
     events: DataFrame,
     *,

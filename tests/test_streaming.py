@@ -267,3 +267,52 @@ def test_foreachbatch_drives_the_warehouse_merge_sink(spark, dirs, tmp_path):
     assert con.execute("SELECT n FROM hourly_counts").fetchall() == [(7,)]
     assert con.execute("SELECT n FROM hourly_counts_archive").fetchall() == [(4,)]
     con.close()
+
+
+def test_idle_timeout_session_closes_without_new_key_events(spark, dirs):
+    """ProcessingTimeTimeout: a key's session closes once the key goes
+    quiet for idle_ms — with NO further event for that key (or any key)
+    ever arriving. Needs a running processingTime trigger: availableNow
+    never terminates with armed processing-time timers (see operator
+    docstring)."""
+    import glob
+    import time
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        idle_timeout_sessions_stream,
+        read_event_stream,
+    )
+
+    _write_events(
+        f"{dirs['in']}/impressions_processed_dk_20220526110000000_1-5_1.parquet", 5
+    )
+    events = read_event_stream(spark, dirs["in"], SCHEMA)
+    sessions = idle_timeout_sessions_stream(events, idle_ms=2000)
+
+    def sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(dirs["target"])
+
+    q = (
+        sessions.writeStream.outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .foreachBatch(sink)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        rows: set = set()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            time.sleep(2)
+            if not glob.glob(f"{dirs['target']}/*.parquet"):
+                continue
+            rows = {
+                (r["event_type"], r["n_events"], r["closed"])
+                for r in spark.read.parquet(dirs["target"]).collect()
+            }
+            if ("impressions", 5, True) in rows:
+                break
+    finally:
+        q.stop()
+    assert ("impressions", 5, False) in rows  # open-session snapshot
+    assert ("impressions", 5, True) in rows  # idle-timeout close
