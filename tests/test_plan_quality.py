@@ -82,3 +82,61 @@ def test_interval_join_keys_on_equi_column(plans):
     # the range predicate must NOT force a nested-loop/cartesian plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skewed JOINS need no hand-rolled salting: AQE detects the hot key's
+    oversized shuffle partition at runtime and splits it across tasks
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed). This is the
+    join-side complement of operators/skew.py:salted_aggregate — the test
+    constructs one key carrying 10× the volume of the whole long tail and
+    asserts the executed (final adaptive) plan actually split it. The
+    thresholds are shrunk so local-mode data volumes qualify; at real
+    scale the defaults (256 MB advisory, factor 5) behave the same way."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        hot = spark.range(300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        )
+        cold = spark.range(30_000).select(
+            (F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("payload")
+        )
+        left = hot.unionByName(cold).withColumn(
+            "pad", F.concat_ws("-", *[F.col("payload")] * 8)
+        )
+        right = spark.range(1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("dim")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count("*").alias("n"))
+        assert j.collect()[0]["n"] == 330_000
+        # the FINAL adaptive plan of the execution just run, not a re-plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
