@@ -252,3 +252,70 @@ def resize_payload(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("chunk_checksum", T.StringType()),
+    ]
+)
+
+
+def chunk_audio(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_rate: int = 8000,
+    bytes_per_sample: int = 2,
+    chunk_ms: int = 4,
+    hop_ms: int = 2,
+) -> DataFrame:
+    """Audio-style fixed-rate chunking with overlap: the payload is
+    interpreted as mono PCM at ``sample_rate`` Hz / ``bytes_per_sample``,
+    cut into ``chunk_ms`` windows every ``hop_ms`` (hop < chunk ⇒
+    overlapping windows, the STFT/feature-extraction front-end shape).
+    Emits one row per window with its start time, sample count, and an
+    MD5 over the window's raw bytes — proving the exact byte ranges
+    crossed the Arrow boundary. Differs from ``sample_frames`` in
+    TIME-based addressing and overlap; a real audio decoder (soundfile /
+    torchaudio) replaces the byte slicing at the same interface.
+
+    Trailing partial windows are kept (fewer samples); a trailing odd
+    byte is checksummed but not counted as a sample.
+    """
+    chunk_bytes = sample_rate * chunk_ms // 1000 * bytes_per_sample
+    hop_bytes = sample_rate * hop_ms // 1000 * bytes_per_sample
+
+    # self-contained closure: pickled by value (see decode_image_meta)
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, idxs, starts, counts, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                i = 0
+                while i * hop_bytes < n:
+                    window = payload[i * hop_bytes : i * hop_bytes + chunk_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    starts.append(i * hop_ms)
+                    counts.append(len(window) // bytes_per_sample)
+                    sums.append(hashlib.md5(window).hexdigest())
+                    i += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "start_ms": pd.Series(starts, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "chunk_checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_CHUNK_SCHEMA)

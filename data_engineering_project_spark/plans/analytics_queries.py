@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from data_engineering_project_spark.operators.asof import asof_join, sessionize
 from data_engineering_project_spark.operators.multimodal import (
     attach_binary_payload,
+    chunk_audio,
     decode_image_meta,
     extract_features,
     sample_frames,
@@ -334,3 +335,33 @@ def docs_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return resize_payload(attach_binary_payload(d), target_bytes=96)
+
+
+@register(
+    "docs_audio_chunks",
+    sql="""
+    WITH f AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+    chunks AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+               substr(text, CAST(u.i * 32 + 1 AS INTEGER), 64) AS ctext
+        FROM f, LATERAL (SELECT unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT))) AS i) u
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * 2 AS INTEGER) AS start_ms,
+           CAST(strlen(ctext) // 2 AS INTEGER) AS n_samples,
+           md5(ctext) AS chunk_checksum
+    FROM chunks
+    """,
+    doc="Audio-style fixed-rate chunking with 50% overlap: payload read as "
+    "8 kHz/16-bit PCM, 4 ms windows every 2 ms hop → 64-byte windows every "
+    "32 bytes, one row per window via mapInPandas "
+    "(operators/multimodal.py:chunk_audio). Unlike frame sampling this is "
+    "TIME-addressed and overlapping — the STFT front-end shape. The oracle "
+    "restates the byte windows with substr (ASCII corpus ⇒ byte==char "
+    "offsets); per-window MD5s prove the exact overlapping ranges crossed "
+    "the Arrow boundary intact.",
+    tags=("multimodal", "udf"),
+)
+def docs_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_audio(attach_binary_payload(d))

@@ -139,6 +139,28 @@ class TestMultimodal:
         assert len(out) == 1
         assert out[0].frame_idx == 0 and out[0].frame_len == 4
 
+    def test_audio_chunking_overlap_and_tail(self, spark):
+        from data_engineering_project_spark.operators.multimodal import chunk_audio
+
+        text = "y" * 100  # 64-byte windows every 32 bytes -> starts 0,32,64,96
+        out = chunk_audio(
+            attach_binary_payload(self._docs(spark, [text]))
+        ).collect()
+        by_idx = {r.chunk_idx: r for r in out}
+        assert sorted(by_idx) == [0, 1, 2, 3]
+        # 4ms window / 2ms hop at 8kHz,16-bit: start_ms = idx*2
+        assert [by_idx[i].start_ms for i in range(4)] == [0, 2, 4, 6]
+        # full windows hold 32 samples; the tail (100-96=4 bytes) holds 2
+        assert [by_idx[i].n_samples for i in range(4)] == [32, 32, 18, 2]
+        payload = text.encode()
+        assert (
+            by_idx[1].chunk_checksum
+            == hashlib.md5(payload[32:96]).hexdigest()
+        )
+        assert (
+            by_idx[3].chunk_checksum == hashlib.md5(payload[96:]).hexdigest()
+        )
+
     def test_feature_ratios_golden(self, spark):
         text = "Ab 12"  # 5 bytes: 1 vowel(a), 2 digits, 1 space, 1 upper
         feats = extract_features(
