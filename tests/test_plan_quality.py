@@ -140,3 +140,48 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prefilters_fact_scan(spark, sf_dir):
+    """A selective dimension side injects a runtime Bloom filter into the
+    fact side's scan (bloom_filter_agg on the build side, might_contain on
+    the probe side) — rows for order keys that cannot match are dropped
+    BEFORE the join shuffle. session.py enables the feature; this proves
+    it actually fires on a representative selective join. Thresholds are
+    lowered because local SF scan sizes sit below the 10 GB default
+    application-side gate; at warehouse scale the defaults fire as-is."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        # force a shuffle join: broadcast joins skip bloom injection
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 450000
+        )
+        j = (
+            li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy()
+            .agg(F.count("*").alias("n"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
