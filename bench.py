@@ -75,15 +75,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         # untimed warmup run: planning + codegen JIT dominate at bench SF and
         # amortize to zero at production scale; report steady-state execution
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)  # median
+        spreads[name] = round(samples[-1] - samples[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_max_minus_min": spreads,
+                "runs_per_query": runs,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )
