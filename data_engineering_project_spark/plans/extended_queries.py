@@ -1256,3 +1256,34 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return K.cms_heavy_hitters(ev, "user_id", threshold_frac=0.008)
+
+
+@register(
+    "events_hll_distinct_users",
+    sql=None,  # Datasketches HLL estimates aren't restatable in DuckDB → rows-only
+    doc="Mergeable distinct-count sketches: per-event-type distinct users "
+    "via hll_sketch_agg/hll_sketch_estimate (Apache DataSketches, "
+    "JVM-side). The 100 TB story: HLL state is a fixed 2^lgK-register "
+    "sketch that MERGES associatively, so partial aggregation works like "
+    "any sum — unlike exact countDistinct, whose Expand+dedup state grows "
+    "with key cardinality and whose merges must keep every key. Sketches "
+    "from different partitions/days union losslessly (union = register "
+    "max), enabling pre-aggregated daily sketches rolled into arbitrary "
+    "ranges. The exact count rides along at this SF as the in-row "
+    "accuracy witness (est error bound property-tested in "
+    "tests/test_sketch.py).",
+    tags=("sketch", "approx", "agg"),
+)
+def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

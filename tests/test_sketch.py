@@ -85,3 +85,15 @@ def test_cms_deterministic_across_builds(spark, sf_dir):
         K.cms_heavy_hitters(ev, "user_id", threshold_frac=0.008).collect()
     )
     assert a == b
+
+
+def test_hll_estimate_close_to_exact_and_deterministic(spark, sf_dir):
+    from data_engineering_project_spark.plans.catalog import queries
+
+    fn = queries()["events_hll_distinct_users"]
+    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert a == b  # fixed lgK + deterministic hashing ⇒ stable estimates
+    assert a
+    for _etype, est, exact, _n in a:
+        assert abs(est - exact) / exact <= 0.05  # lgK=12 ⇒ ~1.6% rse
