@@ -100,15 +100,20 @@ def repeat_buyer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
            ROUND(avg(l_extendedprice), 2) AS price_avg,
-           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-           ROUND(covar_samp(l_discount, l_tax), 6) AS disc_tax_covar,
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0 AS qty_price_corr,
+           ROUND(covar_samp(l_discount, l_tax), 6) + 0 AS disc_tax_covar,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Statistical aggregates (absent in reference — SURVEY.md §2.4): "
     "stddev / corr / covar per group. All are single-pass partial-aggregable "
     "moments, so the plan is the same partial+final hash aggregate as a "
-    "plain SUM — no extra shuffle for the second moment.",
+    "plain SUM — no extra shuffle for the second moment. corr/covar of "
+    "near-independent columns round to ZERO, and IEEE rounding can land on "
+    "-0.0 in one engine and +0.0 in the other (observed at sf0.01: DuckDB "
+    "-0.0 vs Spark 0.0 — different string AND different bits, so the "
+    "driver's value hash flips); `+ 0` normalizes signed zero on both "
+    "sides.",
     tags=("agg", "stats"),
 )
 def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,8 +121,12 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
         F.round(F.avg("l_extendedprice"), 2).alias("price_avg"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+            "qty_price_corr"
+        ),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + F.lit(0.0)).alias(
+            "disc_tax_covar"
+        ),
         F.count("*").alias("n"),
     )
 
