@@ -1296,3 +1296,31 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_hll_daily_rollup",
+    sql=None,  # Datasketches HLL estimates aren't restatable in DuckDB → rows-only
+    doc="Sketch ROLLUP — the reason sketches beat exact state at 100 TB: "
+    "one HLL sketch per DAY (the pre-aggregation a warehouse would "
+    "persist alongside each partition), then hll_union_agg folds the 30 "
+    "daily sketches into the full-range distinct-user count WITHOUT "
+    "touching raw events again. Union is register-wise max — associative, "
+    "commutative, lossless w.r.t. the sketch — so arbitrary date ranges "
+    "cost one tiny merge over fixed-size state where exact countDistinct "
+    "would re-scan and re-shuffle every raw key. The mergeability "
+    "property (union estimate == direct single-pass estimate) is "
+    "asserted in tests/test_sketch.py.",
+    tags=("sketch", "approx", "agg", "rollup"),
+)
+def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    exact = ev.select("user_id").distinct().count()
+    return daily.agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_users"),
+        F.lit(exact).alias("exact_total_users"),
+    )

@@ -97,3 +97,22 @@ def test_hll_estimate_close_to_exact_and_deterministic(spark, sf_dir):
     assert a
     for _etype, est, exact, _n in a:
         assert abs(est - exact) / exact <= 0.05  # lgK=12 ⇒ ~1.6% rse
+
+
+def test_hll_daily_union_equals_direct_sketch(spark, sf_dir):
+    # mergeability: folding 30 per-day sketches must give the SAME estimate
+    # as sketching the whole range in one pass — the property that lets a
+    # warehouse persist per-partition sketches and roll up arbitrary ranges
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.plans.catalog import queries
+    from data_engineering_project_spark.sources.tables import load_table
+
+    row = queries()["events_hll_daily_rollup"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("d")
+    ).collect()[0]["d"]
+    assert row.est_total_users == direct
+    assert abs(row.est_total_users - row.exact_total_users) <= 0.05 * row.exact_total_users
+    assert row.n_days > 1  # the rollup actually merged multiple sketches
