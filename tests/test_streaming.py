@@ -94,6 +94,16 @@ def test_session_window_stream(spark, dirs):
     _write_events(f"{dirs['in']}/clicks_processed_dk_20220526115000000_7-9_1.parquet", 3)
     # 13:00 file: the batch that processes it runs with watermark 11:49
     _write_events(f"{dirs['in']}/clicks_processed_dk_20220526130000000_10-10_1.parquet", 1)
+    # the file source orders by MODIFICATION TIME: four sub-millisecond
+    # writes can tie (flaked once under full-suite load, reordering the
+    # per-file micro-batches and thus the watermark walk) — pin strictly
+    # increasing mtimes so maxFilesPerTrigger=1 processes in event order
+    import os
+    import time as _time
+
+    base = _time.time() - 3600
+    for i, name in enumerate(sorted(os.listdir(dirs["in"]))):
+        os.utime(f"{dirs['in']}/{name}", (base + 10 * i, base + 10 * i))
 
     events = read_event_stream(spark, dirs["in"], SCHEMA, max_files_per_trigger=1)
     sessions = session_counts_stream(events, gap="30 minutes", watermark="1 minute")
