@@ -185,3 +185,27 @@ def test_runtime_bloom_filter_prefilters_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q6_pushes_all_three_predicates_to_scan(plans):
+    # Q6's whole value is scan-side filtering: date range, discount band,
+    # and quantity cap must ALL reach the parquet reader
+    plan = plans("q6_forecast_revenue")
+    scan = plan[plan.index("FileScan") :]
+    pushed = scan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q12_prunes_orders_to_two_columns(plans):
+    # the orders side of the fact-fact join must read only the join key and
+    # the priority column — 2 of 6 columns
+    plan = plans("q12_priority_by_linestatus")
+    orders_scan = [
+        seg for seg in plan.split("FileScan") if "orders.parquet" in seg[:400]
+    ]
+    assert orders_scan
+    schema = orders_scan[0].split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in schema and "o_orderpriority" in schema
+    assert "o_totalprice" not in schema and "o_custkey" not in schema
