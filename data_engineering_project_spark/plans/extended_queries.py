@@ -1367,3 +1367,63 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "q9_nation_profit",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
+           ROUND(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                            - l.l_quantity * (p.p_retailprice * 0.6))
+                           * 10000, 0)) / 10000, 2) AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'STANDARD'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-type profit by nation and year): the "
+    "5-table join — lineitem against orders (shuffle on l_orderkey) plus "
+    "THREE broadcast dimensions (supplier, nation, part) — with a "
+    "computed profit measure aggregated by supplier nation × order year. "
+    "The synthetic schema has no partsupp/ps_supplycost, so cost is "
+    "modeled as 60% of p_retailprice — same plan shape, same join "
+    "degree, same measure arithmetic as Q9. Profit terms are snapped to "
+    "integer 1/10000ths pre-sum (both engines compute the identical "
+    "double from the same parquet bits and literals, so the snap is "
+    "bit-deterministic). p_type filter prunes the part build side before "
+    "broadcast.",
+    tags=("tpch", "join", "agg", "broadcast"),
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    profit_units = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("l_quantity") * (F.col("p_retailprice") * 0.6)
+        )
+        * 10_000,
+        0,
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit_units.alias("profit_units"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("profit_units") / 10_000, 2).alias("profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
