@@ -87,38 +87,45 @@ def minhash_lsh_pairs(
     """End-to-end near-dup pairs: signature → band explode → bucket self-join
     → exact Jaccard verification ≥ min_jaccard.
 
-    Plan shape at 100 TB: one scan computes signatures (map-only), the band
-    explode multiplies rows ×n_bands (still narrow: id + key), the self-join
-    shuffles on the band key, and only bucket-mates get exact verification.
-    Hot buckets (boilerplate docs) are the skew risk — AQE skew-join handles
-    moderate cases; pathological buckets should be capped upstream.
+    Plan shape at 100 TB: the band explode and bucket self-join carry ONLY
+    (id, band_key) — never the shingle sets — so the ×n_bands row blow-up
+    multiplies a two-column frame, not the corpus text. Candidate (id_a,
+    id_b) pairs are deduped ACROSS bands first; the shingle sets are joined
+    back by id afterwards for exact-Jaccard verification. That is two narrow
+    hash shuffles (band key, then id) instead of one shuffle whose payload is
+    every document's shingle set repeated per band. Hot buckets (boilerplate
+    docs) are the skew risk — AQE skew-join handles moderate cases;
+    pathological buckets should be capped upstream.
     """
     rows_per_band = n_hashes // n_bands
-    base = docs.select(
+    sh = shingles(F.col(text_col), shingle_k)
+    # narrow banded frame: two columns through the explode and the self-join
+    banded = docs.select(
         F.col(id_col),
-        shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    banded = base.select(
-        id_col,
-        "sh",
-        F.explode(band_keys(F.col("sig"), n_bands, rows_per_band)).alias("band_key"),
+        F.explode(
+            band_keys(minhash_signature(sh, n_hashes), n_bands, rows_per_band)
+        ).alias("band_key"),
     )
     # self-join on disjoint column names: alias-qualified self-joins on the
     # same lineage resolve ambiguously in Spark — rename BEFORE joining
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band_key"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band_key"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band_key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band_key")
     cand = (
         left.join(right, on="band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # shingle sets re-enter only for the verified candidates, keyed by id
+    sh_by_id = docs.select(F.col(id_col).alias("_sh_id"), sh.alias("_sh"))
+    verified = (
+        cand.join(sh_by_id, cand["id_a"] == sh_by_id["_sh_id"])
+        .select("id_a", "id_b", F.col("_sh").alias("sh_a"))
+        .join(sh_by_id, F.col("id_b") == sh_by_id["_sh_id"])
+        .select("id_a", "id_b", "sh_a", F.col("_sh").alias("sh_b"))
+    )
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        verified.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -187,6 +187,35 @@ def test_runtime_bloom_filter_prefilters_fact_scan(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_minhash_band_join_shuffles_exclude_shingles(spark, sf_dir):
+    """The LSH band-key self-join must shuffle ONLY (id, band_key) — the
+    shingle arrays re-enter by id after candidate dedup. A band-key exchange
+    carrying the shingle sets multiplies shuffle payload by corpus text size
+    × n_bands at 100 TB (the round-1 flaw). Formatted explain lists each
+    Exchange's input columns; every hashpartitioning(band_key) exchange must
+    carry exactly two. (Broadcast is disabled for the assertion — at test SF
+    AQE would broadcast the tiny side and no band-key exchange would exist;
+    at corpus scale the self-join always shuffles.)"""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = entrymod.queries()["docs_minhash_pairs"](spark, sf_dir)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        text = df._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    band_exchanges = [
+        blk
+        for blk in text.split("\n\n")
+        if "Exchange" in blk and "hashpartitioning(band_key" in blk
+    ]
+    assert band_exchanges, text[:2000]
+    for blk in band_exchanges:
+        assert "Input [2]:" in blk, blk
+
+
 def test_q6_pushes_all_three_predicates_to_scan(plans):
     # Q6's whole value is scan-side filtering: date range, discount band,
     # and quantity cap must ALL reach the parquet reader
