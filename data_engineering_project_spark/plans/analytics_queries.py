@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark.operators.asof import asof_join, sessionize
+from data_engineering_project_spark.operators.hints import broadcast_if_small
 from data_engineering_project_spark.operators.multimodal import (
     attach_binary_payload,
     chunk_audio,
@@ -190,7 +191,7 @@ def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             F.to_date("l_shipdate").between("1996-01-01", "1996-12-31")
         )
-        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(broadcast_if_small(p), p["p_partkey"] == li["l_partkey"])
         .groupBy("p_brand")
         .agg(
             F.round(F.sum(promo_units) / 10_000, 2).alias("promo_revenue"),

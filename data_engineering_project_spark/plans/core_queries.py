@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_engineering_project_spark.functions import scalars as S
+from data_engineering_project_spark.operators.hints import broadcast_if_small
 from data_engineering_project_spark.operators.report import (
     combine_hourly_reports,
     densify_hours,
@@ -522,7 +523,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            broadcast_if_small(s),
             (s["s_suppkey"] == li["l_suppkey"])
             & (s["s_nationkey"] == c["c_nationkey"]),
         )

@@ -17,6 +17,7 @@ from data_engineering_project_spark.functions.scalars import exact_decimal_sum
 from data_engineering_project_spark.operators import similarity as S
 from data_engineering_project_spark.operators import sketch as K
 from data_engineering_project_spark.operators.skew import salted_aggregate
+from data_engineering_project_spark.operators.hints import broadcast_if_small
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
 
@@ -243,7 +244,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            broadcast_if_small(c.filter(F.col("c_mktsegment") == "BUILDING")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -328,7 +329,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def brand_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    joined = li.join(broadcast_if_small(p), F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         (F.col("p_brand") == "Brand#4") & F.col("l_quantity").between(1, 25)
     ) | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 35))
@@ -511,7 +512,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast_if_small(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
         .filter(pair)
@@ -606,12 +607,12 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         li.join(
-            F.broadcast(excluded),
+            broadcast_if_small(excluded),
             li["l_suppkey"] == excluded["s_suppkey"],
             "left_anti",
         )
         .join(
-            F.broadcast(p.filter(F.col("p_size").isin(10, 20, 30))),
+            broadcast_if_small(p.filter(F.col("p_size").isin(10, 20, 30))),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("p_type", "p_size")
@@ -819,7 +820,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("units") == F.col("max_units"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast_if_small(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -926,7 +927,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = (
         li.select("l_partkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast_if_small(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("l_partkey", "l_suppkey", "s_acctbal", "s_name")
     )
     w = Window.partitionBy("l_partkey")
@@ -981,7 +982,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     heavy = shipped.filter(F.col("qty") > 50).select("l_suppkey").distinct()
     return (
-        s.join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        s.join(broadcast_if_small(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
         .join(
             F.broadcast(n.filter(F.col("n_regionkey") == 1)),
             F.col("n_nationkey") == F.col("s_nationkey"),
@@ -1415,9 +1416,9 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast_if_small(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast_if_small(p), F.col("p_partkey") == F.col("l_partkey"))
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),

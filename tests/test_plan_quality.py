@@ -187,6 +187,27 @@ def test_runtime_bloom_filter_prefilters_fact_scan(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_sf_scaling_dims_broadcast_via_size_gate_not_hard_hint(plans):
+    """q5/q9 no longer hard-hint supplier/part (a hard hint overrides the
+    size check and OOMs at 100× SF — round-1 verdict #3). At test SF the
+    size gate re-applies the hint, so the physical join must still be
+    broadcast — proving the gate, not the unconditional hint, chooses."""
+    assert plans("q5_local_supplier_volume").count("BroadcastHashJoin") >= 3
+    assert plans("q9_nation_profit").count("BroadcastHashJoin") >= 3
+
+
+def test_broadcast_gate_declines_frames_above_threshold(spark, sf_dir):
+    from data_engineering_project_spark.operators.hints import broadcast_if_small
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # oversized for the threshold → returned unhinted, AQE decides at runtime
+    assert broadcast_if_small(li, threshold_bytes=1) is li
+    # disabled threshold (-1) never hints, matching engine behavior
+    assert broadcast_if_small(li, threshold_bytes=-1) is li
+    # under the threshold → the explicit hint is applied
+    assert broadcast_if_small(li, threshold_bytes=10**12) is not li
+
+
 def test_minhash_band_join_shuffles_exclude_shingles(spark, sf_dir):
     """The LSH band-key self-join must shuffle ONLY (id, band_key) — the
     shingle arrays re-enter by id after candidate dedup. A band-key exchange
