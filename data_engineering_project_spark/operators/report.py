@@ -12,8 +12,9 @@ Differences from the reference, on purpose:
   (distinct dates) × (0..23), so a single job densifies every date.
 - No eager count/collect logging (the reference re-executes lineage ≥8 times
   per date, ``:134-136,144,252,268-291``). Use ``df.observe`` for metrics.
-- The spine side is tiny (dates × 24 rows) → explicitly broadcast so the
-  densification join never shuffles the fact side at any scale.
+- Both densification-join sides are tiny post-agg (dates × 24 rows); the
+  counts side is explicitly broadcast (build-right — the only supported
+  build side for a left-outer broadcast join) so the join never shuffles.
 """
 
 from __future__ import annotations
@@ -80,12 +81,15 @@ def densify_hours(
 
     The counts side post-aggregation is small relative to the raw events
     (≤ 24 rows/date), and the spine is exactly dates×24, so this join is
-    broadcast-able at any raw-data scale; we broadcast the spine explicitly.
+    broadcast-able at any raw-data scale. The hint goes on the COUNTS side:
+    Spark only supports build-right for a left-outer BroadcastHashJoin, so a
+    hint on the spine (the left side) is silently dropped and the join would
+    shuffle both (small) sides instead.
     """
     if spine is None:
         spine = hour_spine(counts.select(F.col(date_col).alias("date")))
-    joined = F.broadcast(spine).join(
-        counts,
+    joined = spine.join(
+        F.broadcast(counts),
         on=[spine["date"] == counts[date_col], spine["hour"] == counts[hour_col]],
         how="left",
     )

@@ -51,6 +51,13 @@ def test_flagship_report_scans_events_once(plans):
     assert plan.count("InMemoryTableScan") == 2
 
 
+def test_flagship_report_densification_join_is_broadcast(plans):
+    # the hint must land on the counts (right/build) side: a left-outer
+    # broadcast join only supports build-right, a spine-side hint is dropped
+    # with a HintErrorLogger warning and the join degrades to a shuffle
+    assert "BroadcastHashJoin" in plans("hourly_report_dense")
+
+
 def test_whole_stage_codegen_covers_the_agg(spark, sf_dir):
     # the hot path (scan -> partial agg) must be inside codegen, not
     # interpreted row-at-a-time; AQE's pre-execution plan string omits the
