@@ -95,16 +95,78 @@ def hourly_counts_stream(
     )
 
 
-def upsert_parquet_batch(target_dir: str, key_cols: list[str]) -> Callable:
+def dense_hourly_grid(
+    types: tuple[str, ...],
+    *,
+    date_col: str = "date",
+    hour_col: str = "hour",
+    type_col: str = "event_type",
+    fill_cols: tuple[str, ...] = ("n",),
+) -> Callable[[DataFrame], DataFrame]:
+    """Post-merge densifier for the streaming report target: every date
+    present in the target gets the full (24 hours × event types) grid,
+    zero-filled — the reference's output contract is exactly 24 rows/date
+    even for silent hours (``src/Task1/data_processing.py:306-338``), and
+    round 1 only applied it on the batch path (SURVEY T6 gap). The spine is
+    dates × 24 × |types| rows (trivially broadcastable at any scale)."""
+
+    def _densify(merged: DataFrame) -> DataFrame:
+        spark = merged.sparkSession
+        dates = merged.select(date_col).distinct()
+        spine = dates.crossJoin(
+            spark.createDataFrame([(t,) for t in types], f"{type_col} string")
+        ).select(
+            date_col,
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias(hour_col),
+            type_col,
+        )
+        dense = spine.join(
+            F.broadcast(merged), on=[date_col, hour_col, type_col], how="left"
+        )
+        return dense.na.fill(0, list(fill_cols))
+
+    return _densify
+
+
+def upsert_parquet_batch(
+    target_dir: str,
+    key_cols: list[str],
+    *,
+    densify: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable:
     """foreachBatch writer: upsert each micro-batch into a parquet target
     keyed on ``key_cols`` — the reference's archive→delete→insert (T4) for a
     file warehouse. Production targets swap this for Delta/Iceberg MERGE or
     the JDBC merge sink (sinks/warehouse_sink.py); the batch-function shape
     is identical.
+
+    ``densify`` (e.g. :func:`dense_hourly_grid`) runs on the merged frame
+    before the write, so the target always satisfies the output contract.
+
+    Restart safety: the merged result is fully materialized into
+    ``<target>_next``, then swapped in via directory renames (atomic on one
+    filesystem) — never a second Spark overwrite of the live target, which
+    would leave a truncated target if the writer died mid-copy. A crash
+    between the two renames leaves ``<target>_old`` intact; the next batch
+    restores it before re-merging (foreachBatch re-delivers the batch, so
+    the recovery + re-merge is idempotent). Real fact tables use a
+    transactional table format instead of this rewrite-on-merge (the target
+    here is ≤ dates×24×types rows).
     """
+    next_dir = target_dir + "_next"
+    old_dir = target_dir + "_old"
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch_df.sparkSession
+        # crash recovery: died between the two renames → restore the old
+        # target; stale _next/_old from any earlier crash are dead weight
+        if not os.path.isdir(target_dir) and os.path.isdir(old_dir):
+            os.rename(old_dir, target_dir)
+        shutil.rmtree(next_dir, ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
+
         new = batch_df.dropDuplicates(key_cols)
         if os.path.isdir(target_dir) and any(
             f.endswith(".parquet") for f in os.listdir(target_dir)
@@ -114,12 +176,15 @@ def upsert_parquet_batch(target_dir: str, key_cols: list[str]) -> Callable:
             merged = keep.unionByName(new)
         else:
             merged = new
-        # rewrite-on-merge is fine for a ≤(dates×24×types) report table;
-        # real fact tables use a transactional table format instead
-        merged.write.mode("overwrite").parquet(target_dir + "_next")
-        spark.read.parquet(target_dir + "_next").write.mode("overwrite").parquet(
-            target_dir
-        )
+        if densify is not None:
+            merged = densify(merged)
+        # materialize BEFORE touching the live target (reads of target_dir
+        # above are complete once this write action returns)
+        merged.write.mode("overwrite").parquet(next_dir)
+        if os.path.isdir(target_dir):
+            os.rename(target_dir, old_dir)
+        os.rename(next_dir, target_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     return _write
 
@@ -135,10 +200,15 @@ def run_incremental_report(
     available_now: bool = True,
     clean_source: str | None = None,
     archive_dir: str | None = None,
+    dense_types: tuple[str, ...] | None = ("impressions", "clicks"),
 ) -> None:
     """One incremental run (the cron-tick replacement): process exactly the
     files the checkpoint hasn't seen, upsert hour counts into the target.
-    Blocks until the availableNow trigger drains."""
+    Blocks until the availableNow trigger drains.
+
+    ``dense_types``: streaming output meets the same 24-rows/date contract
+    as the batch report — every date in the target carries the full
+    hour × type grid, zero-filled. Pass ``None`` for a sparse target."""
     events = read_event_stream(
         spark,
         input_dir,
@@ -147,10 +217,15 @@ def run_incremental_report(
         archive_dir=archive_dir,
     )
     counts = hourly_counts_stream(events, watermark=watermark)
+    densify = dense_hourly_grid(dense_types) if dense_types else None
     writer = (
         counts.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(upsert_parquet_batch(target_dir, ["date", "hour", "event_type"]))
+        .foreachBatch(
+            upsert_parquet_batch(
+                target_dir, ["date", "hour", "event_type"], densify=densify
+            )
+        )
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()

@@ -48,33 +48,81 @@ def _counts(spark, target):
     }
 
 
+def _assert_dense(got: dict, nonzero: dict) -> None:
+    """The streaming target must hold the SAME dense contract as the batch
+    report (reference: exactly 24 rows/date even for silent hours): full
+    hour×type grid per date, zero everywhere ``nonzero`` doesn't claim."""
+    dates = {d for d, _, _ in got}
+    assert len(got) == len(dates) * 24 * 2  # hours × (impressions, clicks)
+    for key, n in got.items():
+        assert n == nonzero.get(key, 0), key
+
+
 def test_incremental_runs_consume_each_file_once(spark, dirs):
     _write_events(f"{dirs['in']}/impressions_processed_dk_20220526113212045_1-4_1.parquet", 4)
     run_incremental_report(spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA)
-    assert _counts(spark, dirs["target"]) == {("2022-05-26", 11, "impressions"): 4}
+    _assert_dense(
+        _counts(spark, dirs["target"]), {("2022-05-26", 11, "impressions"): 4}
+    )
 
     # second tick: a new file for the SAME hour arrives; checkpoint must skip
     # the already-seen file and the upsert must revise, not duplicate
     _write_events(f"{dirs['in']}/impressions_processed_dk_20220526114500000_5-8_1.parquet", 3)
     run_incremental_report(spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA)
-    assert _counts(spark, dirs["target"]) == {("2022-05-26", 11, "impressions"): 7}
+    _assert_dense(
+        _counts(spark, dirs["target"]), {("2022-05-26", 11, "impressions"): 7}
+    )
 
 
 def test_multi_type_and_late_file(spark, dirs):
     _write_events(f"{dirs['in']}/impressions_processed_dk_20220527123000000_1-4_1.parquet", 4)
     _write_events(f"{dirs['in']}/clicks_processed_dk_20220527123100000_1-7_1.parquet", 7)
     run_incremental_report(spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA)
-    got = _counts(spark, dirs["target"])
-    assert got[("2022-05-27", 12, "impressions")] == 4
-    assert got[("2022-05-27", 12, "clicks")] == 7
+    _assert_dense(
+        _counts(spark, dirs["target"]),
+        {
+            ("2022-05-27", 12, "impressions"): 4,
+            ("2022-05-27", 12, "clicks"): 7,
+        },
+    )
 
     # late file for an EARLIER hour (11:xx) arrives in the next tick —
     # within watermark tolerance it must land in its own hour bucket
     _write_events(f"{dirs['in']}/clicks_processed_dk_20220527114000000_8-10_1.parquet", 3)
     run_incremental_report(spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA)
-    got = _counts(spark, dirs["target"])
-    assert got[("2022-05-27", 11, "clicks")] == 3
-    assert got[("2022-05-27", 12, "clicks")] == 7
+    _assert_dense(
+        _counts(spark, dirs["target"]),
+        {
+            ("2022-05-27", 11, "clicks"): 3,
+            ("2022-05-27", 12, "impressions"): 4,
+            ("2022-05-27", 12, "clicks"): 7,
+        },
+    )
+
+
+def test_upsert_recovers_from_crash_between_renames(spark, dirs):
+    """The upsert's two-rename swap can die in the middle (target renamed
+    away, replacement not yet in place). The next batch must restore the
+    saved target and re-merge — no rows lost, no partial target read."""
+    import os
+
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526113212045_1-4_1.parquet", 4)
+    run_incremental_report(spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA)
+
+    # simulate the crash window: target moved aside, replacement missing
+    os.rename(dirs["target"], dirs["target"] + "_old")
+
+    _write_events(f"{dirs['in']}/clicks_processed_dk_20220526123000000_1-3_1.parquet", 3)
+    run_incremental_report(spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA)
+    _assert_dense(
+        _counts(spark, dirs["target"]),
+        {
+            ("2022-05-26", 11, "impressions"): 4,
+            ("2022-05-26", 12, "clicks"): 3,
+        },
+    )
+    assert not os.path.isdir(dirs["target"] + "_old")
+    assert not os.path.isdir(dirs["target"] + "_next")
 
 
 def test_session_window_stream(spark, dirs):
