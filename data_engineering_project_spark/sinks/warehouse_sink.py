@@ -10,20 +10,32 @@ ONE transaction on the warehouse side:
   3. insert the batch (appended earlier into a staging table)
   4. upsert invalid rows into the dead-letter table (ON CONFLICT DO UPDATE)
 
-The Spark side only ever *appends* (``df.write.jdbc(mode='append')`` into
-staging tables — parallel, partitioned, batched); all replace/merge logic
-runs as set-based SQL inside the warehouse transaction. This preserves the
-reference's atomicity (single ``engine.begin()`` block, warehouse.py:422)
-while letting the bulk transfer scale out.
+The Spark side never mutates the *target*: each batch is bulk-loaded into
+its staging table (``df.write.jdbc(mode='overwrite')`` — truncate-and-load,
+so staging holds exactly this batch; parallel, partitioned, batched) and all
+replace/merge logic runs as set-based SQL inside the warehouse transaction.
+This preserves the reference's atomicity (single ``engine.begin()`` block,
+warehouse.py:422) while letting the bulk transfer scale out.
 
 ``build_merge_statements`` is engine-agnostic string generation so tests run
-the identical protocol against an embedded DuckDB; production wires the same
-statements through a JDBC connection in ``foreachBatch``.
+the identical protocol against embedded targets; the same statements run
+through a live JDBC connection (``JdbcStatementConnection``) in production —
+``load_report_jdbc`` executes the whole write+merge when handed a connection
+factory. Identifiers are double-quoted (lowercase) throughout: Spark's JDBC
+writer creates quoted-lowercase columns, so unquoted statements break on
+engines that fold unquoted identifiers to uppercase (Derby; Oracle likewise),
+while quoted lowercase resolves identically on Postgres, DuckDB, and Derby.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
+
+
+def _q(ident: str) -> str:
+    """Double-quote an SQL identifier (already-lowercase names only)."""
+    return f'"{ident}"'
 
 
 @dataclass(frozen=True)
@@ -65,36 +77,38 @@ def build_merge_statements(spec: MergeSpec) -> MergeStatements:
     """The reference's archive → ranged-delete → insert protocol
     (warehouse.py:427-466), windowed on the staging batch's own key range so
     a re-run of the same batch replaces rather than duplicates (T4)."""
-    cols = ", ".join(spec.columns)
+    cols = ", ".join(_q(c) for c in spec.columns)
+    key = _q(spec.key)
+    target, archive, staging = _q(spec.target), _q(spec.archive), _q(spec.staging)
     window = (
-        f"(SELECT min({spec.key}) FROM {spec.staging})"
-        f" AND (SELECT max({spec.key}) FROM {spec.staging})"
+        f"(SELECT min({key}) FROM {staging})"
+        f" AND (SELECT max({key}) FROM {staging})"
     )
     stmts = [
         # 1. archive rows that are about to be replaced, once each
-        f"""INSERT INTO {spec.archive} ({cols})
-            SELECT {cols} FROM {spec.target} t
-            WHERE t.{spec.key} BETWEEN {window}
-              AND NOT EXISTS (SELECT 1 FROM {spec.archive} a
-                              WHERE a.{spec.key} = t.{spec.key})""",
+        f"""INSERT INTO {archive} ({cols})
+            SELECT {cols} FROM {target} t
+            WHERE t.{key} BETWEEN {window}
+              AND NOT EXISTS (SELECT 1 FROM {archive} a
+                              WHERE a.{key} = t.{key})""",
         # 2. ranged delete of the overlap window
-        f"DELETE FROM {spec.target} WHERE {spec.key} BETWEEN {window}",
+        f"DELETE FROM {target} WHERE {key} BETWEEN {window}",
         # 3. batch insert from staging
-        f"INSERT INTO {spec.target} ({cols}) SELECT {cols} FROM {spec.staging}",
+        f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {staging}",
     ]
     if spec.invalid_table and spec.invalid_staging:
-        icols = ", ".join(spec.invalid_columns)
-        conflict = ", ".join(spec.invalid_conflict_keys)
+        icols = ", ".join(_q(c) for c in spec.invalid_columns)
+        conflict = ", ".join(_q(c) for c in spec.invalid_conflict_keys)
         updates = ", ".join(
-            f"{c} = excluded.{c}"
+            f"{_q(c)} = excluded.{_q(c)}"
             for c in spec.invalid_columns
             if c not in spec.invalid_conflict_keys
         )
         # 4. dead-letter upsert (reference staging + ON CONFLICT,
         #    warehouse.py:277-322)
         stmts.append(
-            f"""INSERT INTO {spec.invalid_table} ({icols})
-                SELECT {icols} FROM {spec.invalid_staging}
+            f"""INSERT INTO {_q(spec.invalid_table)} ({icols})
+                SELECT {icols} FROM {_q(spec.invalid_staging)}
                 ON CONFLICT ({conflict}) DO UPDATE SET {updates}"""
         )
     return MergeStatements(statements=stmts)
@@ -114,6 +128,36 @@ def execute_merge(connection, spec: MergeSpec) -> None:
         raise
 
 
+class JdbcStatementConnection:
+    """Adapts a ``java.sql.Connection`` to the DB-API-ish ``execute``
+    contract :func:`execute_merge` expects. BEGIN/COMMIT/ROLLBACK map to the
+    JDBC transaction API (``setAutoCommit``/``commit``/``rollback``) because
+    JDBC drivers (Derby, Postgres) reject them as statement text."""
+
+    def __init__(self, jconn) -> None:
+        self._conn = jconn
+
+    def execute(self, sql: str) -> None:
+        word = sql.strip().upper()
+        if word == "BEGIN":
+            self._conn.setAutoCommit(False)
+        elif word == "COMMIT":
+            self._conn.commit()
+            self._conn.setAutoCommit(True)
+        elif word == "ROLLBACK":
+            self._conn.rollback()
+            self._conn.setAutoCommit(True)
+        else:
+            stmt = self._conn.createStatement()
+            try:
+                stmt.execute(sql)
+            finally:
+                stmt.close()
+
+    def close(self) -> None:
+        self._conn.close()
+
+
 def load_report_jdbc(
     report_df,
     *,
@@ -121,18 +165,32 @@ def load_report_jdbc(
     spec: MergeSpec,
     properties: dict[str, str] | None = None,
     batchsize: int = 1000,
+    connection_factory: Callable[[], object] | None = None,
 ) -> None:
-    """Production path: append the batch into staging via parallel JDBC
-    writes (reference's chunked to_sql, warehouse.py:458-466 → Spark's
-    batched executors), then run the merge transaction driver-side.
+    """Production path: bulk-load the batch into its staging table via
+    parallel JDBC writes (reference's chunked to_sql, warehouse.py:458-466 →
+    Spark's batched executors; ``mode='overwrite'`` so staging holds exactly
+    this batch — a failed run's leftovers never leak into the next merge),
+    then run the merge transaction driver-side over ONE connection.
 
-    Requires a JDBC driver on the classpath and a DB-API connection factory
-    for the transaction (psycopg2 for the reference's Postgres). Kept thin:
-    the semantics live in build_merge_statements.
+    ``connection_factory`` returns an object with ``execute(sql)`` (a DB-API
+    connection, or :class:`JdbcStatementConnection` around a
+    ``java.sql.DriverManager.getConnection(url)``). When provided, the merge
+    runs here — write and merge are one call, so the append can't be run
+    without the merge. When omitted, the caller MUST follow up with
+    ``execute_merge(connection, spec)``; staging alone is not the load.
     """
     props = {"batchsize": str(batchsize)}
     if properties:
         props.update(properties)
-    report_df.write.jdbc(url, spec.staging, mode="overwrite", properties=props)
-    # transaction execution needs a DB-API connection; callers supply it via
-    # execute_merge(connection, spec) after this append returns.
+    # quoted so the created table matches the quoted-lowercase identifiers
+    # in the merge statements on case-folding engines (Derby, Oracle)
+    report_df.write.jdbc(url, _q(spec.staging), mode="overwrite", properties=props)
+    if connection_factory is not None:
+        conn = connection_factory()
+        try:
+            execute_merge(conn, spec)
+        finally:
+            close = getattr(conn, "close", None)
+            if close is not None:
+                close()

@@ -1,0 +1,144 @@
+"""Live JDBC round-trip of the warehouse merge sink.
+
+Round 1 only ever executed the merge protocol against embedded DuckDB
+through a Python connection; ``df.write.jdbc`` appeared in no exercised
+path. This test drives the REAL Spark JDBC writer and a REAL
+``java.sql.Connection`` transaction against Apache Derby (embedded JDBC
+database shipped in Spark's own classpath — the sandbox has no Postgres;
+the reference's target class, an external SQL warehouse reached over a
+connection URL, is the same shape: reference ``src/Task2/warehouse.py:
+458-466`` chunked to_sql + pool config ``:31-35``).
+
+Covered end-to-end: parallel batched staging write (mode=overwrite,
+batchsize), archive → ranged-delete → insert in ONE JDBC transaction,
+idempotent re-delivery (T4), and post-load verification reads (S11)
+through ``spark.read.jdbc``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_project_spark.sinks.warehouse_sink import (
+    JdbcStatementConnection,
+    MergeSpec,
+    load_report_jdbc,
+)
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+COLS = ("datetime", "impression_count", "click_count")
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    url = f"jdbc:derby:{tmp_path_factory.mktemp('derby')}/wh;create=true"
+    jvm = spark._jvm
+    conn = JdbcStatementConnection(jvm.java.sql.DriverManager.getConnection(url))
+    ddl = '("datetime" TIMESTAMP, "impression_count" BIGINT, "click_count" BIGINT)'
+    conn.execute(f'CREATE TABLE "client_report" {ddl}')
+    conn.execute(f'CREATE TABLE "client_report_archive" {ddl}')
+    conn.close()
+    return url
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return MergeSpec(
+        target="client_report",
+        archive="client_report_archive",
+        staging="client_report_staging",
+        key="datetime",
+        columns=COLS,
+        invalid_table=None,
+    )
+
+
+def _report(spark, rows):
+    return spark.createDataFrame(
+        rows, "datetime timestamp, impression_count long, click_count long"
+    )
+
+
+def _load(spark, derby, spec, rows):
+    jvm = spark._jvm
+    load_report_jdbc(
+        _report(spark, rows),
+        url=derby,
+        spec=spec,
+        properties={"driver": DRIVER},
+        batchsize=500,
+        connection_factory=lambda: JdbcStatementConnection(
+            jvm.java.sql.DriverManager.getConnection(derby)
+        ),
+    )
+
+
+def _table(spark, derby, name):
+    df = spark.read.jdbc(derby, f'"{name}"', properties={"driver": DRIVER})
+    return {
+        (str(r["datetime"]), r["impression_count"], r["click_count"])
+        for r in df.collect()
+    }
+
+
+import datetime as _dt
+
+
+def _ts(h):
+    return _dt.datetime(2022, 5, 26, h, 0, 0)
+
+
+def test_initial_load_lands_through_write_jdbc(spark, derby, spec):
+    _load(spark, derby, spec, [(_ts(11), 4, 0), (_ts(19), 10, 0)])
+    assert _table(spark, derby, "client_report") == {
+        ("2022-05-26 11:00:00", 4, 0),
+        ("2022-05-26 19:00:00", 10, 0),
+    }
+    assert _table(spark, derby, "client_report_archive") == set()
+
+
+def test_redelivery_replaces_window_and_archives(spark, derby, spec):
+    # re-deliver the [11:00, 19:00] window with revised counts: the ranged
+    # delete must replace BOTH old rows (no duplicates) and archive them once
+    _load(spark, derby, spec, [(_ts(11), 6, 1), (_ts(19), 10, 0)])
+    assert _table(spark, derby, "client_report") == {
+        ("2022-05-26 11:00:00", 6, 1),
+        ("2022-05-26 19:00:00", 10, 0),
+    }
+    assert _table(spark, derby, "client_report_archive") == {
+        ("2022-05-26 11:00:00", 4, 0),
+        ("2022-05-26 19:00:00", 10, 0),
+    }
+    # third delivery: archive's NOT EXISTS guard keeps one archived row per
+    # key even though 11:00 is replaced again
+    _load(spark, derby, spec, [(_ts(11), 7, 2)])
+    assert len(_table(spark, derby, "client_report_archive")) == 2
+
+
+def test_post_load_verification_reads_via_jdbc(spark, derby, spec):
+    """S11 over the live connection: COUNT/MIN/MAX/SUM pushed to the
+    warehouse through spark.read.jdbc."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.jdbc(derby, '"client_report"', properties={"driver": DRIVER})
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.min("datetime").alias("lo"),
+        F.max("datetime").alias("hi"),
+        F.sum("impression_count").alias("imp"),
+    ).collect()[0]
+    assert (row["n"], row["imp"]) == (2, 17)
+    assert row["lo"].hour == 11 and row["hi"].hour == 19
+
+
+def test_merge_failure_rolls_back_atomically(spark, derby, spec):
+    """The transaction wrapper: a failing statement mid-protocol leaves the
+    target untouched (single-transaction atomicity, reference
+    warehouse.py:422)."""
+    import dataclasses
+
+    before = _table(spark, derby, "client_report")
+    bad_spec = dataclasses.replace(spec, archive="no_such_table")
+    with pytest.raises(Exception):
+        _load(spark, derby, bad_spec, [(_ts(12), 1, 1)])
+    assert _table(spark, derby, "client_report") == before
