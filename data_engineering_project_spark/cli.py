@@ -122,7 +122,12 @@ def _run_load(spark, args) -> None:
 
     prepared = W.prepare_report(W.read_report_csv(spark, args.csv))
     split = W.validate_report(prepared, source_file=args.csv)
-    valid_pdf = split.valid.toPandas()
+    # the FULL prepared batch is staged (reference warehouse.py:411-466 loads
+    # every row into client_report; invalid rows are dead-lettered AND
+    # loaded) — so the archive/delete window spans the whole delivery, and
+    # re-delivering a file whose boundary rows became invalid still replaces
+    # everything the previous delivery wrote
+    batch_pdf = prepared.toPandas()
     invalid_pdf = split.invalid.select(
         "datetime",
         "impression_count",
@@ -137,10 +142,10 @@ def _run_load(spark, args) -> None:
         # DuckDB's ART index cannot delete+reinsert a PK in one txn; the
         # embedded stand-in drops the PK (Postgres keeps it)
         con.execute(ddl.replace("TIMESTAMP PRIMARY KEY", "TIMESTAMP"))
-    con.register("_valid_batch", valid_pdf)
+    con.register("_full_batch", batch_pdf)
     con.register("_invalid_batch", invalid_pdf)
     con.execute(
-        "CREATE OR REPLACE TABLE client_report_staging AS SELECT * FROM _valid_batch"
+        "CREATE OR REPLACE TABLE client_report_staging AS SELECT * FROM _full_batch"
     )
     con.execute(
         "CREATE OR REPLACE TABLE client_report_invalid_staging AS "

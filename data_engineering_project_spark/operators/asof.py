@@ -36,6 +36,21 @@ def asof_join(
     timestamps resolve by ``tie_break`` ordering (left rows sort before right
     rows at equal time, making 'at-or-before' inclusive).
     """
+    reserved = {"_k", "_t", "_side", "_row"}
+    outputs = {f"asof_{left_time}", *(f"asof_{c}" for c in carry)}
+    for label, names in (("carry", carry), ("right", right.columns)):
+        clash = (set(names) & reserved) | (set(names) & outputs)
+        if clash:
+            raise ValueError(
+                f"asof_join: {label} column(s) {sorted(clash)} collide with "
+                f"internal names {sorted(reserved)} or generated outputs "
+                f"{sorted(outputs)}; rename them before joining"
+            )
+    if on in carry or left_time in carry:
+        raise ValueError(
+            "asof_join: carry must not repeat the join key or left_time "
+            f"(got {carry!r}) — both are attached automatically"
+        )
     lt = F.col(left_time)
     tagged_left = left.select(
         F.col(on).alias("_k"),
@@ -95,8 +110,12 @@ def sessionize(
     order_tie_break: str | None = None,
 ) -> DataFrame:
     """Gap-based session assignment: a new session starts when the time since
-    the previous event of the same key exceeds ``gap``. Returns the input
-    plus ``session_id`` (key-scoped ordinal). One window shuffle."""
+    the previous event of the same key reaches ``gap``. Returns the input
+    plus ``session_id`` (key-scoped ordinal). One window shuffle.
+
+    Boundary semantics match the streaming twin ``F.session_window`` (whose
+    window is ``[event, event + gap)``): an event at exactly ``prev + gap``
+    starts a NEW session — hence ``>=``, not ``>``."""
     order = [F.col(time_col)] + (
         [F.col(order_tie_break)] if order_tie_break else []
     )
@@ -104,7 +123,7 @@ def sessionize(
     prev_t = F.lag(time_col).over(w)
     gap_expr = F.expr(f"INTERVAL {gap}")
     new_session = (
-        prev_t.isNull() | (F.col(time_col).cast("timestamp") > prev_t + gap_expr)
+        prev_t.isNull() | (F.col(time_col).cast("timestamp") >= prev_t + gap_expr)
     ).cast("int")
     return events.withColumn(
         "session_id",

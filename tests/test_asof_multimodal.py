@@ -86,15 +86,20 @@ class TestSessionize:
         assert sess[3] == 2
         assert sess[4] == 1
 
-    def test_exact_gap_boundary_stays_in_session(self, spark):
-        # strictly-greater-than comparison: a 30:00 gap does NOT split
+    def test_exact_gap_boundary_starts_new_session(self, spark):
+        # >= comparison: an event at exactly prev + gap starts a NEW session,
+        # matching the streaming twin F.session_window (window [event,
+        # event + gap) — the boundary instant is outside it); one instant
+        # earlier stays in-session
         ev = spark.createDataFrame(
-            [(1, _ts(10, 0), 1), (1, _ts(10, 30), 2)],
+            [(1, _ts(10, 0), 1), (1, _ts(10, 30), 2), (2, _ts(10, 0), 3),
+             (2, _ts(10, 29), 4)],
             "user long, t timestamp, eid long",
         )
         out = sessionize(ev, key="user", time_col="t", gap="30 minutes")
         sess = {r.eid: r.session_id for r in out.collect()}
-        assert sess[1] == sess[2] == 1
+        assert sess[1] == 1 and sess[2] == 2  # exact gap -> split
+        assert sess[3] == sess[4] == 1  # inside the gap -> same session
 
 
 class TestMultimodal:

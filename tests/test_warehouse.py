@@ -157,7 +157,12 @@ def test_prepare_and_validate_spark_side(spark, tmp_path):
 
 def test_cli_load_end_to_end(spark, tmp_path, capsys):
     """Task-2 via the CLI: CSV (with one invalid row) → validate →
-    merge into an embedded DuckDB warehouse → verify summary."""
+    merge into an embedded DuckDB warehouse → verify summary.
+
+    Reference T4 semantics (warehouse.py:411-466): the FULL prepared batch
+    loads into client_report — invalid rows are dead-lettered AND loaded —
+    and the archive/delete window spans the whole delivery, so boundary rows
+    that turn invalid on re-delivery still get replaced."""
     import json
 
     import duckdb
@@ -169,19 +174,41 @@ def test_cli_load_end_to_end(spark, tmp_path, capsys):
         "date,hour,impression_count,click_count\n"
         "2022-05-26,11,4,0\n"
         "2022-05-26,19,10,0\n"
-        "2022-05-26,20,-1,0\n"  # negative -> dead letter
+        "2022-05-26,20,-1,0\n"  # negative -> dead letter AND loaded
     )
     db = str(tmp_path / "wh.duckdb")
     rc = main(["load", "--csv", str(csv), "--db", db])
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert summary["record_count"] == "2"
-    assert summary["total_impressions"] == "14"
+    assert summary["record_count"] == "3"
+    assert summary["total_impressions"] == "13"
     assert summary["invalid_rows"] == "1"
     con = duckdb.connect(db)
-    assert con.execute("SELECT count(*) FROM client_report").fetchone()[0] == 2
+    assert con.execute("SELECT count(*) FROM client_report").fetchone()[0] == 3
     inv = con.execute(
         "SELECT validation_error FROM client_report_invalid"
     ).fetchall()
     assert len(inv) == 1 and "egative" in inv[0][0]
+    con.close()
+
+    # re-delivery where the last row went invalid: the merge window still
+    # covers 20:00 (full-batch min/max), so no stale row survives
+    csv.write_text(
+        "date,hour,impression_count,click_count\n"
+        "2022-05-26,11,4,0\n"
+        "2022-05-26,19,10,0\n"
+        "2022-05-26,20,-2,0\n"
+    )
+    rc = main(["load", "--csv", str(csv), "--db", db])
+    assert rc == 0
+    con = duckdb.connect(db)
+    rows = dict(
+        con.execute(
+            "SELECT datetime, impression_count FROM client_report"
+        ).fetchall()
+    )
+    assert len(rows) == 3
+    import datetime as dt
+
+    assert rows[dt.datetime(2022, 5, 26, 20, 0)] == -2  # replaced, not stale
     con.close()
