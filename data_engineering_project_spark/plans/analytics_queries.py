@@ -202,17 +202,38 @@ def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_distinct_profile",
-    sql=None,  # approx_count_distinct is sketch-based → rows-only check
-    doc="HyperLogLog profile: approx distinct users per event type plus "
-    "exact comparison column. At 100 TB approx_count_distinct is the "
-    "default; exact countDistinct is the audit path.",
+    sql="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="HyperLogLog profile: approx distinct users per event type, "
+    "value-checked. The raw sketch estimate can't hash-match across engines "
+    "(different HLL implementations), so the query emits the exact count "
+    "AND the error-bound PREDICATE |approx-exact|/exact <= 5% as columns — "
+    "the oracle asserts the exact count and that the bound holds (literal "
+    "TRUE), so a broken HLL flips the hash. At 100 TB approx_count_distinct "
+    "is the default; exact countDistinct is the audit path.",
     tags=("agg", "approx"),
 )
 def user_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("hll_within_5pct"),
+        )
     )
 
 

@@ -304,6 +304,35 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customers_without_big_orders",
+    sql="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    """,
+    doc="Anti join with a NON-EMPTY result at every test SF: "
+    "customers_without_orders is vacuously empty on the synthetic data "
+    "(every customer has orders), so its green oracle row never "
+    "discriminates a broken anti join — this one returns rows per segment "
+    "(round-1 verdict #4). Same plan shape: filtered build side, left_anti, "
+    "aggregate.",
+    tags=("join", "anti", "agg"),
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(big, c["c_custkey"] == big["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
     "big_spender_segments",
     sql="""
     SELECT c_mktsegment, count(*) AS n_customers

@@ -126,11 +126,15 @@ def docs_minhash_signature_profile(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "docs_simhash_buckets",
-    sql=None,  # xxhash64 is Spark-specific → rows-only check
+    sql=None,  # xxhash64 is Spark-specific → rows-only + invariant checks
     doc="SimHash-64 fingerprints bucketed by their top-16 bits: documents "
     "sharing a bucket are Hamming-close candidates. Pure map + one small "
     "agg; pairs within buckets verify with hamming64 ≤ threshold "
-    "(operators/dedup.py).",
+    "(operators/dedup.py). No SQL oracle (xxhash64 is Spark-specific), but "
+    "the FULL histogram makes the portable invariants exact: sum(n_docs) = "
+    "corpus size, every bucket in [0, 2^16) — asserted value-level in "
+    "tests/test_oracle_parity.py; Hamming-within-bucket behavior on a "
+    "seeded fixture in tests/test_dedup.py.",
     tags=("dedup", "simhash"),
 )
 def docs_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,5 +145,4 @@ def docs_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("bucket"))
-        .limit(50)
     )

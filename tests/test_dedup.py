@@ -58,6 +58,28 @@ def test_shingles_short_docs(spark):
     assert out[2] == [""]  # empty text → single empty shingle (still hashable)
 
 
+def test_simhash_bucket_members_are_hamming_close(spark):
+    """Seeded-fixture invariant for the docs_simhash_buckets query shape:
+    bucketing by the top-16 fingerprint bits puts exact dups in the same
+    bucket, and any two docs sharing a bucket are Hamming-close on the
+    full fingerprint (they already agree on 16 of 64 bits; for this
+    fixture the near-dup pair agrees within 12 overall)."""
+    df = _docs(spark)
+    fps = df.select(
+        "doc_id",
+        D.simhash64(F.col("text")).alias("fp"),
+    ).withColumn("bucket", F.shiftrightunsigned(F.col("fp"), 48))
+    rows = {r["doc_id"]: (r["fp"], r["bucket"]) for r in fps.collect()}
+    assert rows[0][1] == rows[3][1]  # exact dup -> same bucket, always
+    by_bucket: dict = {}
+    for fp, bucket in rows.values():
+        by_bucket.setdefault(bucket, []).append(fp)
+    for members in by_bucket.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                assert bin(a ^ b).count("1") <= 12
+
+
 def test_simhash_near_dups_are_hamming_close(spark):
     df = _docs(spark)
     fps = {

@@ -19,15 +19,106 @@ def oracle_con(sf_dir):
     return duckdb_conn(sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Value-level invariants for the queries that legitimately have NO SQL oracle
+# (Spark-specific hashes / sketches / random hyperplanes). "Rows-only" is not
+# the bar: each asserts mathematically-portable properties against DuckDB
+# ground truth, so a broken implementation still fails the parity suite.
+# ---------------------------------------------------------------------------
+
+
+def _inv_simhash_buckets(sdf, con):
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert sdf["n_docs"].sum() == n_docs  # every doc in exactly one bucket
+    assert sdf["bucket"].between(0, 2**16 - 1).all()  # top-16-bit domain
+    assert (sdf["n_docs"] >= 1).all()
+
+
+def _inv_cms_heavy_hitters(sdf, con):
+    true_counts = dict(
+        con.execute("SELECT user_id, count(*) FROM events GROUP BY 1").fetchall()
+    )
+    total = sum(true_counts.values())
+    assert (sdf["total_count"] == total).all()
+    # CMS never underestimates: est >= true count for every returned key
+    for _, r in sdf.iterrows():
+        assert r["est_count"] >= true_counts.get(r["user_id"], 0)
+    # perfect recall: every TRUE phi-heavy key must be in the result
+    phi_n = 0.008 * total
+    heavy = {k for k, c in true_counts.items() if c >= phi_n}
+    assert heavy <= set(sdf["user_id"])
+
+
+def _inv_hll_distinct(sdf, con):
+    exact = dict(
+        con.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert dict(zip(sdf["event_type"], sdf["exact_users"])) == exact
+    rel_err = (sdf["est_users"] - sdf["exact_users"]).abs() / sdf["exact_users"]
+    assert (rel_err <= 0.05).all()  # lgK=12 → ~1.6% typical, 5% generous
+
+
+def _inv_hll_rollup(sdf, con):
+    exact, n_days = con.execute(
+        "SELECT count(DISTINCT user_id), count(DISTINCT CAST(ts AS DATE))"
+        " FROM events"
+    ).fetchone()
+    row = sdf.iloc[0]
+    assert row["exact_total_users"] == exact
+    assert row["n_days"] == n_days
+    assert abs(row["est_total_users"] - exact) / exact <= 0.05
+
+
+def _inv_lsh_bucket_profile(sdf, con):
+    n_vec = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert sdf["n_vectors"].sum() == n_vec  # every vector in exactly one bucket
+    # bucket key = 12 sign bits concatenated into a 0/1 string
+    assert sdf["bucket"].str.fullmatch("[01]{12}").all()
+
+
+def _inv_lsh_near_pairs(sdf, con):
+    # precision check: every returned pair's cosine re-verified exactly
+    # against the raw vectors (recall is inherently approximate for LSH)
+    import numpy as np
+
+    vecs = {
+        i: np.array(v)
+        for i, v in con.execute(
+            "SELECT vec_id, embedding FROM embeddings"
+        ).fetchall()
+    }
+    assert (sdf["id_a"] < sdf["id_b"]).all()
+    for _, r in sdf.iterrows():
+        a, b = vecs[r["id_a"]], vecs[r["id_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(round(cos, 6) - r["cosine"]) <= 1e-6
+        assert r["cosine"] > 0.3
+
+
+NO_ORACLE_INVARIANTS = {
+    "docs_simhash_buckets": _inv_simhash_buckets,
+    "events_cms_heavy_hitters": _inv_cms_heavy_hitters,
+    "events_hll_distinct_users": _inv_hll_distinct,
+    "events_hll_daily_rollup": _inv_hll_rollup,
+    "emb_lsh_bucket_profile": _inv_lsh_bucket_profile,
+    "emb_lsh_near_pairs": _inv_lsh_near_pairs,
+}
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     fn = entrymod.queries()[name]
     sdf = fn(spark, sf_dir).toPandas()
     oracles = entrymod.oracle_sql()
     if name not in oracles:
-        # rows-only contract: the plan must execute; emptiness is allowed
-        # only for genuinely selective queries
-        assert sdf is not None
+        # no SQL oracle (declared) — every such query must carry a
+        # value-level invariant check instead of a bare rows-only pass
+        assert name in NO_ORACLE_INVARIANTS, (
+            f"{name} has no oracle SQL and no invariant checker; add one"
+        )
+        NO_ORACLE_INVARIANTS[name](sdf, oracle_con)
         return
     odf = oracle_con.execute(oracles[name]).fetchdf()
     res = compare_frames(name, sdf, odf)
