@@ -131,6 +131,69 @@ def minhash_lsh_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs token-set Jaccard ≥ t via prefix filtering (the
+    AllPairs/PPJoin family) — the no-false-negative complement to MinHash.
+
+    Theorem (prefix filter): order every token set by one GLOBAL order
+    (ascending document frequency, token string as tie-break — rarest
+    first); if J(x, y) ≥ t, then the first ``|x| − ⌈t·|x|⌉ + 1`` tokens of x
+    and the same-length prefix of y share at least one token. So joining on
+    prefix tokens only is COMPLETE, and prefixes of frequent-token-heavy
+    docs are short precisely where buckets would be hottest.
+
+    Shuffle shape at 100 TB: token-frequency join (keyed on token), per-doc
+    re-aggregation (keyed on id), prefix-token self-join (keyed on token,
+    carrying only (id, token)), then a by-id join to bring token sets back
+    for exact verification — same narrow-payload discipline as
+    minhash_lsh_pairs.
+    """
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
+    base = base.select(id_col, F.array_distinct("tk").alias("ts"))
+    tok = base.select(id_col, F.explode("ts").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(df, tok))), s -> s.tok)")
+            .alias("ordered_toks")
+        )
+    )
+    n = F.size("ordered_toks")
+    prefix_len = (n - F.ceil(F.lit(min_jaccard) * n) + 1).cast("int")
+    pref = ordered.select(
+        id_col,
+        F.explode(F.slice("ordered_toks", 1, prefix_len)).alias("tok"),
+    )
+    left = pref.select(F.col(id_col).alias("id_a"), "tok")
+    right = pref.select(F.col(id_col).alias("id_b"), "tok")
+    cand = (
+        left.join(right, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ts_by_id = base.select(F.col(id_col).alias("_ts_id"), F.col("ts").alias("_ts"))
+    verified = (
+        cand.join(ts_by_id, cand["id_a"] == ts_by_id["_ts_id"])
+        .select("id_a", "id_b", F.col("_ts").alias("ts_a"))
+        .join(ts_by_id, F.col("id_b") == ts_by_id["_ts_id"])
+        .select("id_a", "id_b", "ts_a", F.col("_ts").alias("ts_b"))
+    )
+    return (
+        verified.withColumn("jaccard", jaccard(F.col("ts_a"), F.col("ts_b")))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens.
 

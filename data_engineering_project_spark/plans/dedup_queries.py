@@ -86,6 +86,65 @@ def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PREFIX_T = 0.95
+
+_PREFIX_SQL = f"""
+    WITH ts AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(ts) AS tok FROM ts),
+    freq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+    ordered AS (
+        SELECT t.doc_id,
+               list_transform(list_sort(list({{'df': f.df, 'tok': t.tok}})),
+                              s -> s.tok) AS ot
+        FROM tok t JOIN freq f USING (tok)
+        GROUP BY t.doc_id
+    ),
+    pref AS (
+        SELECT doc_id,
+               unnest(ot[1:(len(ot) - CAST(ceil({_PREFIX_T} * len(ot)) AS INT) + 1)])
+                   AS tok
+        FROM ordered
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b USING (tok)
+        WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)
+               / (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
+                   AS j
+        FROM cand
+        JOIN ts sa ON sa.doc_id = cand.id_a
+        JOIN ts sb ON sb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    FROM verified WHERE j >= {_PREFIX_T}
+"""
+
+
+@register(
+    "docs_jaccard_near_pairs",
+    sql=_PREFIX_SQL,
+    doc="EXACT token-set Jaccard ≥ 0.95 pairs via prefix filtering "
+    "(AllPairs/PPJoin family) — the zero-false-negative complement to "
+    "MinHash: token sets sort by ascending global document frequency, only "
+    "the first |x|−⌈t·|x|⌉+1 tokens become blocking keys (complete by the "
+    "prefix-filter theorem), and candidates verify with exact Jaccard. "
+    "Fully oracle-checked: no hashing anywhere, so DuckDB restates every "
+    "step including the global token order.",
+    tags=("dedup", "jaccard", "similarity"),
+)
+def docs_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_prefix_pairs(d, min_jaccard=_PREFIX_T)
+
+
 @register(
     "docs_minhash_signature_profile",
     sql=f"""

@@ -45,6 +45,30 @@ def test_minhash_jaccard_matches_direct_computation(spark):
     assert got[(0, 1)] == expected
 
 
+def test_prefix_jaccard_matches_bruteforce_exactly(spark):
+    """Prefix filtering is EXACT (no false negatives, unlike MinHash): the
+    result must equal a brute-force all-pairs Jaccard at every threshold."""
+    from data_engineering_project_spark.operators.text import jaccard, token_set
+
+    docs = _docs(spark)
+    for t in (0.3, 0.5, 0.9):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.jaccard_prefix_pairs(docs, min_jaccard=t).collect()
+        }
+        ts = docs.select("doc_id", token_set(F.col("text")).alias("ts"))
+        a = ts.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
+        b = ts.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("j", F.round(jaccard(F.col("ts_a"), F.col("ts_b")), 6))
+            .filter(F.col("j") >= t)
+        )
+        want = {(r["id_a"], r["id_b"]): r["j"] for r in brute.collect()}
+        assert got == want, t
+
+
 def test_shingles_short_docs(spark):
     df = spark.createDataFrame(
         [(0, "two words"), (1, "one"), (2, "")], "doc_id long, text string"
