@@ -130,3 +130,101 @@ def cms_heavy_hitters(
         .withColumn("total_count", F.lit(total))
         .orderBy(F.col("est_count").desc(), F.col(key))
     )
+
+
+def misra_gries_summaries(
+    df: DataFrame, key: str, *, capacity: int = 256
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries — bounded state, one
+    pass, DETERMINISTIC (the space-saving-family alternative to the
+    probabilistic CMS above; Misra & Gries 1982, mergeability per Agarwal
+    et al. 2012 "Mergeable Summaries").
+
+    Each partition keeps at most ``capacity`` counters: batch counts fold
+    in vectorized (pandas value_counts per Arrow batch — no per-row Python
+    loop), and when the table overflows, the (capacity+1)-th largest count
+    is subtracted from every counter and non-positive ones drop. The
+    partition emits ``(pid, key, est, dec)`` where ``dec`` is the
+    partition's total decrement: per partition,
+    ``est ≤ true_p ≤ est + dec_p`` for present keys and ``true_p ≤ dec_p``
+    for absent ones. Summaries merge by summing ``est`` per key; the
+    global bounds are ``Σest ≤ true ≤ Σest + Σdec``.
+
+    State is O(capacity) per partition regardless of key cardinality —
+    the property that matters when billions of long-tail keys would blow
+    up exact per-key aggregation state at 100 TB.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    key_type = df.schema[key].dataType.simpleString()
+
+    def summarize(it):
+        from pyspark import TaskContext
+
+        counters: dict = {}
+        dec_total = 0
+        for pdf in it:
+            for k, c in pdf[key].value_counts().items():
+                counters[k] = counters.get(k, 0) + int(c)
+            if len(counters) > capacity:
+                # subtract the (capacity+1)-th largest from everyone
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                dec_total += cut
+                counters = {
+                    k: v - cut for k, v in counters.items() if v - cut > 0
+                }
+        pid = TaskContext.get().partitionId()
+        # sentinel (null-key, est 0) row: carries dec_total even when the
+        # compaction dropped every counter, so the global upper bound stays
+        # sound for keys absent from this partition
+        keys = list(counters.keys()) + [None]
+        ests = list(counters.values()) + [0]
+        yield pd.DataFrame(
+            {
+                "pid": [pid] * len(keys),
+                key: keys,
+                "est": ests,
+                "dec": [dec_total] * len(keys),
+            }
+        )
+
+    out_schema = f"pid int, {key} {key_type}, est long, dec long"
+    return df.select(key).mapInPandas(summarize, out_schema)
+
+
+def space_saving_topk(
+    df: DataFrame, key: str, *, k: int = 10, capacity: int = 256
+) -> DataFrame:
+    """Deterministic top-k with per-key error bounds from merged
+    Misra-Gries summaries: ``(key, est_lower, est_upper)`` where
+    ``est_lower ≤ true ≤ est_upper`` is a HARD guarantee (no probability,
+    unlike CMS), and ``est_upper − est_lower = Σ partition decrements`` —
+    zero (exact result) whenever per-partition cardinality fits capacity.
+
+    One pass over the data (vs CMS's two); the shuffle carries at most
+    ``capacity`` rows per partition. Any key whose true count exceeds
+    Σdec is guaranteed present in the merged summary.
+    """
+    summ = misra_gries_summaries(df, key, capacity=capacity)
+    # each partition's dec counts once; the pid column exists for exactly this
+    dec_total = summ.select("pid", "dec").distinct().agg(
+        F.sum("dec").alias("dec_total")
+    )
+    merged = (
+        summ.filter(F.col(key).isNotNull())  # drop the dec-carrier sentinels
+        .groupBy(key)
+        .agg(F.sum("est").alias("est_lower"))
+    )
+    return (
+        merged.orderBy(F.desc("est_lower"), F.asc(key))
+        .limit(k)
+        .crossJoin(F.broadcast(dec_total))
+        .select(
+            key,
+            "est_lower",
+            (F.col("est_lower") + F.coalesce(F.col("dec_total"), F.lit(0))).alias(
+                "est_upper"
+            ),
+        )
+        .orderBy(F.desc("est_lower"), F.asc(key))
+    )

@@ -1269,6 +1269,25 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_spacesaving_topk",
+    sql=None,  # bounds depend on partitioning → invariant-checked, not hashed
+    doc="Deterministic top-10 users via merged Misra-Gries (space-saving "
+    "family) summaries — the ONE-pass, hard-guarantee alternative to the "
+    "two-pass CMS heavy hitters above: est_lower ≤ true ≤ est_upper always "
+    "(no failure probability), per-partition state capped at 32 counters "
+    "regardless of key cardinality, shuffle ≤ capacity rows/partition. "
+    "est_upper − est_lower = Σ partition decrements — zero (provably exact) "
+    "when per-partition cardinality fits. Bounds + exactness-when-tight are "
+    "value-checked against DuckDB ground truth in tests/test_oracle_parity; "
+    "merge math property-tested in tests/test_sketch.py.",
+    tags=("sketch", "approx", "agg"),
+)
+def events_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return K.space_saving_topk(ev, "user_id", k=10, capacity=32)
+
+
+@register(
     "events_hll_distinct_users",
     sql=None,  # Datasketches HLL estimates aren't restatable in DuckDB → rows-only
     doc="Mergeable distinct-count sketches: per-event-type distinct users "

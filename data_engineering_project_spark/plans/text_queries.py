@@ -360,3 +360,55 @@ def docs_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
         lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "docs_tfidf_top_terms",
+    sql="""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf * (ln((n.n_docs + 1.0)
+                                        / (df.df + 1.0)) + 1.0) DESC,
+                                  tf.term ASC) AS rank
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(rank AS INT) AS rank, ROUND(score, 6) AS score
+    FROM scored WHERE rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))+1, "
+    "sklearn's convention): the keyword-extraction / doc-representation "
+    "primitive of text pipelines. Plan shape at 100 TB: one explode, tf agg "
+    "keyed (doc, term), df agg keyed term, term-keyed join back, one window "
+    "per doc — no driver-side vocabulary, no UDF; N arrives via a single-row "
+    "broadcast crossJoin.",
+    tags=("text", "agg", "window"),
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", F.round("score", 6).alias("score"))
+    )

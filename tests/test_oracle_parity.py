@@ -97,7 +97,25 @@ def _inv_lsh_near_pairs(sdf, con):
         assert r["cosine"] > 0.3
 
 
+def _inv_spacesaving_topk(sdf, con):
+    true_counts = dict(
+        con.execute("SELECT user_id, count(*) FROM events GROUP BY 1").fetchall()
+    )
+    assert len(sdf) == min(10, len(true_counts))
+    for _, r in sdf.iterrows():
+        true = true_counts[r["user_id"]]
+        assert r["est_lower"] <= true <= r["est_upper"]  # hard MG bounds
+    if (sdf["est_upper"] == sdf["est_lower"]).all():
+        # no decrements anywhere → provably exact: must equal true top-k
+        want = sorted(true_counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : len(sdf)
+        ]
+        got = list(zip(sdf["user_id"], sdf["est_lower"]))
+        assert got == want
+
+
 NO_ORACLE_INVARIANTS = {
+    "events_spacesaving_topk": _inv_spacesaving_topk,
     "docs_simhash_buckets": _inv_simhash_buckets,
     "events_cms_heavy_hitters": _inv_cms_heavy_hitters,
     "events_hll_distinct_users": _inv_hll_distinct,

@@ -116,3 +116,41 @@ def test_hll_daily_union_equals_direct_sketch(spark, sf_dir):
     assert row.est_total_users == direct
     assert abs(row.est_total_users - row.exact_total_users) <= 0.05 * row.exact_total_users
     assert row.n_days > 1  # the rollup actually merged multiple sketches
+
+
+def test_misra_gries_bounds_hold_under_forced_decrements(spark):
+    """Skewed stream through a deliberately tiny summary (capacity 4,
+    ~40 distinct keys): decrements MUST fire, and the merged
+    est_lower <= true <= est_upper guarantee must survive the merge."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.operators.sketch import space_saving_topk
+
+    # key 0: 4000 rows; keys 1..40: ~100 rows each, across 8 partitions
+    df = (
+        spark.range(8000, numPartitions=8)
+        .select(
+            F.when(F.col("id") < 4000, F.lit(0))
+            .otherwise(F.col("id") % 40 + 1)
+            .alias("k")
+        )
+    )
+    top = space_saving_topk(df, "k", k=5, capacity=4)
+    rows = top.collect()
+    true = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert rows[0]["k"] == 0  # the hot key always survives
+    assert rows[0]["est_upper"] > rows[0]["est_lower"]  # decrements fired
+    for r in rows:
+        assert r["est_lower"] <= true[r["k"]] <= r["est_upper"]
+
+
+def test_misra_gries_exact_when_capacity_fits(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.operators.sketch import space_saving_topk
+
+    df = spark.range(1000, numPartitions=4).select((F.col("id") % 7).alias("k"))
+    rows = space_saving_topk(df, "k", k=7, capacity=64).collect()
+    true = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r["est_lower"] == r["est_upper"] == true[r["k"]]  # dec == 0 → exact
