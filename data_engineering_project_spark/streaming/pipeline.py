@@ -153,40 +153,105 @@ def upsert_parquet_batch(
     transactional table format instead of this rewrite-on-merge (the target
     here is ≤ dates×24×types rows).
     """
-    next_dir = target_dir + "_next"
-    old_dir = target_dir + "_old"
-
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-
         spark = batch_df.sparkSession
-        # crash recovery: died between the two renames → restore the old
-        # target; stale _next/_old from any earlier crash are dead weight
-        if not os.path.isdir(target_dir) and os.path.isdir(old_dir):
-            os.rename(old_dir, target_dir)
-        shutil.rmtree(next_dir, ignore_errors=True)
-        shutil.rmtree(old_dir, ignore_errors=True)
-
+        current = _recover_and_read(spark, target_dir)
         new = batch_df.dropDuplicates(key_cols)
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(target_dir)
-        ):
-            current = spark.read.parquet(target_dir)
+        if current is not None:
             keep = current.join(new.select(key_cols), on=key_cols, how="left_anti")
             merged = keep.unionByName(new)
         else:
             merged = new
         if densify is not None:
             merged = densify(merged)
-        # materialize BEFORE touching the live target (reads of target_dir
-        # above are complete once this write action returns)
-        merged.write.mode("overwrite").parquet(next_dir)
-        if os.path.isdir(target_dir):
-            os.rename(target_dir, old_dir)
-        os.rename(next_dir, target_dir)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        _atomic_swap_write(merged, target_dir)
 
     return _write
+
+
+def _recover_and_read(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Crash recovery + read for rewrite-on-merge targets: a writer that died
+    between the two swap renames left ``<target>_old`` holding the data —
+    restore it; stale ``_next``/``_old`` from any earlier crash are dead
+    weight. Returns the current target frame, or None if the target is
+    empty/absent."""
+    import shutil
+
+    next_dir, old_dir = target_dir + "_next", target_dir + "_old"
+    if not os.path.isdir(target_dir) and os.path.isdir(old_dir):
+        os.rename(old_dir, target_dir)
+    shutil.rmtree(next_dir, ignore_errors=True)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if os.path.isdir(target_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(target_dir)
+    ):
+        return spark.read.parquet(target_dir)
+    return None
+
+
+def _atomic_swap_write(merged: DataFrame, target_dir: str) -> None:
+    """Materialize ``merged`` into ``<target>_next``, then swap via directory
+    renames (atomic on one filesystem) — never a second Spark overwrite of
+    the live target, which would leave a truncated target if the writer died
+    mid-copy. Reads of ``target_dir`` are complete once the write action
+    returns, so the renames never race the lineage."""
+    import shutil
+
+    next_dir, old_dir = target_dir + "_next", target_dir + "_old"
+    merged.write.mode("overwrite").parquet(next_dir)
+    if os.path.isdir(target_dir):
+        os.rename(target_dir, old_dir)
+    os.rename(next_dir, target_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def upsert_daily_sketches(
+    target_dir: str,
+    *,
+    key_col: str = "interaction_id",
+    time_col: str = "batch_ts",
+    lg_k: int = 12,
+) -> Callable:
+    """foreachBatch writer maintaining MERGEABLE per-day HLL distinct-count
+    sketches — the streaming twin of the batch ``events_hll_daily_rollup``
+    query: each micro-batch sketches its own rows per day and folds into
+    the persisted sketch table via ``hll_union_agg`` (register-wise max).
+
+    Why sketches, not counters, for streaming state: union is idempotent —
+    a crash-re-delivered micro-batch merges to the SAME registers, so the
+    exactly-once problem counters have under retries simply vanishes; and
+    arbitrary date-range distinct counts roll up from the tiny persisted
+    sketches without ever re-reading raw events (fixed 2^lg_k state per
+    day vs per-key state growing with cardinality)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            batch_df.filter(F.col(time_col).isNotNull())
+            .groupBy(F.to_date(time_col).alias("day"))
+            .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"))
+        )
+        current = _recover_and_read(spark, target_dir)
+        merged = (
+            current.unionByName(new)
+            .groupBy("day")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            if current is not None
+            else new
+        )
+        _atomic_swap_write(merged, target_dir)
+
+    return _write
+
+
+def read_daily_distinct_estimates(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Query side of the sketch table: per-day estimates plus the all-days
+    rollup folded from the SAME persisted sketches (no raw-event re-scan)."""
+    sk = spark.read.parquet(target_dir)
+    per_day = sk.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_distinct")
+    )
+    return per_day
 
 
 def run_incremental_report(

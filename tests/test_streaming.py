@@ -374,3 +374,62 @@ def test_idle_timeout_session_closes_without_new_key_events(spark, dirs):
         q.stop()
     assert ("impressions", 5, False) in rows  # open-session snapshot
     assert ("impressions", 5, True) in rows  # idle-timeout close
+
+
+def test_streaming_hll_daily_sketch_rollup(spark, dirs):
+    """Streaming sketch maintenance: per-day HLL sketches merge across
+    micro-batches AND across separate availableNow runs; estimates from the
+    persisted sketches match exact distinct counts (sparse-mode HLL is
+    exact at these cardinalities), and the range rollup never re-reads the
+    raw events."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_daily_distinct_estimates,
+        read_event_stream,
+        upsert_daily_sketches,
+    )
+
+    def _ids(path, lo, n):
+        pq.write_table(
+            pa.table(
+                {
+                    "interaction_id": list(range(lo, lo + n)),
+                    "page_url": [f"https://x.test/{i}" for i in range(n)],
+                }
+            ),
+            path,
+        )
+
+    def run_once():
+        events = read_event_stream(spark, dirs["in"], SCHEMA)
+        q = (
+            events.writeStream.outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(upsert_daily_sketches(dirs["target"]))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: day 26 ids 0..49, day 27 ids 25..74 (overlaps day 26's ids)
+    _ids(f"{dirs['in']}/impressions_processed_dk_20220526110000000_1-1_1.parquet", 0, 50)
+    _ids(f"{dirs['in']}/clicks_processed_dk_20220527120000000_2-2_1.parquet", 25, 50)
+    run_once()
+    # run 2: day 26 again, ids 30..79 → day 26 distinct = 80 (0..79)
+    _ids(f"{dirs['in']}/impressions_processed_dk_20220526150000000_3-3_1.parquet", 30, 50)
+    run_once()
+
+    got = {
+        str(r["day"]): r["est_distinct"]
+        for r in read_daily_distinct_estimates(spark, dirs["target"]).collect()
+    }
+    assert got == {"2022-05-26": 80, "2022-05-27": 50}
+
+    # range rollup from the persisted sketches only: distinct over BOTH days
+    # is 80 (27th's ids are a subset of the 26th's) — union, not sum
+    sk = spark.read.parquet(dirs["target"])
+    total = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
+    ).collect()[0]["n"]
+    assert total == 80
