@@ -387,3 +387,75 @@ def docs_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return chunk_audio(attach_binary_payload(d))
+
+
+@register(
+    "lineitem_unpivot_measures",
+    sql="""
+    WITH long AS (
+        SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure, count(*) AS n,
+           ROUND(min(val), 4) AS min_val, ROUND(max(val), 4) AS max_val,
+           ROUND(SUM(ROUND(val * 100, 0)) / 100, 2) AS sum_val
+    FROM long GROUP BY measure
+    """,
+    doc="UNPIVOT/melt (wide → long) — the inverse of the pivot the catalog "
+    "already ships (events_daily_type_pivot): three measure columns unpivot "
+    "into (measure, val) rows via Spark's native unpivot (Expand node — "
+    "map-side row generation, no join), then per-measure profiling. Sums "
+    "snap to integer cents first (order-independent across partitions, "
+    "ROADMAP invariant).",
+    tags=("reshape", "unpivot", "agg"),
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [], ["l_quantity", "l_discount", "l_tax"], "measure", "val"
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("val"), 4).alias("min_val"),
+        F.round(F.max("val"), 4).alias("max_val"),
+        F.round(F.sum(F.round(F.col("val") * 100, 0)) / 100, 2).alias("sum_val"),
+    )
+
+
+@register(
+    "orders_decile_stats",
+    sql="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT CAST(decile AS INT) AS decile, count(*) AS n,
+           ROUND(min(o_totalprice), 2) AS lo, ROUND(max(o_totalprice), 2) AS hi
+    FROM ranked GROUP BY decile
+    """,
+    doc="ntile decile profiling — the distribution-bucketing window shape "
+    "(complements median/percentile in orders_price_quantiles): one global "
+    "sort window (o_orderkey tie-break makes bucket edges deterministic), "
+    "then per-decile extents. At 100 TB a global ntile is a single range "
+    "partition sort — the documented alternative is percentile_approx "
+    "bucket edges when a total sort is too expensive.",
+    tags=("window", "agg"),
+)
+def orders_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -412,3 +412,48 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "rank", F.round("score", 6).alias("score"))
     )
+
+
+@register(
+    "docs_token_chunks",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 16)) AS s
+        FROM toks
+    )
+    SELECT doc_id, CAST(s // 16 AS INT) AS chunk_idx,
+           CAST(len(t[s + 1:least(s + 32, len(t))]) AS INT) AS n_tokens,
+           md5(array_to_string(t[s + 1:least(s + 32, len(t))], ' '))
+               AS chunk_checksum
+    FROM starts
+    """,
+    doc="Token-window chunking for LLM training data: 32-token windows "
+    "every 16 tokens (50%% overlap, same hop convention as the audio "
+    "chunker in operators/multimodal.py) — the split-long-documents-into-"
+    "training-sequences op. Pure explode over a generated start sequence, "
+    "no UDF; checksums prove the chunk CONTENT (not just counts) is "
+    "identical across engines.",
+    tags=("text", "chunking", "multimodal"),
+)
+def docs_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(16))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("t"), F.col("s") + 1, 32)
+    return starts.select(
+        "doc_id",
+        (F.col("s") / 16).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_checksum"),
+    )
