@@ -327,6 +327,31 @@ def session_counts_stream(
     )
 
 
+def deduped_event_stream(
+    events: DataFrame,
+    *,
+    id_col: str = "interaction_id",
+    time_col: str = "batch_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CDC-style streaming dedup: re-delivered event ids are dropped
+    exactly once across micro-batches via ``dropDuplicatesWithinWatermark``
+    — the at-least-once → exactly-once repair stage in front of any
+    downstream aggregate when the upstream (queue, CDC feed, retried file
+    batches) can re-deliver.
+
+    Why the WithinWatermark variant: plain ``dropDuplicates`` on a stream
+    keeps every key seen FOREVER (unbounded state — the classic production
+    OOM); this one expires each id's state once the watermark passes its
+    event time, so state is bounded by the watermark window while still
+    guaranteeing dedup for any duplicate arriving within it."""
+    return (
+        events.filter(F.col(time_col).isNotNull())
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col])
+    )
+
+
 def stateful_type_totals_stream(events: DataFrame, *, key_col: str = "event_type"):
     """Custom stateful operator via ``applyInPandasWithState``: cumulative
     per-key totals across ALL micro-batches — state no window can express

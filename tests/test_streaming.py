@@ -433,3 +433,45 @@ def test_streaming_hll_daily_sketch_rollup(spark, dirs):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
     ).collect()[0]["n"]
     assert total == 80
+
+
+def test_stream_dedup_drops_redelivered_ids_with_bounded_state(spark, dirs):
+    """dropDuplicatesWithinWatermark: two files carrying overlapping
+    interaction ids (an upstream redelivery) → each id survives exactly
+    once downstream; dedup state expires with the watermark instead of
+    growing forever."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        deduped_event_stream,
+        read_event_stream,
+    )
+
+    def _ids(path, lo, n):
+        pq.write_table(
+            pa.table(
+                {
+                    "interaction_id": list(range(lo, lo + n)),
+                    "page_url": [f"https://x.test/{i}" for i in range(n)],
+                }
+            ),
+            path,
+        )
+
+    # ids 0..9, then a redelivery shifted by 5: ids 5..14 → 15 distinct
+    _ids(f"{dirs['in']}/impressions_processed_dk_20220526110000000_1-1_1.parquet", 0, 10)
+    _ids(f"{dirs['in']}/impressions_processed_dk_20220526111500000_2-2_1.parquet", 5, 10)
+
+    events = read_event_stream(spark, dirs["in"], SCHEMA)
+    deduped = deduped_event_stream(events)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_t")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT interaction_id FROM dedup_t").collect()
+    ids = [r["interaction_id"] for r in rows]
+    assert sorted(ids) == list(range(15))  # each id exactly once
+    assert len(ids) == len(set(ids))
