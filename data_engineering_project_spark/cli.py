@@ -53,11 +53,44 @@ def make_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="drain the backlog and stop (cron-replacement trigger)",
     )
+
+    # ops surface (reference verify_setup.py / entrypoint.sh / cron)
+    vs = sub.add_parser(
+        "verify-setup",
+        help="pre-flight checks: java, python, packages, dirs, spark, warehouse",
+    )
+    vs.add_argument("--dir", action="append", default=[], dest="dirs")
+    vs.add_argument("--db", default=None, help="warehouse file to probe")
+    vs.add_argument("--skip-spark", action="store_true")
+    vs.add_argument("--master", default="local[*]")
+
+    hc = sub.add_parser(
+        "healthcheck", help="liveness probe for a scheduled deployment"
+    )
+    hc.add_argument("--checkpoint-dir", default=None)
+    hc.add_argument("--output-dir", default=None)
+    hc.add_argument("--db", default=None)
+    hc.add_argument("--max-age", type=float, default=None, metavar="SECONDS")
+
+    sch = sub.add_parser(
+        "schedule",
+        help="print the next fire times for an environment's cron schedule "
+        "(reference docker/cron/schedules.py)",
+    )
+    sch.add_argument(
+        "--environment",
+        default="testing",
+        choices=["testing", "development", "production"],
+    )
+    sch.add_argument("--next", type=int, default=5, dest="n_next")
     return parser
 
 
 def main(argv: list[str] | None = None) -> int:
     args = make_parser().parse_args(argv)
+
+    if args.mode in ("verify-setup", "healthcheck", "schedule"):
+        return _run_ops(args)
 
     from pyspark.sql import SparkSession
 
@@ -103,6 +136,44 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if owns_session:
             spark.stop()
+
+
+def _run_ops(args) -> int:
+    """Control-plane subcommands; no data path, JSON to stdout, exit 0/1."""
+    import json
+    from datetime import datetime
+
+    from data_engineering_project_spark import ops
+
+    if args.mode == "schedule":
+        expr = ops.get_schedule(args.environment)
+        t = datetime.now()
+        fires = []
+        for _ in range(args.n_next):
+            t = ops.cron_next(expr, t)
+            fires.append(t.isoformat(timespec="minutes"))
+        print(json.dumps({"environment": args.environment, "cron": expr,
+                          "next": fires}))
+        return 0
+
+    if args.mode == "verify-setup":
+        spark = None
+        if not args.skip_spark:
+            from data_engineering_project_spark.session import get_spark
+
+            spark = get_spark(app_name="dep-spark-verify", master=args.master)
+        rep = ops.verify_setup(
+            required_dirs=args.dirs, warehouse_db=args.db, spark=spark
+        )
+    else:
+        rep = ops.healthcheck(
+            checkpoint_dir=args.checkpoint_dir,
+            output_dir=args.output_dir,
+            warehouse_db=args.db,
+            max_age_seconds=args.max_age,
+        )
+    print(json.dumps(rep.as_dict()))
+    return 0 if rep.ok else 1
 
 
 def _run_load(spark, args) -> None:

@@ -1,0 +1,212 @@
+"""Ops surface: schedule evaluation, verify-setup, healthcheck.
+
+Mirrors the reference's deployment scaffolding (``verify_setup.py``,
+``docker/entrypoint.sh``, ``docker/cron/schedules.py``) — checks are
+pure control-plane, so these tests run without a SparkSession except the
+one explicit probe test.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta
+
+import pytest
+
+from data_engineering_project_spark import ops
+
+
+# --- cron parsing / next-fire ------------------------------------------------
+
+
+def test_production_schedule_fires_every_six_hours():
+    # reference schedules.py:20: 00:00, 06:00, 12:00, 18:00
+    t = datetime(2022, 5, 26, 10, 15)
+    fires = []
+    for _ in range(4):
+        t = ops.cron_next(ops.PRODUCTION_SCHEDULE, t)
+        fires.append((t.hour, t.minute))
+    assert fires == [(12, 0), (18, 0), (0, 0), (6, 0)]
+
+
+def test_testing_schedule_fires_every_minute():
+    t = ops.cron_next(ops.TESTING_SCHEDULE, datetime(2022, 5, 26, 10, 15, 30))
+    assert t == datetime(2022, 5, 26, 10, 16)
+
+
+def test_development_schedule_rounds_to_five_minutes():
+    t = ops.cron_next(ops.DEVELOPMENT_SCHEDULE, datetime(2022, 5, 26, 10, 1))
+    assert t == datetime(2022, 5, 26, 10, 5)
+
+
+def test_weekly_monday_schedule():
+    # Thu 2022-05-26 → next Monday 2022-05-30 00:00
+    t = ops.cron_next("0 0 * * 1", datetime(2022, 5, 26, 10, 0))
+    assert t == datetime(2022, 5, 30, 0, 0)
+
+
+def test_dow_seven_is_sunday():
+    assert ops.cron_next("0 0 * * 7", datetime(2022, 5, 26)) == datetime(
+        2022, 5, 29
+    )
+
+
+def test_vixie_dom_dow_or_semantics():
+    # both restricted → fire when EITHER matches: the 1st (Wed) or Monday
+    sched = ops.CronSchedule.parse("0 0 1 * 1")
+    assert sched.matches(datetime(2022, 6, 1, 0, 0))  # dom hit, a Wednesday
+    assert sched.matches(datetime(2022, 6, 6, 0, 0))  # Monday, dom=6
+    assert not sched.matches(datetime(2022, 6, 2, 0, 0))
+
+
+def test_get_schedule_parity_with_reference():
+    # exact strings from reference docker/cron/schedules.py:16-23
+    assert ops.get_schedule("testing") == "* * * * *"
+    assert ops.get_schedule("development") == "*/5 * * * *"
+    assert ops.get_schedule("production") == "0 */6 * * *"
+    assert ops.get_schedule("nonsense") == "* * * * *"  # fallback :40
+
+
+def test_bad_expressions_rejected():
+    with pytest.raises(ValueError):
+        ops.cron_next("* * * *", datetime(2022, 1, 1))
+    with pytest.raises(ValueError):
+        ops.cron_next("61 * * * *", datetime(2022, 1, 1))
+
+
+# --- scheduler loop ----------------------------------------------------------
+
+
+def test_run_on_schedule_fake_clock_runs_at_fire_times():
+    clock = {"now": datetime(2022, 5, 26, 10, 2)}
+    ticks: list[datetime] = []
+
+    def sleep(seconds: float) -> None:
+        clock["now"] += timedelta(seconds=seconds)
+
+    ran = ops.run_on_schedule(
+        ticks.append,
+        ops.DEVELOPMENT_SCHEDULE,
+        max_ticks=3,
+        now_fn=lambda: clock["now"],
+        sleep_fn=sleep,
+    )
+    # entrypoint.sh:60-66 lifecycle: immediate run, then the cadence
+    assert ran == 3
+    assert ticks[0] == datetime(2022, 5, 26, 10, 2)
+    assert ticks[1:] == [datetime(2022, 5, 26, 10, 5), datetime(2022, 5, 26, 10, 10)]
+
+
+def test_run_on_schedule_survives_failing_tick():
+    clock = {"now": datetime(2022, 5, 26, 10, 2)}
+    errors: list[str] = []
+
+    def tick(at: datetime) -> None:
+        raise RuntimeError("boom")
+
+    ran = ops.run_on_schedule(
+        tick,
+        ops.TESTING_SCHEDULE,
+        max_ticks=2,
+        now_fn=lambda: clock["now"],
+        sleep_fn=lambda s: clock.__setitem__(
+            "now", clock["now"] + timedelta(seconds=s)
+        ),
+        on_error=lambda at, e: errors.append(str(e)),
+    )
+    assert ran == 2
+    assert errors == ["boom", "boom"]
+
+
+# --- verify-setup ------------------------------------------------------------
+
+
+def test_verify_setup_green_in_this_environment(tmp_path):
+    db = str(tmp_path / "wh.duckdb")
+    rep = ops.verify_setup(
+        required_dirs=[str(tmp_path / "landing"), str(tmp_path / "out")],
+        warehouse_db=db,
+    )
+    assert rep.ok, rep.as_dict()
+    # missing dirs are created, not failed (reference verify_setup.py:49-55)
+    assert os.path.isdir(tmp_path / "landing")
+    names = [c.name for c in rep.checks]
+    assert names == ["java", "python", "packages", "structure", "warehouse"]
+
+
+def test_verify_setup_reports_missing_dirs_when_not_creating(tmp_path):
+    rep = ops.verify_setup(
+        required_dirs=[str(tmp_path / "nope")], create_missing=False
+    )
+    assert not rep.ok
+    bad = {c.name: c for c in rep.checks}["structure"]
+    assert "nope" in bad.detail
+
+
+def test_verify_setup_spark_probe(spark):
+    rep = ops.verify_setup(spark=spark)
+    assert {c.name: c.ok for c in rep.checks}["spark"]
+
+
+# --- healthcheck -------------------------------------------------------------
+
+
+def test_healthcheck_checkpoint_freshness(tmp_path):
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    rep = ops.healthcheck(checkpoint_dir=str(ckpt))
+    assert not rep.ok  # no committed batch yet
+
+    commit = ckpt / "commits" / "0"
+    commit.write_text("v1")
+    rep = ops.healthcheck(checkpoint_dir=str(ckpt), max_age_seconds=60)
+    assert rep.ok
+
+    # a stalled drain ages out
+    rep = ops.healthcheck(
+        checkpoint_dir=str(ckpt),
+        max_age_seconds=60,
+        now_fn=lambda: os.path.getmtime(commit) + 3600,
+    )
+    assert not rep.ok
+
+
+def test_healthcheck_output_and_warehouse(tmp_path):
+    out = tmp_path / "out"
+    out.mkdir()
+    rep = ops.healthcheck(output_dir=str(out))
+    assert not rep.ok
+    (out / "task1_output_2022-05-26.csv").write_text("date,hour\n2022-05-26,0\n")
+
+    import duckdb
+
+    db = str(tmp_path / "wh.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE client_report (datetime TIMESTAMP)")
+    con.close()
+    rep = ops.healthcheck(output_dir=str(out), warehouse_db=db)
+    assert rep.ok
+    assert "rows=0" in {c.name: c for c in rep.checks}["warehouse"].detail
+
+
+# --- CLI wiring --------------------------------------------------------------
+
+
+def test_cli_schedule_subcommand(capsys):
+    from data_engineering_project_spark.cli import main
+
+    assert main(["schedule", "--environment", "production", "--next", "3"]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert payload["cron"] == "0 */6 * * *"
+    assert len(payload["next"]) == 3
+
+
+def test_cli_healthcheck_exit_codes(tmp_path, capsys):
+    from data_engineering_project_spark.cli import main
+
+    out = tmp_path / "out"
+    out.mkdir()
+    assert main(["healthcheck", "--output-dir", str(out)]) == 1
+    (out / "task1_output_2022-05-26.csv").write_text("date,hour\n2022-05-26,0\n")
+    assert main(["healthcheck", "--output-dir", str(out)]) == 0
