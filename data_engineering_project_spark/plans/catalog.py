@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
     from data_engineering_project_spark.plans import (  # noqa: F401
         analytics_queries,
         core_queries,
+        curation_queries,
         dedup_queries,
         extended_queries,
         quality_queries,
