@@ -104,12 +104,19 @@ def combine_hourly_reports(
     hour_col: Column | str,
     type_col: Column | str,
     types: Sequence[str],
+    sort: bool = False,
 ) -> DataFrame:
     """Full report: counts → densify → zero-fill → ordered columns.
 
     Output schema mirrors the reference's daily report
     (``date, hour, <type>_count...``; exactly 24 rows per observed date,
     golden example ``output/task1_output_2022-05-26.csv``).
+
+    ``sort`` is OFF by default: a global orderBy adds a range-partition
+    exchange + sort stage that neither consumer needs — the CSV sink orders
+    rows per date-partition itself (``sinks/csv_sink.py:36``), and
+    relational consumers treat row order as meaningless. Pass ``sort=True``
+    only when handing the frame directly to something order-sensitive.
     """
     counts = hourly_type_counts(
         df, date_col=date_col, hour_col=hour_col, type_col=type_col, types=types
@@ -122,4 +129,5 @@ def combine_hourly_reports(
     counts = counts.persist()
     fill = [f"{t}_count" for t in types]
     dense = densify_hours(counts, fill_cols=fill)
-    return dense.select("date", "hour", *fill).orderBy("date", "hour")
+    out = dense.select("date", "hour", *fill)
+    return out.orderBy("date", "hour") if sort else out

@@ -203,5 +203,4 @@ def docs_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.shiftrightunsigned(fp, 48).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
-        .orderBy(F.desc("n_docs"), F.asc("bucket"))
     )

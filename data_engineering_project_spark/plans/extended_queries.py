@@ -1172,7 +1172,6 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     return (
         per_cust.groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 
@@ -1244,7 +1243,6 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mkt_share"
             ),
         )
-        .orderBy("o_year")
     )
 
 
@@ -1314,7 +1312,6 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("exact_users"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1385,7 +1382,6 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
     )
 
 
@@ -1445,5 +1441,4 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum("profit_units") / 10_000, 2).alias("profit"))
-        .orderBy(F.col("nation"), F.col("o_year").desc())
     )

@@ -98,7 +98,6 @@ def emb_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bucketed.groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
-        .orderBy(F.desc("n_vectors"), F.asc("bucket"))
     )
 
 
@@ -121,7 +120,6 @@ def emb_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.filter(F.col("cosine") > 0.3)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .orderBy("id_a", "id_b")
     )
 
 
