@@ -1,0 +1,107 @@
+"""Distributed k-means (Lloyd's) as DataFrame plans with deterministic math.
+
+The IVF-training / semantic-dedup primitive: cluster an embedding corpus so
+downstream ANN probes (plans/similarity_queries.py: emb_ivf_topk) get real
+learned cells instead of hash grids.
+
+Design for scale AND for cross-engine determinism (the driver compares this
+against a DuckDB oracle running the identical algorithm):
+
+- **Quantized input**: components snap to integer units (``round(x*scale)``
+  as BIGINT) so every per-cluster sum is exact integer arithmetic — immune
+  to Spark's nondeterministic partial-agg merge order (repo invariant).
+- **Centroid state on the driver**: k×dim numbers collected per iteration
+  and re-embedded as literal arrays — the same broadcast-the-model pattern
+  MLlib uses. Data never moves; per iteration one scan computes
+  assignments and one narrow (k×dim)-row aggregate updates the state.
+  Plan depth is CONSTANT per iteration (each rebuilds from the persisted
+  points), so no lineage blow-up and no checkpoint needed.
+- **Explicit tie-break**: a point equidistant to two centroids goes to the
+  smaller cluster id via lexicographic ``(dist, cid)`` comparison —
+  ``array_min`` over structs here, ``arg_min(cid, [dist, cid])`` in the
+  oracle — so both engines agree even on exact ties.
+- **Empty-cluster rule**: a cluster that loses all members keeps its
+  previous centroid (both engines implement the same rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_vec(vec: Column, scale: int) -> Column:
+    """float array → integer-unit BIGINT array (exact, order-safe sums)."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale).cast("bigint")
+    )
+
+
+def _dist2(q: Column, centroid: list[float]) -> Column:
+    """Squared distance of a quantized point to one centroid — a sequential
+    left-fold over the dims, the same evaluation order the oracle's
+    ``list_sum(list_transform(...))`` uses."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(pts: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    scored = F.array(
+        *[
+            F.struct(_dist2(F.col("q"), centroids[cid]).alias("d"),
+                     F.lit(cid).alias("cid"))
+            for cid in sorted(centroids)
+        ]
+    )
+    best = F.array_min(scored)  # lexicographic (d, cid): smallest id wins ties
+    return pts.withColumn("cluster", best.getField("cid"))
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations; return (id, cluster) assignments.
+
+    Init: the k points with the smallest ``md5(id)`` — deterministic,
+    partition-independent, and a real-data init (k-means|| would be the
+    production upgrade; the fit loop is identical).
+    """
+    pts = df.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), scale).alias("q")
+    ).persist()
+
+    init_rows = (
+        pts.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(k).collect()
+    )
+    centroids = {
+        cid: [float(v) for v in row["q"]] for cid, row in enumerate(init_rows)
+    }
+    dim = len(next(iter(centroids.values())))
+
+    for _ in range(n_iter - 1):
+        assigned = _assign(pts, centroids)
+        stats = (
+            assigned.select("cluster", F.posexplode("q").alias("dim", "qv"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c: dict[int, list[float]] = {}
+        for r in stats:
+            new_c.setdefault(r["cluster"], [0.0] * dim)[r["dim"]] = r["s"] / r["n"]
+        # empty clusters keep their previous centroid
+        centroids = {
+            cid: new_c.get(cid, centroids[cid]) for cid in sorted(centroids)
+        }
+
+    return _assign(pts, centroids).select("vec_id", "cluster")

@@ -93,3 +93,41 @@ def quota_sample(
         )
     w = Window.partitionBy(key_col).orderBy(order_by)
     return df.withColumn(keep_col, F.row_number().over(w) <= quota)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    token_col: str | Column,
+    budget: int,
+    shard_col: Column,
+    order_by: Column,
+    out_shard: str = "shard",
+    out_seq: str = "seq_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document to the
+    training sequence its FIRST token lands in.
+
+    The packing rule actual LLM pipelines use at scale: concatenate
+    documents in a deterministic order and cut every ``budget`` tokens —
+    a document starting at cumulative offset c goes to sequence
+    ``c div budget`` (the last doc of a sequence may straddle the boundary).
+    First-fit bin packing would need sequential global state; this
+    formulation is one window sum per shard, embarrassingly parallel
+    across shards.
+
+    ``shard_col`` bounds the window's partition (production: a
+    hash-derived shard per worker); ``order_by`` must be a deterministic
+    total order (hash of identity, NOT arrival order) so the packing is
+    reproducible across partitioning, retries, and cluster size.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(tok).over(w), F.lit(0))
+    return df.withColumn(out_shard, shard_col).withColumn(
+        out_seq, offset.cast("bigint") / F.lit(budget)
+    ).withColumn(out_seq, F.floor(F.col(out_seq)).cast("bigint"))

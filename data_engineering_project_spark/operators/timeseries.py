@@ -1,0 +1,63 @@
+"""Time-series operators: hourly bucketing, gap-filling, LOCF interpolation.
+
+The hypertable-rollup family (time_bucket_gapfill + locf in timescale-style
+engines) re-expressed as DataFrame plans: aggregate to the bucket grain,
+LEFT-JOIN a dense bucket spine, then carry the last observation forward with
+an IGNORE NULLS window. Generalizes the reference's dense 24-hour report
+grid (``src/Task1/data_processing.py:306-338``) from one day×24 to an
+arbitrary [min, max] bucket range per series key.
+
+Scale shape: the spine and the window both operate on the POST-aggregation
+frame (#keys × #buckets), which is orders of magnitude smaller than the raw
+events — the only full-data pass is the bucketing groupBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column, unit: str = "hour") -> Column:
+    """Truncate a timestamp to its bucket start (`date_trunc` — JVM-side)."""
+    return F.date_trunc(unit, ts)
+
+
+def bucket_spine(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    *,
+    step: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """(distinct keys) × (dense bucket range) — the gapfill spine.
+
+    The bucket range is the GLOBAL [min, max] of ``bucket_col`` so every
+    series shares one clock; ``F.sequence`` builds it without collecting
+    bounds to the driver (stays one Catalyst plan).
+    """
+    bounds = df.agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    buckets = bounds.select(
+        F.explode(F.sequence("_lo", "_hi", F.expr(step))).alias(bucket_col)
+    )
+    return df.select(*key_cols).distinct().crossJoin(buckets)
+
+
+def locf(
+    value_col: str | Column,
+    key_cols: Sequence[str],
+    order_col: str,
+) -> Column:
+    """Last observation carried forward: latest non-null value up to the
+    current bucket within each series. Buckets before the first observation
+    stay NULL (nothing to carry)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return F.last(value_col, ignorenulls=True).over(w)

@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         quality_queries,
         similarity_queries,
         text_queries,
+        timeseries_queries,
     )
 
     _LOADED = True

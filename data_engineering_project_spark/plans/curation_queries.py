@@ -341,3 +341,63 @@ def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("quota_keep"), 1)).alias("n_kept"),
         F.sum(F.when(F.col("quota_keep"), F.col("doc_id"))).alias("kept_doc_sum"),
     )
+
+
+SEQ_BUDGET = 256
+N_SHARDS = 8
+
+
+@register(
+    "docs_sequence_packing",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               doc_id % {N_SHARDS} AS shard,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard, doc_id, n_tok,
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY shard
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // {SEQ_BUDGET} AS seq_id
+        FROM toks
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS packed_doc_sum
+    FROM packed
+    GROUP BY shard, seq_id
+    """,
+    doc="Concat-and-chunk sequence packing (operators/curation.py:"
+    "pack_sequences): documents concatenated in deterministic hash order "
+    f"within {N_SHARDS} shards and cut into {SEQ_BUDGET}-token training "
+    "sequences; each doc belongs to the sequence its first token lands in. "
+    "One window-sum per shard — no sequential bin-packing state, so the "
+    "operator parallelizes linearly with shard count at 100 TB, and the "
+    "hash order makes every retry produce byte-identical packing. "
+    "packed_doc_sum is the per-sequence membership checksum.",
+    tags=("curation", "packing", "tokens", "window"),
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    packed = C.pack_sequences(
+        d,
+        token_col="n_tok",
+        budget=SEQ_BUDGET,
+        shard_col=(F.col("doc_id") % N_SHARDS),
+        order_by=F.md5(F.col("doc_id").cast("string")),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+        F.sum("doc_id").cast("bigint").alias("packed_doc_sum"),
+    ).withColumn("shard", F.col("shard").cast("bigint"))

@@ -207,3 +207,97 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("c", 6).alias("cosine"))
     )
+
+
+# --- k-means (operators/clustering.py) -------------------------------------
+
+KM_K, KM_DIM, KM_SCALE, KM_ITER = 8, 64, 1000, 3
+
+
+def _km_assign(cents: str, it: int) -> str:
+    return f"""
+    assigned{it} AS (
+        SELECT p.vec_id, p.q,
+               (min(struct_pack(
+                   d := list_sum(list_transform(generate_series(1, {KM_DIM}),
+                       i -> (p.q[i] - c.cvec[i]) * (p.q[i] - c.cvec[i]))),
+                   cid := c.cid))).cid AS cid
+        FROM pts p, {cents} c
+        GROUP BY p.vec_id, p.q
+    )"""
+
+
+def _km_recompute(assigned: str, prev: str, it: int) -> str:
+    return f"""
+    sums{it} AS (
+        SELECT a.cid, d.dim, sum(a.q[d.dim]) AS s, count(*) AS n
+        FROM {assigned} a,
+             LATERAL (SELECT unnest(range(1, {KM_DIM} + 1)) AS dim) d
+        GROUP BY a.cid, d.dim
+    ),
+    re{it} AS (
+        SELECT cid, list(s / n ORDER BY dim) AS cvec FROM sums{it} GROUP BY cid
+    ),
+    cents{it} AS (
+        SELECT p.cid, coalesce(r.cvec, p.cvec) AS cvec
+        FROM {prev} p LEFT JOIN re{it} r USING (cid)
+    )"""
+
+
+_KM_SQL = f"""
+    WITH pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    init AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+                   AS cid, q
+        FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {KM_K}
+    ),
+    cents0 AS (
+        SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS cvec FROM init
+    ),
+    {_km_assign('cents0', 1)},
+    {_km_recompute('assigned1', 'cents0', 1)},
+    {_km_assign('cents1', 2)},
+    {_km_recompute('assigned2', 'cents1', 2)},
+    {_km_assign('cents2', 3)}
+    SELECT cid AS cluster,
+           count(*) AS n_points,
+           CAST(sum(vec_id) AS BIGINT) AS member_id_sum
+    FROM assigned3
+    GROUP BY cid
+"""
+
+
+@register(
+    "emb_kmeans_clusters",
+    sql=_KM_SQL,
+    doc=f"Distributed k-means (operators/clustering.py): {KM_ITER} Lloyd "
+    f"iterations, k={KM_K}, over integer-quantized embeddings — the "
+    "IVF-cell training step, oracle-checked END TO END against DuckDB "
+    "running the identical algorithm (same hash init, same (dist, cid) "
+    "tie-break, same keep-previous empty-cluster rule). Integer "
+    "quantization makes every per-cluster sum exact, so the iterative "
+    "fixpoint is bit-identical across engines; centroid state (k×dim "
+    "numbers) broadcasts from the driver per iteration like MLlib, while "
+    "assignments stay fully distributed — plan depth constant per "
+    "iteration, no lineage growth.",
+    tags=("similarity", "clustering", "iterative"),
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(
+        e, vec_col="embedding", id_col="vec_id", k=KM_K, n_iter=KM_ITER,
+        scale=KM_SCALE,
+    )
+    return assigned.groupBy(F.col("cluster").cast("bigint").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("vec_id").cast("bigint").alias("member_id_sum"),
+    )

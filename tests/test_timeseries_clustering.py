@@ -1,0 +1,110 @@
+"""Unit behaviors for the timeseries (gapfill/LOCF) and clustering operators.
+
+Value parity vs DuckDB runs through `tests/test_oracle_parity.py`
+(events_hourly_gapfill_locf, emb_kmeans_clusters, docs_sequence_packing);
+these tests pin semantics the fixtures can't discriminate.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators import timeseries as TS
+from data_engineering_project_spark.operators.clustering import kmeans_assignments
+
+
+def _ts(h: int) -> datetime.datetime:
+    return datetime.datetime(2022, 1, 1, h)
+
+
+def test_locf_carries_last_value_and_leaves_leading_nulls(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", h=_ts(0), v=None),
+            Row(k="a", h=_ts(1), v=10.0),
+            Row(k="a", h=_ts(2), v=None),
+            Row(k="a", h=_ts(3), v=30.0),
+            Row(k="b", h=_ts(0), v=None),  # other series must not leak in
+        ]
+    )
+    out = {
+        (r["k"], r["h"].hour): r["filled"]
+        for r in df.select(
+            "k", "h", TS.locf("v", ["k"], "h").alias("filled")
+        ).collect()
+    }
+    assert out[("a", 0)] is None  # nothing to carry yet
+    assert out[("a", 1)] == 10.0
+    assert out[("a", 2)] == 10.0  # carried
+    assert out[("a", 3)] == 30.0
+    assert out[("b", 0)] is None  # partition isolation
+
+
+def test_bucket_spine_dense_over_global_range(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", h=_ts(0)), Row(k="a", h=_ts(5)), Row(k="b", h=_ts(2))]
+    )
+    spine = TS.bucket_spine(df, ["k"], "h")
+    assert spine.count() == 2 * 6  # 2 keys × hours 0..5
+    per_key = spine.groupBy("k").count().collect()
+    assert all(r["count"] == 6 for r in per_key)
+
+
+def test_kmeans_deterministic_across_partitioning(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    a1 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assignments(
+            df.repartition(1), k=4, n_iter=3
+        ).collect()
+    }
+    a2 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assignments(
+            df.repartition(11, "vec_id"), k=4, n_iter=3
+        ).collect()
+    }
+    assert a1 == a2  # hash init + integer sums: partitioning-independent
+    assert set(a1.values()) == set(range(4))  # all clusters populated
+
+
+def test_kmeans_iterations_reduce_objective(spark):
+    import random
+
+    rng = random.Random(11)
+    # two well-separated blobs: one iteration must already separate them,
+    # and more iterations never mix them back
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[
+                (5.0 if i % 2 else -5.0) + rng.uniform(-0.5, 0.5)
+                for _ in range(4)
+            ],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    assigned = kmeans_assignments(df, k=2, n_iter=3)
+    joined = assigned.join(df, "vec_id")
+    purity = (
+        joined.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("vec_id") % 2).cast("int")).alias("odd"),
+        )
+        .collect()
+    )
+    for r in purity:
+        assert r["odd"] in (0, r["n"])  # each cluster is pure one blob
