@@ -1442,3 +1442,70 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum("profit_units") / 10_000, 2).alias("profit"))
     )
+
+
+@register(
+    "q19_bracketed_revenue",
+    sql="""
+    SELECT ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
+                 / 10000, 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive bracket predicates): three OR'd "
+    "brand/size/quantity brackets that each touch BOTH sides of the join. "
+    "Catalyst extracts the shared p_partkey = l_partkey equi-key and leaves "
+    "the disjunction as a post-join filter; the plan adds the brackets' "
+    "single-table envelopes (l_quantity 1-30, p_size 1-15, brand IN (...)) "
+    "explicitly so they push into each parquet scan — at 100 TB the "
+    "envelope cuts the fact scan before the join instead of after "
+    "(reference has no disjunctive-predicate query; brief §2.3 requires "
+    "the join surface).",
+    tags=("tpch", "join", "agg", "pushdown"),
+)
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    brackets = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    # single-table envelopes of the disjunction, stated redundantly so each
+    # pushes into its own scan (Catalyst does not distribute the OR itself)
+    li_env = li.filter(F.col("l_quantity").between(1, 30))
+    p_env = p.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & F.col("p_size").between(1, 15)
+    )
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000, 0
+    )
+    return (
+        li_env.join(
+            broadcast_if_small(p_env), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter(brackets)
+        .agg(
+            F.round(F.sum(rev_units) / 10_000, 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

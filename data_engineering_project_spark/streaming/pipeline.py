@@ -128,6 +128,109 @@ def dense_hourly_grid(
     return _densify
 
 
+def jdbc_report_batch(
+    url: str,
+    spec,
+    *,
+    properties: dict[str, str] | None = None,
+    connection_factory=None,
+    impression_type: str = "impressions",
+    click_type: str = "clicks",
+) -> Callable:
+    """foreachBatch writer: land each micro-batch in the warehouse through
+    the SAME staging + archive→delete→insert protocol as the batch load
+    (sinks/warehouse_sink.py, reference ``src/Task2/warehouse.py:422-466``).
+
+    Each batch pivots the revised (date, hour, type) counts into the
+    client_report shape and calls :func:`load_report_jdbc`: bulk
+    ``write.jdbc`` into staging, then the merge transaction over ONE
+    warehouse connection. The merge's replace window is the batch's own
+    [min, max] datetime, so foreachBatch's at-least-once re-delivery
+    replaces rather than duplicates — streaming inherits T4 idempotence
+    from the sink instead of re-implementing it.
+
+    Update-mode batches re-emit only the REVISED (hour, type) keys — a late
+    impressions file does not re-emit the hour's click count. The pivot
+    therefore leaves un-revised type columns NULL and coalesces them against
+    the target's existing rows for the batch window (one windowed
+    ``spark.read.jdbc`` — the predicate pushes to the warehouse), so the
+    ranged replace never wipes a column the batch didn't revise.
+
+    ``connection_factory`` is called driver-side per batch (foreachBatch
+    bodies run on the driver), so an embedded-JDBC ``java.sql.Connection``
+    via the session JVM works unchanged.
+    """
+    from data_engineering_project_spark.sinks.warehouse_sink import (
+        _q,
+        load_report_jdbc,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pivot = (
+            batch_df.filter(
+                F.col("event_type").isin(impression_type, click_type)
+            )
+            .groupBy(
+                F.to_timestamp(
+                    F.concat_ws(
+                        " ",
+                        F.col("date"),
+                        F.format_string("%02d:00:00", F.col("hour")),
+                    )
+                ).alias("datetime")
+            )
+            .agg(
+                # NULL (not 0) when this batch carries no rows for the type:
+                # "not revised" must stay distinguishable from "zero"
+                F.sum(
+                    F.when(F.col("event_type") == impression_type, F.col("n"))
+                )
+                .cast("long")
+                .alias("impression_count"),
+                F.sum(F.when(F.col("event_type") == click_type, F.col("n")))
+                .cast("long")
+                .alias("click_count"),
+            )
+        )
+        window = pivot.agg(
+            F.min("datetime").alias("lo"), F.max("datetime").alias("hi")
+        ).collect()[0]
+        if window["lo"] is None:
+            return
+        existing = (
+            spark.read.jdbc(url, _q(spec.target), properties=properties or {})
+            .filter(F.col("datetime").between(window["lo"], window["hi"]))
+            .select(
+                "datetime",
+                F.col("impression_count").alias("_cur_imp"),
+                F.col("click_count").alias("_cur_clk"),
+            )
+        )
+        report = pivot.join(existing, "datetime", "left").select(
+            "datetime",
+            F.coalesce("impression_count", "_cur_imp", F.lit(0))
+            .cast("long")
+            .alias("impression_count"),
+            F.coalesce("click_count", "_cur_clk", F.lit(0))
+            .cast("long")
+            .alias("click_count"),
+        )
+        if "audit_loaded_datetime" in spec.columns:
+            report = report.withColumn(
+                "audit_loaded_datetime", F.current_timestamp()
+            )
+        load_report_jdbc(
+            report,
+            url=url,
+            spec=spec,
+            properties=properties,
+            connection_factory=connection_factory,
+        )
+
+    return _write
+
+
 def upsert_parquet_batch(
     target_dir: str,
     key_cols: list[str],

@@ -266,3 +266,19 @@ def test_q12_prunes_orders_to_two_columns(plans):
     schema = orders_scan[0].split("ReadSchema:")[1].splitlines()[0]
     assert "o_orderkey" in schema and "o_orderpriority" in schema
     assert "o_totalprice" not in schema and "o_custkey" not in schema
+
+
+def test_q19_envelopes_push_into_both_scans(plans):
+    # the OR'd brackets can't push down as written; the stated single-table
+    # envelopes must — quantity range on lineitem, brand IN + size on part
+    plan = plans("q19_bracketed_revenue")
+    li_scan = [
+        seg for seg in plan.split("FileScan") if "lineitem.parquet" in seg[:400]
+    ]
+    p_scan = [
+        seg for seg in plan.split("FileScan") if "part.parquet" in seg[:400]
+    ]
+    assert li_scan and p_scan
+    assert "l_quantity" in li_scan[0].split("PushedFilters")[1][:400]
+    pushed_part = p_scan[0].split("PushedFilters")[1][:400]
+    assert "p_brand" in pushed_part and "p_size" in pushed_part
