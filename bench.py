@@ -64,6 +64,36 @@ HEADLINE = (
 )
 
 
+def _stage_totals(spark) -> dict[str, int] | None:
+    """Cumulative shuffle/spill bytes across all completed stages, from the
+    UI REST API (the stable public surface for executor metrics). Shuffle
+    bytes are the number that predicts 100 TB behavior — wall time at bench
+    SF is mostly scheduling constant; bytes-through-the-shuffle scales
+    linearly with data. Returns None when the UI is unreachable."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as resp:
+            stages = json.load(resp)
+    except Exception:
+        return None
+    tot = {"shuffle_read": 0, "shuffle_write": 0, "spill": 0}
+    for s in stages:
+        tot["shuffle_read"] += s.get("shuffleReadBytes", 0)
+        tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        tot["spill"] += s.get("memoryBytesSpilled", 0) + s.get(
+            "diskBytesSpilled", 0
+        )
+    return tot
+
+
 def _duckdb_conn(sf_dir: str):
     import duckdb
 
@@ -136,7 +166,11 @@ def main() -> None:
         master=f"local[{CPUS}]",
         extra_conf={
             "spark.sql.shuffle.partitions": str(max(int(CPUS) * 2, 8)),
-            "spark.ui.enabled": "false",
+            # UI on an ephemeral port: its REST API is the metrics source
+            # for per-query shuffle/spill bytes; retain enough stages that
+            # the cumulative totals never lose history mid-bench
+            "spark.ui.port": "0",
+            "spark.ui.retainedStages": "100000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -146,9 +180,11 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    shuffle_mb: dict[str, dict[str, float] | None] = {}
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        before = _stage_totals(spark)
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -157,6 +193,14 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)  # median
         spreads[name] = round(samples[-1] - samples[0], 3)
+        after = _stage_totals(spark)
+        if before is not None and after is not None:
+            # delta across the timed runs, per run
+            shuffle_mb[name] = {
+                k: round((after[k] - before[k]) / runs / 1e6, 2) for k in after
+            }
+        else:
+            shuffle_mb[name] = None
 
     # DuckDB twin: the same query's oracle SQL on the same parquet
     duck: dict[str, float | None] = {}
@@ -196,6 +240,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread_max_minus_min": spreads,
+                "per_run_mb": shuffle_mb,
                 "runs_per_query": runs,
                 "sf": _sf_from_dir(SF_DIR),
                 "duckdb": duck,
