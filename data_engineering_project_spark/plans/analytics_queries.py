@@ -459,3 +459,77 @@ def orders_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "orders_rolling_30d_revenue",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           ROUND(SUM(ROUND(o_totalprice * 1000, 0)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) / 1000, 2)
+               AS revenue_30d
+    FROM orders
+    """,
+    doc="Time-RANGE window frame (29 days preceding .. current row): rolling "
+    "30-day revenue per customer. The order key is integer days-since-epoch "
+    "on BOTH sides so Spark's numeric rangeBetween and the oracle agree "
+    "exactly; peers (same-day orders) are included by value, so no "
+    "tie-break is needed. Money sums snap to integer milli-units pre-sum "
+    "(repo invariant). One shuffle on the partition key; frames never "
+    "cross partitions, so the plan scales like any windowed scan.",
+    tags=("window", "timeseries"),
+)
+def orders_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 1000, 0)).over(w) / 1000, 2
+        ).alias("revenue_30d"),
+    )
+
+
+@register(
+    "orders_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(ROUND(o_totalprice * 1000, 0)) / 1000, 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+    doc="Explicit GROUPING SETS (beyond cube/rollup, SURVEY.md §2.4): three "
+    "chosen aggregation levels in ONE pass with grouping_id() "
+    "disambiguating NULL-as-grouped from NULL-in-data. Spark expands sets "
+    "into a single shuffle — cheaper than unioning three groupBys, which "
+    "would triple the scan at 100 TB.",
+    tags=("agg", "groupingsets"),
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.functions import scalars as S
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_orders"),
+        S.exact_decimal_sum(F.col("o_totalprice"), 1000).alias("revenue"),
+    )

@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         curation_queries,
         dedup_queries,
         extended_queries,
+        graph_queries,
         quality_queries,
         similarity_queries,
         text_queries,

@@ -204,3 +204,45 @@ def docs_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "docs_edit_distance_pairs",
+    sql="""
+    WITH d AS (
+        SELECT doc_id, lang, substr(text, 1, 32) AS prefix FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_distance
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 12
+    """,
+    doc="Edit-distance near-dup pairs: Levenshtein <= 12 between 32-char "
+    "prefixes, blocked by language. Levenshtein is O(m*n) per pair and "
+    "quadratic per block, so the block key IS the scale knob: at 100 TB "
+    "block on (lang, length bucket, simhash band) to bound block size, "
+    "exactly like the MinHash band join — the prefix cap bounds the per- "
+    "pair cost. JVM-side F.levenshtein, no UDF.",
+    tags=("dedup", "editdistance"),
+)
+def docs_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.substring("text", 1, 32).alias("prefix"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(dist <= 12)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            dist.cast("bigint").alias("edit_distance"),
+        )
+    )

@@ -1,0 +1,107 @@
+"""Graph queries: PageRank centrality over the order-trade bipartite graph.
+
+Beyond-reference family (the reference has no graph path; SURVEY.md §2.11):
+link-graph centrality is a core web-corpus curation signal at 100 TB, and
+the iterative join/agg loop here is the DataFrame scaffold every such
+algorithm shares. The integer micro-unit quantization in
+``operators/graph.py`` makes the iteration bit-reproducible, so the whole
+3-round computation is oracle-checked exactly — the DuckDB twin unrolls the
+rounds as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators.graph import (
+    DAMPING_MICRO,
+    UNIT,
+    pagerank_quantized,
+)
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+_ITERATIONS = 3
+_BASE = UNIT - DAMPING_MICRO
+
+
+def _round_cte(prev: str, cur: str) -> str:
+    """One unrolled PageRank round: contributions from ``prev`` → ``cur``."""
+    return f"""
+    {cur} AS (
+        SELECT n.node,
+               CAST({_BASE} + ({DAMPING_MICRO} * COALESCE(s.s, 0)) // {UNIT}
+                    AS BIGINT) AS rank_micro
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank_micro // d.deg) AS s
+            FROM edges e
+            JOIN {prev} r ON e.src = r.node
+            JOIN deg d ON e.src = d.node
+            GROUP BY e.dst
+        ) s ON n.node = s.node
+    )"""
+
+
+_ROUNDS = ",".join(_round_cte(f"r{i}", f"r{i + 1}") for i in range(_ITERATIONS))
+
+_PAGERANK_SQL = f"""
+    WITH base AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT node FROM deg),
+    r0 AS (SELECT node, CAST({UNIT} AS BIGINT) AS rank_micro FROM nodes),
+    {_ROUNDS}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS entity_id,
+           rank_micro
+    FROM r{_ITERATIONS}
+"""
+
+
+@register(
+    "graph_pagerank_trade",
+    sql=_PAGERANK_SQL,
+    doc="PageRank (3 rounds, damping 0.85) over the undirected customer ⇄ "
+    "supplier trade graph derived from orders ⋈ lineitem. Integer "
+    "micro-unit arithmetic (operators/graph.py) makes the iterative "
+    "computation order-independent, so the DuckDB oracle unrolls the "
+    "rounds and hash-matches exactly — rare for an iterative float "
+    "algorithm. Per round: one edges⋈ranks shuffle join + one groupBy(dst) "
+    "— the standard distributed PageRank shape; lineage truncated per "
+    "round via localCheckpoint.",
+    tags=("graph", "iterative", "curation"),
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    # Undirected: materialize both directions (reversed edges cannot collide
+    # with forward ones — the parity encoding differs per side).
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_quantized(edges, iterations=_ITERATIONS)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_id"),
+        "rank_micro",
+    )

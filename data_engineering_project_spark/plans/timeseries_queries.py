@@ -101,3 +101,51 @@ def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") == 0).cast("int").alias("is_gap"),
         TS.locf("hour_avg", ["event_type"], "h").alias("filled_avg"),
     )
+
+
+@register(
+    "events_ohlc_daily",
+    sql="""
+    WITH ranked AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           MIN(value) AS low_value,
+           MAX(value) AS high_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY event_type, day
+    """,
+    doc="OHLC downsampling (open/high/low/close per event_type per day) — "
+    "the classic tick-data rollup. Open/close are picked by struct-ordered "
+    "MIN/MAX over (ts, event_id, value): (ts, event_id) is a unique total "
+    "order, so the pick is deterministic WITHOUT a window sort — one "
+    "map-side-combinable aggregation instead of the row_number approach "
+    "the oracle restates (which needs a full partition sort). At 100 TB "
+    "the agg form wins: partial min/max merge in the combiner, no skew "
+    "sensitivity beyond the group key.",
+    tags=("timeseries", "agg"),
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    pick = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        e.select(F.col("event_type"), day.alias("day"), F.col("value"), pick.alias("pick"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.min("pick")["value"].alias("open_value"),
+            F.max("pick")["value"].alias("close_value"),
+            F.min("value").alias("low_value"),
+            F.max("value").alias("high_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
