@@ -118,3 +118,81 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, partitioned_events):
     assert "dynamicpruning" in plan.lower(), plan[:800]
     expected = fact.filter(F.col("event_date").isin(keep)).count()
     assert j.count() == expected
+
+
+class TestZOrderAndCompaction:
+    """Z-order clustering and small-file compaction (sinks/layout.py)."""
+
+    @pytest.fixture(scope="class")
+    def layouts(self, spark, sf_dir, tmp_path_factory):
+        base = tmp_path_factory.mktemp("zorder")
+        df = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        from data_engineering_project_spark.sinks.layout import (
+            linear_write,
+            zorder_write,
+        )
+
+        lin, zo = str(base / "linear"), str(base / "zorder")
+        linear_write(df, lin, "user_id", 8)
+        zorder_write(df, zo, ["user_id", "value"], 8)
+        return lin, zo
+
+    def test_zorder_prunes_on_both_dimensions(self, layouts):
+        from data_engineering_project_spark.sinks.layout import (
+            files_possibly_containing,
+        )
+
+        lin, zo = layouts
+        # a user-id point probe and a narrow value range probe
+        m_lin_user, t_lin = files_possibly_containing(lin, "user_id", 10, 10)
+        m_lin_val, _ = files_possibly_containing(lin, "value", 1.0, 2.0)
+        m_z_user, t_z = files_possibly_containing(zo, "user_id", 10, 10)
+        m_z_val, _ = files_possibly_containing(zo, "value", 1.0, 2.0)
+        assert t_lin > 1 and t_z > 1
+        # linear layout: perfect on its sort key, useless on the other dim
+        assert m_lin_user <= 2
+        assert m_lin_val == t_lin
+        # z-order: prunes on BOTH dimensions
+        assert m_z_user < t_z
+        assert m_z_val < t_z
+        # and strictly beats linear on the non-sort-key dimension
+        assert m_z_val < m_lin_val
+
+    def test_zorder_preserves_content(self, spark, sf_dir, layouts):
+        _, zo = layouts
+        orig = load_table(spark, sf_dir, "events")
+        got = spark.read.parquet(zo)
+        assert got.count() == orig.count()
+        a = got.agg(F.sum("event_id"), F.sum("user_id")).first()
+        b = orig.agg(F.sum("event_id"), F.sum("user_id")).first()
+        assert tuple(a) == tuple(b)
+
+    def test_compaction_reduces_files_preserves_rows(
+        self, spark, sf_dir, tmp_path
+    ):
+        from data_engineering_project_spark.sinks.layout import (
+            compact_parquet_dir,
+        )
+        import glob
+        import os
+
+        path = str(tmp_path / "fragmented")
+        df = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        df.repartition(48).write.parquet(path)
+        before_files = len(glob.glob(os.path.join(path, "*.parquet")))
+        before_rows, before_sum = df.count(), df.agg(F.sum("event_id")).first()[0]
+
+        n = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+
+        after = spark.read.parquet(path)
+        assert before_files == 48
+        assert n < before_files
+        assert after.count() == before_rows
+        assert after.agg(F.sum("event_id")).first()[0] == before_sum
+        # the swap protocol leaves no scratch dirs behind
+        assert not os.path.isdir(path + "_next")
+        assert not os.path.isdir(path + "_old")
