@@ -319,3 +319,55 @@ def chunk_audio(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_CHUNK_SCHEMA)
+
+
+INTENSITY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("intensity", T.DoubleType()),
+    ]
+)
+
+
+def frame_intensity(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 128,
+) -> DataFrame:
+    """Per-frame mean byte value ("luminance" proxy) over EVERY fixed-size
+    frame of a binary payload — the feature a scene-cut detector compares
+    between consecutive frames. numpy ``frombuffer`` + vectorized mean per
+    frame; a real decoder would emit per-keyframe luma at the same
+    interface. Exactness: the mean is an integer byte sum divided by the
+    frame length — both operands are exact, so every engine computing the
+    same division produces bit-identical doubles (no rounding needed
+    downstream)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, idxs, vals = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n = len(buf)
+                n_frames = max(1, -(-n // frame_bytes))
+                for i in range(n_frames):
+                    chunk = buf[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    vals.append(
+                        float(chunk.sum(dtype=np.int64)) / max(1, len(chunk))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "intensity": pd.Series(vals, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, INTENSITY_SCHEMA)

@@ -19,6 +19,7 @@ from data_engineering_project_spark.operators.multimodal import (
     chunk_audio,
     decode_image_meta,
     extract_features,
+    frame_intensity,
     sample_frames,
 )
 from data_engineering_project_spark.plans.catalog import register
@@ -532,4 +533,58 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("int").alias("gid"),
         F.count("*").alias("n_orders"),
         S.exact_decimal_sum(F.col("o_totalprice"), 1000).alias("revenue"),
+    )
+
+
+@register(
+    "docs_scene_change",
+    sql="""
+    WITH f AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+    frames AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
+               substr(text, CAST(u.i * 128 + 1 AS INTEGER), 128) AS ft
+        FROM f, LATERAL (SELECT unnest(range(0, CAST(ceil(n / 128.0) AS BIGINT)))
+                         AS i) u
+    ),
+    inten AS (
+        SELECT doc_id, frame_idx,
+               list_aggregate(list_transform(range(1, strlen(ft) + 1),
+                   i -> ascii(substr(ft, CAST(i AS INT), 1))), 'sum')
+               / CAST(strlen(ft) AS DOUBLE) AS intensity
+        FROM frames
+    ),
+    jumps AS (
+        SELECT doc_id, frame_idx, intensity,
+               COALESCE(abs(intensity - lag(intensity) OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx)), 0.0) AS scene_jump
+        FROM inten
+    )
+    SELECT doc_id, frame_idx, intensity, scene_jump
+    FROM jumps WHERE frame_idx = 0 OR scene_jump >= 4.0
+    """,
+    doc="Video scene-cut detection over the frame model: per-frame mean byte "
+    "value ('luminance' proxy, numpy-vectorized in mapInPandas — "
+    "operators/multimodal.py:frame_intensity), then a lag window per doc "
+    "flags frames whose intensity jumps >= 4.0 from the previous frame "
+    "(plus frame 0, every video's first keyframe). The temporal-video "
+    "shape: decode 1→N, then ORDER BY frame within doc — one narrow "
+    "shuffle on doc_id. Intensities are integer-sum / length divisions, "
+    "bit-identical across engines, so the oracle matches exactly with no "
+    "rounding.",
+    tags=("multimodal", "udf", "window"),
+)
+def docs_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = frame_intensity(attach_binary_payload(d))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    jump = F.coalesce(
+        F.abs(F.col("intensity") - F.lag("intensity").over(w)), F.lit(0.0)
+    )
+    return (
+        frames.select(
+            "doc_id", "frame_idx", "intensity", jump.alias("scene_jump")
+        )
+        .where((F.col("frame_idx") == 0) | (F.col("scene_jump") >= 4.0))
     )
