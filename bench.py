@@ -61,6 +61,9 @@ HEADLINE = (
     # third wave: pure-pushdown scan and sketch classes
     "q6_forecast_revenue",
     "events_cms_heavy_hitters",
+    # fourth wave: iterative graph and combiner-friendly timeseries agg
+    "graph_pagerank_trade",
+    "events_ohlc_daily",
 )
 
 
