@@ -68,12 +68,14 @@ def _ensure_loaded() -> None:
         return
     from data_engineering_project_spark.plans import (  # noqa: F401
         analytics_queries,
+        cdc_queries,
         core_queries,
         curation_queries,
         dedup_queries,
         extended_queries,
         graph_queries,
         quality_queries,
+        sharding_queries,
         similarity_queries,
         text_queries,
         timeseries_queries,

@@ -1,0 +1,135 @@
+"""Shard / split manifest queries over `documents`.
+
+The query-side contracts of `operators/sharding.py`: shard membership and
+train/val/test splits are pure row functions (portable md5 buckets), so
+both manifests are oracle-checked in DuckDB with the identical hash
+restated in SQL — an auditor can re-derive every assignment without Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators.sampling import hash_bucket
+from data_engineering_project_spark.operators.sharding import assign_shard
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+N_SHARDS = 16
+
+#: split thresholds over the 10k-bucket space: 80 / 10 / 10
+TRAIN_LT, VAL_LT = 8_000, 9_000
+
+
+@register(
+    "docs_shard_manifest",
+    sql=f"""
+    WITH sharded AS (
+        SELECT doc_id, n_chars, source,
+               CAST((CAST(('0x' || substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) % 10000) % {N_SHARDS}
+                    AS INTEGER) AS shard_id
+        FROM documents
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM sharded GROUP BY shard_id
+    """,
+    doc=f"Training-shard manifest: deterministic shard assignment "
+    f"(md5-bucket mod {N_SHARDS}, operators/sharding.py:assign_shard) with "
+    "per-shard row/byte totals and source mixing (n_sources ≈ all sources "
+    "per shard proves the global mix). Membership is a pure row function — "
+    "same corpus + salt → identical shards on any cluster, any "
+    "partitioning, any engine; the oracle re-derives every assignment in "
+    "SQL. The manifest itself is one map-side-combinable aggregation.",
+    tags=("sharding", "curation", "agg"),
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            assign_shard(F.col("doc_id"), N_SHARDS).alias("shard_id"),
+            "doc_id",
+            "n_chars",
+            "source",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "docs_split_manifest",
+    sql=f"""
+    WITH tagged AS (
+        SELECT lang, n_chars,
+               CASE
+                   WHEN b < {TRAIN_LT} THEN 'train'
+                   WHEN b < {VAL_LT} THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM (
+            SELECT lang, n_chars,
+                   CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000 AS b
+            FROM documents
+        )
+    ),
+    counts AS (
+        SELECT lang, split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM tagged GROUP BY lang, split
+    )
+    SELECT lang, split, n_docs, total_chars,
+           CAST(round(n_docs * 10000.0 / sum(n_docs) OVER (PARTITION BY lang))
+                AS BIGINT) AS frac_bp
+    FROM counts
+    """,
+    doc="Stratified train/val/test split manifest (80/10/10 by md5 bucket, "
+    "salt 'split-v1'): per (lang, split) document and char counts plus the "
+    "realized within-language fraction in basis points. Assignment is a "
+    "pure row function — reproducible on any engine, monotone under "
+    "corpus growth (a doc never changes split when others are added), and "
+    "leak-free (membership depends only on doc_id). Map-only tag + one "
+    "aggregation; the per-lang fraction reuses the tiny post-agg frame.",
+    tags=("sharding", "curation", "sampling"),
+)
+def docs_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), salt="split-v1")
+    tagged = d.select(
+        "lang",
+        "n_chars",
+        F.when(b < TRAIN_LT, F.lit("train"))
+        .when(b < VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    counts = tagged.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    lang_total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return counts.select(
+        "lang",
+        "split",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs") * 10000.0 / lang_total)
+        .cast("bigint")
+        .alias("frac_bp"),
+    )
