@@ -66,9 +66,11 @@ def overlap_pairs(
     joined = lb.join(rb, [key, "_bin"]).filter(
         (F.col("_ls") < F.col("_re")) & (F.col("_rs") < F.col("_le"))
     )
-    overlap = F.unix_micros(F.least(F.col("_le"), F.col("_re"))) - F.unix_micros(
-        F.greatest(F.col("_ls"), F.col("_rs"))
-    )
+    # unix_micros requires TIMESTAMP_LTZ; inputs may be NTZ (nanos-normalized
+    # parquet reads). The session tz is pinned to UTC, so the cast is exact.
+    overlap = F.unix_micros(
+        F.least(F.col("_le"), F.col("_re")).cast("timestamp")
+    ) - F.unix_micros(F.greatest(F.col("_ls"), F.col("_rs")).cast("timestamp"))
     # a pair sharing k bins appears k times; overlap_us is a pure function
     # of the pair, so distinct on the projected row is pair-identity dedup
     return joined.select(

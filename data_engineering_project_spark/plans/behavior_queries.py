@@ -1,0 +1,324 @@
+"""Behavioral analytics: RFM segmentation, funnel conversion, cohort
+retention, and co-occurrence triangle affinity.
+
+Beyond-reference family (SURVEY.md §2.11): these are the four workhorse
+shapes of product/user analytics over an event + order store. Each is a
+single declarative plan whose shuffles are keyed on the entity id
+(``o_custkey`` / ``user_id``), so at 100 TB they scale as one hash
+repartition of the fact table plus narrow per-key work:
+
+- **RFM** scores with *fixed threshold buckets* (map-side ``CASE``), not a
+  global ``NTILE``: a global quantile window needs a single-partition sort
+  that cannot scale; thresholds make scoring embarrassingly parallel and
+  stable across re-runs (the thresholds themselves would be refreshed
+  offline from ``orders_price_quantiles``-style approx quantiles).
+- **Funnel** stages are computed per user with unbounded conditional
+  ``MIN`` windows over one hash partitioning — no self-joins per stage.
+- **Cohort retention** is two narrow aggregations behind a single shuffle
+  on ``user_id`` (window first-touch, then distinct user-week, then the
+  cohort grid).
+- **Triangle affinity** uses the canonical oriented wedge join (each
+  triangle a<b<c enumerated exactly once) over a *weight-thresholded*
+  co-occurrence graph — the threshold is the sparsifier that keeps the
+  edge set and the wedge fan-out bounded at scale, the same reason
+  production co-citation graphs drop weight-1 edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.functions import scalars as S
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+# Fixed RFM score boundaries (refreshed offline in production; quartiles of
+# the synthetic order history, stable across scale factors because
+# per-customer frequency and order value are sf-invariant).
+_REC_BREAKS = (70, 170, 330)  # days since last order: <=70 → 4 ... >330 → 1
+_FREQ_BREAKS = (13, 11, 9)  # orders: >=13 → 4 ... <9 → 1
+_MON_BREAKS = (3_000_000.0, 2_500_000.0, 1_900_000.0)  # lifetime value
+
+
+@register(
+    "customer_rfm_segments",
+    sql=f"""
+    WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    per_cust AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', max(o_orderdate), (SELECT mxd FROM mx))
+                   AS recency_days,
+               count(*) AS frequency,
+               ROUND(sum(ROUND(o_totalprice * 1000, 0)) / 1000, 2) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT custkey, recency_days, frequency, monetary,
+               CASE WHEN recency_days <= {_REC_BREAKS[0]} THEN 4
+                    WHEN recency_days <= {_REC_BREAKS[1]} THEN 3
+                    WHEN recency_days <= {_REC_BREAKS[2]} THEN 2
+                    ELSE 1 END AS r_score,
+               CASE WHEN frequency >= {_FREQ_BREAKS[0]} THEN 4
+                    WHEN frequency >= {_FREQ_BREAKS[1]} THEN 3
+                    WHEN frequency >= {_FREQ_BREAKS[2]} THEN 2
+                    ELSE 1 END AS f_score,
+               CASE WHEN monetary >= {_MON_BREAKS[0]} THEN 4
+                    WHEN monetary >= {_MON_BREAKS[1]} THEN 3
+                    WHEN monetary >= {_MON_BREAKS[2]} THEN 2
+                    ELSE 1 END AS m_score
+        FROM per_cust
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation with "
+    "map-side threshold scoring — one shuffle on o_custkey, no global "
+    "sort/NTILE (which cannot scale past one partition). Monetary uses the "
+    "order-independent integer-snap sum (functions/scalars.py).",
+    tags=("analytics", "segmentation", "aggregate"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            S.exact_decimal_sum(F.col("o_totalprice"), 1000).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))  # 1-row scalar: broadcast is exact here
+        .withColumn("recency_days", F.datediff("mxd", "last_order"))
+    )
+
+    def _bucket(col, breaks, descending):
+        c = F.col(col)
+        if descending:  # smaller is better (recency)
+            expr = F.when(c <= breaks[0], 4).when(c <= breaks[1], 3)
+            expr = expr.when(c <= breaks[2], 2).otherwise(1)
+        else:  # larger is better (frequency / monetary)
+            expr = F.when(c >= breaks[0], 4).when(c >= breaks[1], 3)
+            expr = expr.when(c >= breaks[2], 2).otherwise(1)
+        return expr
+
+    scored = per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _bucket("recency_days", _REC_BREAKS, descending=True).alias("r_score"),
+        _bucket("frequency", _FREQ_BREAKS, descending=False).alias("f_score"),
+        _bucket("monetary", _MON_BREAKS, descending=False).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    sql="""
+    WITH pu AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS v
+        FROM events GROUP BY 1
+    ),
+    pc AS (
+        SELECT e.user_id, min(e.ts) AS c
+        FROM events e JOIN pu ON e.user_id = pu.user_id
+        WHERE e.event_type = 'click' AND e.ts > pu.v
+        GROUP BY 1
+    ),
+    pp AS (
+        SELECT e.user_id, min(e.ts) AS p
+        FROM events e JOIN pc ON e.user_id = pc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > pc.c
+        GROUP BY 1
+    )
+    SELECT count(pu.v) AS viewed,
+           count(pc.c) AS clicked_after_view,
+           count(pp.p) AS purchased_after_click,
+           ROUND(CAST(count(pc.c) AS DOUBLE) / count(pu.v), 4)
+               AS view_to_click,
+           ROUND(CAST(count(pp.p) AS DOUBLE) / count(pc.c), 4)
+               AS click_to_purchase
+    FROM pu
+    LEFT JOIN pc ON pu.user_id = pc.user_id
+    LEFT JOIN pp ON pu.user_id = pp.user_id
+    """,
+    doc="Ordered funnel view → click → purchase: each stage's timestamp "
+    "must strictly follow the previous stage's first touch. One shuffle on "
+    "user_id; stages are conditional MIN windows over that partitioning, "
+    "not per-stage self-joins (the oracle uses joins because SQL windows "
+    "cannot reference each other; the Spark plan reuses one exchange).",
+    tags=("analytics", "funnel", "window"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id")
+    # v/c are per-user constants: unbounded conditional MINs over one hash
+    # partitioning; c references v so Catalyst stacks two Window nodes on
+    # the SAME exchange (no second shuffle — asserted in plan tests).
+    staged = ev.withColumn(
+        "v", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    ).withColumn(
+        "c",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("v")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("v").alias("v"),
+        F.first("c").alias("c"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c")),
+                F.col("ts"),
+            )
+        ).alias("p"),
+    )
+    return per_user.agg(
+        F.count("v").alias("viewed"),
+        F.count("c").alias("clicked_after_view"),
+        F.count("p").alias("purchased_after_click"),
+        F.round(F.count("c").cast("double") / F.count("v"), 4).alias(
+            "view_to_click"
+        ),
+        F.round(F.count("p").cast("double") / F.count("c"), 4).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    sql="""
+    WITH first_touch AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    user_weeks AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               date_trunc('week', e.ts) AS active_week
+        FROM events e JOIN first_touch f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+               AS week_offset,
+           count(*) AS n_users
+    FROM user_weeks
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention grid: users bucketed by ISO week of first "
+    "event, counted in each later active week. Single shuffle on user_id "
+    "(window first-touch), then distinct user-week and the small cohort "
+    "grid aggregate — offsets are exact multiples of 7 days so the "
+    "integer division is engine-portable.",
+    tags=("analytics", "cohort", "window"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    user_weeks = (
+        ev.withColumn(
+            "cohort_week", F.date_trunc("week", F.min("ts").over(w))
+        )
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("active_week"),
+        )
+        .distinct()
+    )
+    return user_weeks.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("active_week", "cohort_week") / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "parts_triangle_affinity",
+    sql="""
+    WITH e AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        FROM e e1
+        JOIN e e2 ON e1.p2 = e2.p1
+        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    ),
+    corners AS (
+        SELECT a AS part_key FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT part_key, count(*) AS n_triangles
+    FROM corners GROUP BY 1
+    """,
+    doc="Triangle participation per part over the weight-thresholded "
+    "co-purchase graph (parts appearing together in >= 2 orders). The "
+    "p1 < p2 orientation enumerates each triangle a<b<c exactly once via "
+    "the standard distributed wedge join; the weight threshold is the "
+    "sparsifier that bounds edge count and wedge fan-out at 100 TB "
+    "(production co-citation graphs drop weight-1 edges for the same "
+    "reason).",
+    tags=("graph", "join", "dedup"),
+)
+def parts_triangle_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1"))
+            & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .select(
+            F.col("e1.p1").alias("a"),
+            F.col("e1.p2").alias("b"),
+            F.col("e2.p2").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("part_key"))
+        .unionAll(tri.select(F.col("b").alias("part_key")))
+        .unionAll(tri.select(F.col("c").alias("part_key")))
+    )
+    return corners.groupBy("part_key").agg(F.count("*").alias("n_triangles"))

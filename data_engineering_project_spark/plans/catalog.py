@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         return
     from data_engineering_project_spark.plans import (  # noqa: F401
         analytics_queries,
+        behavior_queries,
         cdc_queries,
         core_queries,
         curation_queries,
