@@ -64,6 +64,9 @@ HEADLINE = (
     # fourth wave: iterative graph and combiner-friendly timeseries agg
     "graph_pagerank_trade",
     "events_ohlc_daily",
+    # fifth wave: behavioral analytics (stacked windows, wedge join)
+    "events_funnel_conversion",
+    "parts_triangle_affinity",
 )
 
 

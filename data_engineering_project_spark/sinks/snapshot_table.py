@@ -1,0 +1,311 @@
+"""Snapshot-manifest table format: ACID commits over plain parquet.
+
+The streaming upsert sink (``streaming/pipeline.py:upsert_parquet_batch``)
+rewrites its whole target per batch behind a crash-safe directory swap —
+correct, but O(table) per commit. The production shape is a
+transactional table format (Delta/Iceberg); neither ships in this
+container, so this module implements the core of that public design
+(snapshot isolation via an immutable-manifest log — Iceberg spec v2,
+Delta PROTOCOL.md) in ~300 lines over plain parquet + POSIX renames:
+
+- **Immutable data files**: every commit writes its parquet under a fresh
+  ``data/<snapshot-uuid>/`` directory; nothing is ever mutated in place.
+- **Manifest log**: ``_manifests/v%08d.json`` lists the table's data files
+  (with per-file row counts and column min/max lifted from the parquet
+  FOOTERS via pyarrow — no data scan) plus the parent version. A reader
+  resolves the newest manifest and reads exactly those files — no
+  directory listing of ``data/``, which is also what makes the layout
+  safe on eventually-consistent object stores.
+- **Atomic commit = exclusive create** of the next manifest version
+  (``open(..., 'x')``): two concurrent writers race, exactly one wins,
+  the loser gets ``CommitConflictError`` and must retry on the new base
+  (optimistic concurrency, same as Delta). A crash before the manifest
+  lands leaves orphan data files that no reader ever sees; ``vacuum``
+  deletes them.
+- **Copy-on-write MERGE**: only files that actually contain a matching
+  key are rewritten (found with a semi-join against ``_metadata.
+  file_path``); untouched files carry over by reference. At 100 TB the
+  rewrite cost is proportional to the touched key range, not the table.
+- **Time travel**: any retained version re-reads bit-identically, since
+  its files are immutable.
+
+Scale notes: the driver handles only manifests (O(#files) JSON);
+all row data moves through executor-side Spark jobs. File-level stats
+pruning (``prune_files``) is the manifest-side twin of parquet row-group
+pruning — at 100 TB it is the difference between opening 10 and 10 000
+files for a selective predicate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same version first; retry on new base."""
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent: int | None
+    operation: str
+    files: list[dict] = field(default_factory=list)  # path/rows/stats
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "parent": self.parent,
+                "operation": self.operation,
+                "files": self.files,
+            },
+            indent=1,
+        )
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def current_version(table: str) -> int | None:
+    """Newest committed version, from the manifest log (no pointer file:
+    the log itself is the source of truth, versions are zero-padded so
+    lexicographic order = numeric order)."""
+    mdir = os.path.join(table, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(n[1:9]) for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def read_manifest(table: str, version: int | None = None) -> Manifest:
+    if version is None:
+        version = current_version(table)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {table!r}")
+    with open(_manifest_path(table, version)) as fh:
+        raw = json.load(fh)
+    return Manifest(
+        version=raw["version"],
+        parent=raw["parent"],
+        operation=raw["operation"],
+        files=raw["files"],
+    )
+
+
+def _file_entry(table: str, rel_path: str, stats_cols: Sequence[str]) -> dict:
+    """Stats from the parquet footer only — metadata read, no data scan."""
+    meta = pq.ParquetFile(os.path.join(table, rel_path)).metadata
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    stats: dict[str, list] = {}
+    for col in stats_cols:
+        if col not in idx:
+            continue
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            s = meta.row_group(rg).column(idx[col]).statistics
+            if s is None or not s.has_min_max:
+                lo = hi = None
+                break
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            stats[col] = [_json_safe(lo), _json_safe(hi)]
+    return {"path": rel_path, "rows": meta.num_rows, "stats": stats}
+
+
+def _json_safe(v):
+    return v.isoformat() if hasattr(v, "isoformat") else v
+
+
+def _write_snapshot_files(
+    df: DataFrame, table: str, stats_cols: Sequence[str]
+) -> list[dict]:
+    """Write ``df`` under a fresh immutable snapshot dir, return entries."""
+    snap = uuid.uuid4().hex[:12]
+    out_dir = os.path.join(table, _DATA_DIR, snap)
+    df.write.mode("error").parquet(out_dir)
+    entries = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.endswith(".parquet"):
+            rel = os.path.join(_DATA_DIR, snap, name)
+            entries.append(_file_entry(table, rel, stats_cols))
+    return entries
+
+
+def _commit(table: str, manifest: Manifest) -> Manifest:
+    """Exclusive-create the next manifest: the atomic commit point."""
+    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    path = _manifest_path(table, manifest.version)
+    try:
+        with open(path, "x") as fh:
+            fh.write(manifest.to_json())
+    except FileExistsError as exc:
+        raise CommitConflictError(
+            f"version {manifest.version} of {table!r} was committed by "
+            "another writer; re-read and retry"
+        ) from exc
+    return manifest
+
+
+def write_table(
+    df: DataFrame,
+    table: str,
+    *,
+    mode: str = "append",
+    stats_cols: Sequence[str] = (),
+) -> Manifest:
+    """Commit ``df`` as the next table version (``append`` keeps the
+    previous file set by reference; ``overwrite`` starts a fresh one)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    base = current_version(table)
+    entries = _write_snapshot_files(df, table, stats_cols)
+    prior = read_manifest(table, base).files if (base is not None and mode == "append") else []
+    return _commit(
+        table,
+        Manifest(
+            version=0 if base is None else base + 1,
+            parent=base,
+            operation=mode,
+            files=prior + entries,
+        ),
+    )
+
+
+def read_table(
+    spark: SparkSession, table: str, *, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot (newest by default; any retained version
+    for time travel). Empty file list → empty frame with no rows read."""
+    m = read_manifest(table, version)
+    paths = [os.path.join(table, f["path"]) for f in m.files]
+    if not paths:
+        raise ValueError(f"version {m.version} of {table!r} holds no files")
+    return spark.read.parquet(*paths)
+
+
+def prune_files(m: Manifest, col: str, lo, hi) -> list[dict]:
+    """Manifest-level file pruning: keep files whose [min,max] for ``col``
+    intersects [lo,hi]; files without stats are conservatively kept."""
+    lo, hi = _json_safe(lo), _json_safe(hi)
+    out = []
+    for f in m.files:
+        s = f["stats"].get(col)
+        if s is None or not (s[1] < lo or s[0] > hi):
+            out.append(f)
+    return out
+
+
+def read_pruned(
+    spark: SparkSession, table: str, col: str, lo, hi
+) -> DataFrame:
+    """Read only the files that can contain ``col`` in [lo, hi] — the
+    caller still applies the exact predicate; pruning is a superset."""
+    m = read_manifest(table)
+    keep = prune_files(m, col, lo, hi)
+    if not keep:
+        return read_table(spark, table).filter(F.lit(False))
+    return spark.read.parquet(*[os.path.join(table, f["path"]) for f in keep])
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    stats_cols: Sequence[str] = (),
+) -> Manifest:
+    """Copy-on-write MERGE: upsert ``updates`` by ``key_cols``.
+
+    Only data files that contain at least one matching key are rewritten
+    (old non-matching rows + every update row); all other files carry
+    over by reference. Mirrors Delta's MERGE file-pruning execution:
+    cost ∝ touched files, not table size.
+    """
+    base = current_version(table)
+    if base is None:
+        return write_table(updates, table, mode="append", stats_cols=stats_cols)
+    m = read_manifest(table, base)
+    current = read_table(spark, table, version=base).withColumn(
+        "_file", F.col("_metadata.file_path")
+    )
+    keys = updates.select(*key_cols).distinct()
+    # file_path comes back absolute+scheme'd; compare on the relative tail
+    touched_rows = current.join(F.broadcast(keys), list(key_cols), "left_semi")
+    # keep the raw URI strings for the Spark-side filter; derive the
+    # manifest-relative path only for bookkeeping (URI scheme/slash count
+    # varies by Hadoop FS, the normalized tail does not)
+    touched_uris = [
+        p for (p,) in touched_rows.select("_file").distinct().collect()
+    ]
+    table_abs = os.path.abspath(table)
+    touched_files = {
+        os.path.relpath(
+            os.path.normpath(p.split(":", 1)[-1] if ":" in p else p), table_abs
+        )
+        for p in touched_uris
+    }
+    kept = [f for f in m.files if f["path"] not in touched_files]
+    survivors = (
+        current.filter(F.col("_file").isin(touched_uris))
+        .drop("_file")
+        .join(keys, list(key_cols), "left_anti")
+    )
+    rewritten = survivors.unionByName(updates)
+    entries = _write_snapshot_files(rewritten, table, stats_cols)
+    return _commit(
+        table,
+        Manifest(
+            version=base + 1,
+            parent=base,
+            operation="merge",
+            files=kept + entries,
+        ),
+    )
+
+
+def vacuum(table: str, *, keep_versions: int = 1) -> list[str]:
+    """Delete orphan data files (crashed commits) and files referenced
+    only by expired versions. Keeps the newest ``keep_versions`` manifests
+    and every file any of them references."""
+    newest = current_version(table)
+    if newest is None:
+        return []
+    keep_manifests = range(max(0, newest - keep_versions + 1), newest + 1)
+    live: set[str] = set()
+    for v in keep_manifests:
+        live |= {f["path"] for f in read_manifest(table, v).files}
+    removed = []
+    data_root = os.path.join(table, _DATA_DIR)
+    for snap in sorted(os.listdir(data_root)):
+        snap_dir = os.path.join(data_root, snap)
+        for name in sorted(os.listdir(snap_dir)):
+            rel = os.path.join(_DATA_DIR, snap, name)
+            if rel not in live and name.endswith(".parquet"):
+                os.remove(os.path.join(snap_dir, name))
+                removed.append(rel)
+        if not os.listdir(snap_dir):
+            os.rmdir(snap_dir)
+    # expired manifests go last, so a concurrent reader of an old version
+    # fails on the manifest (clear) rather than on a missing data file
+    for v in range(0, keep_manifests.start):
+        p = _manifest_path(table, v)
+        if os.path.exists(p):
+            os.remove(p)
+    return removed

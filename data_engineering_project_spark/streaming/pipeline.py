@@ -272,6 +272,33 @@ def upsert_parquet_batch(
     return _write
 
 
+def snapshot_upsert_batch(table_dir: str, key_cols: list[str]) -> Callable:
+    """foreachBatch writer: transactional MERGE of each micro-batch into a
+    snapshot-manifest table (sinks/snapshot_table.py) — the production
+    fact-table shape ``upsert_parquet_batch`` documents as its swap-in.
+
+    Versus the rewrite-on-merge writer: cost per batch is proportional to
+    the FILES containing updated keys, not the table (copy-on-write), the
+    commit point is one atomic manifest create (no rename window at all),
+    and every prior version stays time-travel readable until vacuumed.
+
+    Restart safety: foreachBatch re-delivers a batch after a crash; the
+    merge is idempotent at the row level (same keys, same payload), so the
+    re-run commits a new version with identical content. Readers never see
+    a partial state — a crash before the manifest create leaves invisible
+    orphans for ``vacuum``.
+    """
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.dropDuplicates(key_cols)
+        st.merge_upsert(
+            batch_df.sparkSession, table_dir, new, key_cols, stats_cols=key_cols
+        )
+
+    return _write
+
+
 def _recover_and_read(spark: SparkSession, target_dir: str) -> DataFrame | None:
     """Crash recovery + read for rewrite-on-merge targets: a writer that died
     between the two swap renames left ``<target>_old`` holding the data —

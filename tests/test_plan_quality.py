@@ -282,3 +282,37 @@ def test_q19_envelopes_push_into_both_scans(plans):
     assert "l_quantity" in li_scan[0].split("PushedFilters")[1][:400]
     pushed_part = p_scan[0].split("PushedFilters")[1][:400]
     assert "p_brand" in pushed_part and "p_size" in pushed_part
+
+
+def test_funnel_windows_share_one_exchange(plans):
+    # v and c are two stacked Window nodes over the same user_id hash
+    # partitioning; the final groupBy(user_id) also reuses it — a plan
+    # that re-shuffled per stage would carry the event stream 3× at 100 TB
+    plan = plans("events_funnel_conversion")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_interval_overlap_joins_on_bin_key(plans):
+    # the overlap theta predicate must ride an equi join on (user_id, bin),
+    # never a nested-loop/cartesian candidate generation
+    plan = plans("events_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_wedge_join_is_equi(plans):
+    # edge build keys on l_orderkey (the p1<p2 orientation is a post-join
+    # filter); both wedge joins key on edge endpoints — all hash/merge
+    # joins, no quadratic node anywhere
+    plan = plans("parts_triangle_affinity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rfm_is_single_aggregation_shuffle(plans):
+    # per-customer agg = one hash exchange on o_custkey; the global-max
+    # order date is a broadcast scalar, and threshold scoring is map-side
+    plan = plans("customer_rfm_segments")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

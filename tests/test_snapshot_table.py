@@ -1,0 +1,146 @@
+"""Snapshot-manifest table format: ACID semantics over plain parquet.
+
+Covers the four guarantees the format exists for — atomic visibility
+(crashed commits invisible), optimistic-concurrency conflict, bounded
+copy-on-write MERGE (untouched files carried by reference), and
+bit-stable time travel — plus manifest-level stats pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.sinks import snapshot_table as st
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "k int, v string")
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_append_overwrite_and_time_travel(spark, table):
+    st.write_table(_rows(spark, [(1, "a"), (2, "b")]), table)
+    st.write_table(_rows(spark, [(3, "c")]), table, mode="append")
+    st.write_table(_rows(spark, [(9, "z")]), table, mode="overwrite")
+
+    assert st.current_version(table) == 2
+    assert {r.k for r in st.read_table(spark, table).collect()} == {9}
+    # every retained version re-reads exactly (immutable files)
+    assert {r.k for r in st.read_table(spark, table, version=0).collect()} == {1, 2}
+    assert {r.k for r in st.read_table(spark, table, version=1).collect()} == {1, 2, 3}
+
+
+def test_crashed_commit_is_invisible_and_vacuumed(spark, table):
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    # simulate a writer that died after writing data, before the manifest
+    orphan_entries = st._write_snapshot_files(
+        _rows(spark, [(99, "dead")]), table, ()
+    )
+    assert {r.k for r in st.read_table(spark, table).collect()} == {1}
+
+    removed = st.vacuum(table)
+    assert sorted(e["path"] for e in orphan_entries) == sorted(removed)
+    for rel in removed:
+        assert not os.path.exists(os.path.join(table, rel))
+    # live data untouched
+    assert {r.k for r in st.read_table(spark, table).collect()} == {1}
+
+
+def test_concurrent_commit_conflict(spark, table):
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    m = st.read_manifest(table)
+    # a second writer lands version 1 first
+    st._commit(table, st.Manifest(version=1, parent=0, operation="append", files=m.files))
+    with pytest.raises(st.CommitConflictError):
+        st._commit(
+            table, st.Manifest(version=1, parent=0, operation="append", files=m.files)
+        )
+
+
+def test_merge_rewrites_only_touched_files(spark, table):
+    # two files in v0 with disjoint key ranges (repartitionByRange keeps
+    # them separable), so an update hitting one range must not rewrite
+    # the other file
+    base = _rows(spark, [(1, "a"), (2, "b"), (10, "x"), (11, "y")])
+    st.write_table(
+        base.repartitionByRange(2, "k"), table, stats_cols=("k",)
+    )
+    v0 = st.read_manifest(table)
+    assert len(v0.files) == 2
+
+    st.merge_upsert(
+        spark,
+        table,
+        _rows(spark, [(10, "X"), (12, "new")]),
+        key_cols=("k",),
+        stats_cols=("k",),
+    )
+    v1 = st.read_manifest(table)
+    carried = {f["path"] for f in v0.files} & {f["path"] for f in v1.files}
+    assert len(carried) == 1  # the low-range file carried by reference
+
+    got = {(r.k, r.v) for r in st.read_table(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b"), (10, "X"), (11, "y"), (12, "new")}
+
+
+def test_merge_into_empty_table_is_create(spark, table):
+    st.merge_upsert(spark, table, _rows(spark, [(5, "e")]), key_cols=("k",))
+    assert {r.k for r in st.read_table(spark, table).collect()} == {5}
+
+
+def test_stats_pruning_skips_files_and_keeps_answers(spark, table):
+    base = _rows(spark, [(i, f"v{i}") for i in range(100)])
+    st.write_table(
+        base.repartitionByRange(4, "k"), table, stats_cols=("k",)
+    )
+    m = st.read_manifest(table)
+    assert len(m.files) == 4
+    keep = st.prune_files(m, "k", 10, 20)
+    assert 0 < len(keep) < 4  # actually skipped files
+
+    pruned = st.read_pruned(spark, table, "k", 10, 20).filter(
+        F.col("k").between(10, 20)
+    )
+    full = st.read_table(spark, table).filter(F.col("k").between(10, 20))
+    assert sorted(r.k for r in pruned.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+
+
+def test_vacuum_expires_old_versions(spark, table):
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    st.write_table(_rows(spark, [(2, "b")]), table, mode="overwrite")
+    st.vacuum(table, keep_versions=1)
+    # v0's file is gone, its manifest too; newest version intact
+    with pytest.raises(FileNotFoundError):
+        st.read_manifest(table, 0)
+    assert {r.k for r in st.read_table(spark, table).collect()} == {2}
+
+
+def test_snapshot_upsert_batch_is_versioned_copy_on_write(spark, table):
+    """The streaming foreachBatch writer commits one snapshot version per
+    micro-batch and rewrites only the files whose keys the batch touches."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        snapshot_upsert_batch,
+    )
+
+    write = snapshot_upsert_batch(table, ["k"])
+    write(_rows(spark, [(1, "a"), (2, "b")]).repartitionByRange(2, "k"), 0)
+    write(_rows(spark, [(2, "B"), (3, "c")]), 1)
+    # re-delivery of batch 1 (crash/restart): content stays idempotent
+    write(_rows(spark, [(2, "B"), (3, "c")]), 1)
+
+    assert st.current_version(table) == 2
+    got = {(r.k, r.v) for r in st.read_table(spark, table).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # batch 1 never touched key 1's file: carried by reference from v0
+    v0 = {f["path"] for f in st.read_manifest(table, 0).files}
+    v1 = {f["path"] for f in st.read_manifest(table, 1).files}
+    assert v0 & v1
