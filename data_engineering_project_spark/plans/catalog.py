@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         extended_queries,
         graph_queries,
         quality_queries,
+        search_queries,
         sharding_queries,
         similarity_queries,
         text_queries,

@@ -1,0 +1,205 @@
+"""Corpus search + incremental-maintenance queries: inverted index,
+conjunctive keyword search, delta-maintained aggregates, weighted sampling.
+
+Beyond-reference family (SURVEY.md §2.11). The scale designs:
+
+- **Inverted index**: explode distinct tokens → one shuffle keyed on the
+  token. Posting lists are emitted as a sorted-id digest, not the raw list,
+  so the result stays O(vocabulary); production postings are additionally
+  df-capped (stopword-class tokens devolve to a full-corpus scan and are
+  better served by the quality-score path).
+- **Keyword search**: conjunctive AND over k terms as ONE pass — explode,
+  filter to the query terms (pushed to the scan), group by doc, keep docs
+  matching all k distinct terms. No per-term self-joins: the classic
+  rarest-first posting intersection is the low-level equivalent; the
+  grouped form lets Catalyst do it with a single partial-aggregated
+  shuffle.
+- **Incremental aggregate maintenance**: a 100 TB daily rollup is never
+  recomputed from scratch — the engine merges yesterday's materialized
+  aggregate with today's delta partition (counts and integer-snapped sums
+  are associative). The oracle recomputes from the full input, so the
+  driver's hash-match IS the incremental == full-recompute proof.
+- **Weighted sampling (Efraimidis–Spirakis)**: each row draws a
+  deterministic uniform from the portable md5 hash and ranks by
+  ``ln(u)/w`` — a distributed top-k (TakeOrdered, no global sort
+  materialization). Reproducible across runs, partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+_SEARCH_TERMS = ("batch", "scan", "merge")
+_SPLIT_TS = "2024-01-20"
+_SAMPLE_K = 20
+
+
+@register(
+    "docs_inverted_postings",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'))) AS token
+        FROM documents
+    ),
+    postings AS (
+        SELECT token,
+               count(*) AS df,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id)) AS posting_digest
+        FROM toks WHERE token <> '' GROUP BY token
+    )
+    SELECT token, CAST(df AS BIGINT) AS df, posting_digest FROM postings
+    """,
+    doc="Inverted index build: token → document frequency + digest of the "
+    "doc_id-sorted posting list. One shuffle keyed on the token; the "
+    "digest keeps the result O(vocabulary) regardless of posting length.",
+    tags=("search", "text", "aggregate"),
+)
+def docs_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            )
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    return toks.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.md5(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id"))).cast(
+                    "array<string>"
+                ),
+                ",",
+            )
+        ).alias("posting_digest"),
+    )
+
+
+@register(
+    "docs_keyword_search",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS tf_score
+    FROM toks
+    WHERE token IN {_SEARCH_TERMS!r}
+    GROUP BY doc_id
+    HAVING count(DISTINCT token) = {len(_SEARCH_TERMS)}
+    """,
+    doc="Conjunctive keyword search (AND of all query terms) with a term-"
+    "frequency score, as one exploded pass + grouped intersection — no "
+    "per-term self-joins; the IN filter prunes before the shuffle.",
+    tags=("search", "text", "filter"),
+)
+def docs_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("token"),
+    ).filter(F.col("token").isin(*_SEARCH_TERMS))
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("tf_score"),
+            F.count_distinct(F.col("token")).alias("_k"),
+        )
+        .filter(F.col("_k") == len(_SEARCH_TERMS))
+        .select("doc_id", "tf_score")
+    )
+
+
+@register(
+    "events_incremental_daily_agg",
+    sql="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(ROUND(value * 100, 0)) / 100, 2) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Incremental aggregate maintenance: the Spark side materializes the "
+    "pre-split base rollup, aggregates only the delta partition, and MERGES "
+    "the two (counts and integer-snapped sums are associative) — the oracle "
+    "recomputes from the full input, so the hash-match proves "
+    "incremental == full recompute. At 100 TB this is the difference "
+    "between touching one day and rescanning the table.",
+    tags=("incremental", "aggregate", "maintenance"),
+)
+def events_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def _rollup(df: DataFrame) -> DataFrame:
+        # integer micro-units, NOT the final rounded sum: partial rollups
+        # must stay exact so the merge step can re-add losslessly
+        return df.groupBy(
+            F.col("ts").cast("date").alias("event_date"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0)).alias("units"),
+        )
+
+    base = _rollup(ev.filter(F.col("ts") < F.lit(_SPLIT_TS)))
+    delta = _rollup(ev.filter(F.col("ts") >= F.lit(_SPLIT_TS)))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_date", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("units").alias("units"))
+    )
+    return merged.select(
+        "event_date",
+        "event_type",
+        "n",
+        F.round(F.col("units") / 100, 2).alias("value_sum"),
+    )
+
+
+@register(
+    "docs_weighted_sample",
+    sql=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, n_chars, ROUND(k, 6) AS es_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+    doc="Weighted sampling without replacement (Efraimidis–Spirakis): rank "
+    "by ln(u)/w with u drawn deterministically from the portable md5 hash "
+    "(operators/sampling.py's bucket scheme), w = document length. Top-k "
+    "runs as distributed TakeOrdered — no global sort materialization, "
+    "and the sample is reproducible across runs, partitionings, engines.",
+    tags=("sampling", "curation"),
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        + 0.5
+    ) / F.lit(float(2**32))
+    keyed = docs.select(
+        "doc_id", "n_chars", (F.ln(u) / F.col("n_chars")).alias("k")
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(_SAMPLE_K)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("es_key"))
+    )
