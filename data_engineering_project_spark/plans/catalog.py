@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         dedup_queries,
         extended_queries,
         graph_queries,
+        profile_queries,
         quality_queries,
         search_queries,
         sharding_queries,

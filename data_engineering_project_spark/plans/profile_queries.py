@@ -1,0 +1,150 @@
+"""Observability queries: single-pass column profiling and mergeable
+histogram-quantile rollups.
+
+Beyond-reference family (SURVEY.md §2.11) — the two shapes a warehouse
+team runs against every table they ingest:
+
+- **Column profile** (deequ/dbt-style): null count, exact distinct count,
+  min/max for every profiled column in ONE scan. The multiple exact
+  ``count(DISTINCT …)`` aggregates compile to a single pass with an
+  Expand (row replication ×columns) — still one scan of the table; at
+  100 TB swap the exact distincts for ``approx_count_distinct`` and the
+  Expand disappears (the catalog documents that trade; the oracle needs
+  the exact form).
+- **Histogram quantiles**: per-day log-binned histograms (geometric bins,
+  factor 1.2 → ≤20 % relative error) are MERGEABLE sketches — the range
+  rollup is a vector add, never a re-scan of raw data. The quantile
+  estimate is a deterministic function of the merged bins, so unlike
+  t-digest/KLL the whole sketch path is exactly oracle-checkable. This is
+  the quantile analog of the HLL daily rollup
+  (``events_hll_daily_rollup``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+_PROFILE_COLS = (
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+_LOG_BASE = 1.2
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "lineitem_column_profile",
+    sql=_profile_sql(),
+    doc="Single-pass column profiling (nulls / exact distincts / min / max "
+    "per column) — deequ-style table observability. The oracle unions one "
+    "SELECT per column; the Spark plan computes every stat in ONE scan "
+    "and pivots to rows with an explode, no per-column re-reads.",
+    tags=("profile", "quality", "aggregate"),
+)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@register(
+    "events_value_quantile_rollup",
+    sql=f"""
+    WITH binned AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(floor(ln(value) / ln({_LOG_BASE})) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    merged AS (SELECT bin, sum(n) AS n FROM binned GROUP BY bin),
+    cum AS (
+        SELECT bin, sum(n) OVER (ORDER BY bin) AS running,
+               (SELECT sum(n) FROM merged) AS total
+        FROM merged
+    ),
+    qs AS (SELECT unnest(ARRAY{list(_QUANTILES)}) AS p)
+    SELECT p,
+           min(bin) AS bin,
+           ROUND(pow({_LOG_BASE}, min(bin)), 4) AS est_lo
+    FROM qs JOIN cum ON running >= ceil(p * total)
+    GROUP BY p
+    """,
+    doc="Mergeable histogram-quantile sketch: per-day geometric-bin "
+    "(factor 1.2) histograms rolled up by vector add, quantiles read off "
+    "the merged cumulative bins — ≤20 % relative error by construction, "
+    "zero raw-data re-scan for any date-range rollup, and (unlike "
+    "t-digest/KLL) deterministic, so the sketch path itself is exactly "
+    "oracle-checked.",
+    tags=("sketch", "quantile", "timeseries"),
+)
+def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.floor(F.ln("value") / F.lit(math.log(_LOG_BASE)))
+        .cast("bigint")
+        .alias("bin"),
+    ).agg(F.count("*").alias("n"))
+    merged = binned.groupBy("bin").agg(F.sum("n").alias("n"))
+    # sketch-sized frames from here on (≤ ~60 geometric bins): the global
+    # window and broadcast join never see raw data
+    cum = merged.select(
+        "bin",
+        F.sum("n").over(Window.orderBy("bin")).alias("running"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    qs = spark.createDataFrame([(p,) for p in _QUANTILES], "p double")
+    return (
+        F.broadcast(qs)
+        .join(cum, F.col("running") >= F.ceil(F.col("p") * F.col("total")))
+        .groupBy("p")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.round(F.pow(F.lit(_LOG_BASE), F.min("bin")), 4).alias("est_lo"),
+        )
+    )
