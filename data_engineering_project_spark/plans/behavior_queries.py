@@ -255,10 +255,11 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "parts_triangle_affinity",
     sql="""
-    WITH e AS (
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
         SELECT a.l_partkey AS p1, b.l_partkey AS p2
-        FROM lineitem a
-        JOIN lineitem b
+        FROM op a
+        JOIN op b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         HAVING count(*) >= 2
@@ -287,7 +288,13 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "join", "dedup"),
 )
 def parts_triangle_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # dedup (order, part) BEFORE the self-join: the edge weight counts
+    # distinct shared orders, and the join input shrinks before the shuffle
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     edges = (
         li.alias("a")
         .join(

@@ -148,3 +148,75 @@ def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.lit(_LOG_BASE), F.min("bin")), 4).alias("est_lo"),
         )
     )
+
+
+@register(
+    "events_value_trend",
+    sql="""
+    WITH pts AS (
+        SELECT event_type,
+               date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS x,
+               ROUND(value * 100, 0) AS yu
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(yu) AS BIGINT) AS syu,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * yu) AS BIGINT) AS sxyu
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxyu - sx * syu AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100,
+                 8) AS slope_per_hour,
+           ROUND((CAST(syu AS DOUBLE) / 100
+                  - (CAST(n * sxyu - sx * syu AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     / 100) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """,
+    doc="Distributed OLS trend per event type: slope/intercept from the five "
+    "sufficient statistics (n, Σx, Σy, Σx², Σxy), each an EXACT integer "
+    "(hours since epoch-of-dataset × centi-unit values stay below 2^53) — "
+    "so the whole regression is one map-side-combinable aggregation with "
+    "bit-stable output in any accumulation order, unlike float regr_slope. "
+    "The closed form runs on the grouped row; no second pass, no driver "
+    "math.",
+    tags=("analytics", "regression", "aggregate"),
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        F.unix_timestamp(F.col("ts").cast("timestamp"))
+        - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    ) / 3600
+    pts = ev.select(
+        "event_type",
+        F.floor(x).cast("bigint").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("yu"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yu").alias("syu"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("yu")).alias("sxyu"),
+    )
+    num = (F.col("n") * F.col("sxyu") - F.col("sx") * F.col("syu")).cast("double")
+    den = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    slope = num / den / 100
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 8).alias("slope_per_hour"),
+        F.round(
+            (F.col("syu").cast("double") / 100 - slope * F.col("sx")) / F.col("n"),
+            6,
+        ).alias("intercept"),
+    )
