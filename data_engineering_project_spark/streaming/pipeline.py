@@ -374,6 +374,80 @@ def upsert_daily_sketches(
     return _write
 
 
+def upsert_daily_histograms(
+    target_dir: str,
+    *,
+    value_col: str = "value",
+    time_col: str = "batch_ts",
+    log_base: float = 1.2,
+) -> Callable:
+    """foreachBatch writer maintaining per-day geometric-bin value
+    histograms — the streaming twin of ``events_value_quantile_rollup``.
+
+    Histogram counters are NOT re-delivery-idempotent the way HLL unions
+    are (re-adding a replayed batch double-counts), so this writer uses
+    the standard exactly-once-counter protocol: each batch's deltas are
+    keyed ``(day, bin, batch_id)`` and REPLACE any prior rows for the same
+    ``batch_id`` before the merge — a crash-replayed batch overwrites its
+    own rows instead of accumulating. Readers sum over batches, so the
+    persisted state stays a mergeable sketch (vector add), and a
+    compaction that collapses finalized batch_ids is a pure optimization.
+    """
+    import math as _math
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            batch_df.filter(F.col(time_col).isNotNull())
+            .groupBy(
+                F.to_date(time_col).alias("day"),
+                F.floor(F.ln(value_col) / F.lit(_math.log(log_base)))
+                .cast("bigint")
+                .alias("bin"),
+            )
+            .agg(F.count("*").alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        current = _recover_and_read(spark, target_dir)
+        if current is not None:
+            merged = current.filter(F.col("batch_id") != batch_id).unionByName(new)
+        else:
+            merged = new
+        _atomic_swap_write(merged, target_dir)
+
+    return _write
+
+
+def read_quantile_estimates(
+    spark: SparkSession,
+    target_dir: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    *,
+    log_base: float = 1.2,
+) -> DataFrame:
+    """Range-rollup quantiles from the persisted histogram state: one
+    vector add over the tiny (day, bin, batch) table, never a raw re-scan.
+    Estimates carry the geometric-bin guarantee (≤ log_base−1 relative
+    error at the bin edge)."""
+    from pyspark.sql import Window
+
+    merged = (
+        spark.read.parquet(target_dir).groupBy("bin").agg(F.sum("n").alias("n"))
+    )
+    cum = merged.select(
+        "bin",
+        F.sum("n").over(Window.orderBy("bin")).alias("running"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    qs = spark.createDataFrame([(p,) for p in quantiles], "p double")
+    return (
+        F.broadcast(qs)
+        .join(cum, F.col("running") >= F.ceil(F.col("p") * F.col("total")))
+        .groupBy("p")
+        .agg(F.round(F.pow(F.lit(log_base), F.min("bin")), 4).alias("est_lo"))
+    )
+
+
 def read_daily_distinct_estimates(spark: SparkSession, target_dir: str) -> DataFrame:
     """Query side of the sketch table: per-day estimates plus the all-days
     rollup folded from the SAME persisted sketches (no raw-event re-scan)."""

@@ -475,3 +475,45 @@ def test_stream_dedup_drops_redelivered_ids_with_bounded_state(spark, dirs):
     ids = [r["interaction_id"] for r in rows]
     assert sorted(ids) == list(range(15))  # each id exactly once
     assert len(ids) == len(set(ids))
+
+
+def test_streaming_histogram_quantile_maintenance(spark, dirs):
+    """Streaming histogram maintenance uses the exactly-once-counter
+    protocol: per-batch deltas keyed by batch_id REPLACE on re-delivery
+    (counters, unlike HLL unions, would double-count otherwise). The
+    quantile rollup reads only the persisted (day, bin, batch) state."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_quantile_estimates,
+        upsert_daily_histograms,
+    )
+
+    def _batch(vals, day):
+        return spark.createDataFrame(
+            [(float(v),) for v in vals], "value double"
+        ).withColumn("batch_ts", F.lit(f"2022-05-{day} 11:00:00").cast("timestamp"))
+
+    write = upsert_daily_histograms(dirs["target"])
+    b0 = list(range(1, 101))          # 1..100 on day 26
+    b1 = list(range(50, 150))         # 50..149 on day 27
+    write(_batch(b0, 26), 0)
+    write(_batch(b1, 27), 1)
+    # crash re-delivery of batch 1: rows REPLACED, not accumulated
+    write(_batch(b1, 27), 1)
+
+    state = spark.read.parquet(dirs["target"])
+    assert state.agg(F.sum("n")).collect()[0][0] == 200  # not 300
+
+    got = {
+        r["p"]: r["est_lo"]
+        for r in read_quantile_estimates(spark, dirs["target"]).collect()
+    }
+    # geometric bins (base 1.2): estimate is the lower edge of the bin
+    # holding the true quantile → within a factor of 1.2 below it
+    import math
+
+    all_vals = sorted(b0 + b1)
+    for p, est in got.items():
+        true = all_vals[math.ceil(p * len(all_vals)) - 1]
+        assert est <= true <= est * 1.2 * 1.0000001, (p, est, true)
