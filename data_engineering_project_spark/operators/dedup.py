@@ -170,13 +170,21 @@ def jaccard_prefix_pairs(
     prefix_len = (n - F.ceil(F.lit(min_jaccard) * n) + 1).cast("int")
     pref = ordered.select(
         id_col,
+        n.alias("sz"),
         F.explode(F.slice("ordered_toks", 1, prefix_len)).alias("tok"),
     )
-    left = pref.select(F.col(id_col).alias("id_a"), "tok")
-    right = pref.select(F.col(id_col).alias("id_b"), "tok")
+    left = pref.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok")
+    right = pref.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok")
+    # PPJoin length filter: J(x,y) >= t forces t*|x| <= |y| <= |x|/t, so
+    # size-incompatible candidates drop inside the join, before the
+    # (expensive) token-set verification join ships any arrays
     cand = (
         left.join(right, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.lit(min_jaccard) * F.col("sz_a"))
+            & (F.col("sz_a") >= F.lit(min_jaccard) * F.col("sz_b"))
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

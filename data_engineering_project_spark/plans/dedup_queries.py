@@ -210,25 +210,35 @@ def docs_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_edit_distance_pairs",
     sql="""
     WITH d AS (
-        SELECT doc_id, lang, substr(text, 1, 32) AS prefix FROM documents
+        SELECT doc_id, lang, n_chars // 50 AS lb,
+               substr(text, 1, 32) AS prefix
+        FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
            CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_distance
-    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    FROM d a
+    JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
     WHERE levenshtein(a.prefix, b.prefix) <= 12
     """,
     doc="Edit-distance near-dup pairs: Levenshtein <= 12 between 32-char "
-    "prefixes, blocked by language. Levenshtein is O(m*n) per pair and "
-    "quadratic per block, so the block key IS the scale knob: at 100 TB "
-    "block on (lang, length bucket, simhash band) to bound block size, "
-    "exactly like the MinHash band join — the prefix cap bounds the per- "
-    "pair cost. JVM-side F.levenshtein, no UDF.",
+    "prefixes, blocked on (language, 50-char length bucket). Levenshtein "
+    "is O(m*n) per pair and quadratic per block, so the block key IS the "
+    "scale knob — length bucketing (sorted-neighborhood blocking from "
+    "record linkage) cuts candidate pairs ~10x here and keeps block sizes "
+    "bounded as the corpus grows; near-boundary pairs are the documented "
+    "recall tradeoff (production recovers them with a second, offset "
+    "bucketing pass). JVM-side F.levenshtein, no UDF.",
     tags=("dedup", "editdistance"),
 )
 def docs_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.substring("text", 1, 32).alias("prefix"))
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(F.col("n_chars") / 50).alias("lb"),
+            F.substring("text", 1, 32).alias("prefix"),
+        )
     )
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
@@ -236,6 +246,7 @@ def docs_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .where(dist <= 12)
