@@ -220,7 +220,11 @@ def main() -> None:
             duck[name] = None  # rows-only query: no SQL twin
             ratio[name] = None
 
-    # marginal per-row cost ratio: scheduling constants cancel in t(sf)-t(sf/10)
+    # marginal per-row cost ratio: scheduling constants cancel in t(sf)-t(sf/10).
+    # Suppressed (null) when the DuckDB sf-delta denominator is under the
+    # ~50 ms noise floor — a 6 ms delta divided into a Spark delta reads as a
+    # huge "slope" that is pure measurement noise, not a scale defect.
+    SLOPE_NOISE_FLOOR_SEC = 0.05
     slope: dict[str, float | None] = {}
     small_dir = _smaller_sf_dir(SF_DIR)
     if small_dir and os.environ.get("SPARK_GRAFT_BENCH_SLOPE", "1") == "1":
@@ -234,33 +238,49 @@ def main() -> None:
                 con_small, oracles[name], runs
             )
             slope[name] = (
-                round(d_spark / d_duck, 1) if d_spark > 0 and d_duck > 1e-4 else None
+                round(d_spark / d_duck, 1)
+                if d_spark > 0 and d_duck >= SLOPE_NOISE_FLOOR_SEC
+                else None
             )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread_max_minus_min": spreads,
-                "per_run_mb": shuffle_mb,
-                "runs_per_query": runs,
-                "sf": _sf_from_dir(SF_DIR),
-                "duckdb": duck,
-                "ratio_spark_over_duckdb": ratio,
-                "slope_ratio_spark_over_duckdb": slope,
-                "ratio_note": (
-                    "raw ratios at laptop SF are dominated by Spark's fixed "
-                    "~0.3-0.5s/query scheduling constant vs DuckDB's ~ms "
-                    "embedded dispatch; the slope ratio cancels the constants "
-                    "(marginal per-row cost, the 100TB-relevant number)"
-                ),
-            }
-        )
+    # Driver-facing line: compact on purpose. The driver captures a bounded
+    # tail of stdout (round 2's verbose line overflowed it → parsed:null), so
+    # only the contract keys plus per-query duckdb/ratio go on the line;
+    # everything else goes to BENCH_DETAIL.json next to this script.
+    line = {
+        "metric": "headline_query_wall_time_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "duckdb": duck,
+        "ratio_spark_over_duckdb": ratio,
+    }
+    detail = dict(
+        line,
+        spread_max_minus_min=spreads,
+        per_run_mb=shuffle_mb,
+        runs_per_query=runs,
+        slope_ratio_spark_over_duckdb=slope,
+        slope_noise_floor_sec=SLOPE_NOISE_FLOOR_SEC,
+        ratio_note=(
+            "raw ratios at laptop SF are dominated by Spark's fixed "
+            "~0.3-0.5s/query scheduling constant vs DuckDB's ~ms "
+            "embedded dispatch; the slope ratio cancels the constants "
+            "(marginal per-row cost, the 100TB-relevant number); slope is "
+            "null when the DuckDB sf-delta denominator is below the noise "
+            "floor"
+        ),
     )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    out = json.dumps(line)
+    assert len(out) < 4000, f"driver line too long ({len(out)} bytes)"
+    print(out)
 
 
 if __name__ == "__main__":

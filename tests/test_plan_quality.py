@@ -316,3 +316,51 @@ def test_rfm_is_single_aggregation_shuffle(plans):
     plan = plans("customer_rfm_segments")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pagerank_iteration_never_reshuffles_edges(spark):
+    """The edge⋈deg table is loop-invariant: cached hash(src)-partitioned
+    and src-sorted, so each PageRank round's join must not exchange (or
+    re-sort) the edge side — only the |nodes|-sized rank table and the one
+    contribution aggregation shuffle. Asserted on the physical-plan TREE
+    (the printed string nests cached plans inside InMemoryRelation, which
+    would double-count); AQE off so the static plan is the executed one."""
+    from data_engineering_project_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = (
+            spark.range(1000)
+            .select(
+                (F.col("id") % 97).alias("src"),
+                (F.col("id") % 89 + 100).alias("dst"),
+            )
+            .distinct()
+        )
+        ranks = pagerank_quantized(edges, iterations=2, _keep_plan=True)
+        plan = ranks._jdf.queryExecution().executedPlan()
+
+        def walk(node):
+            yield node
+            children = node.children()
+            for i in range(children.size()):
+                yield from walk(children.apply(i))
+
+        nodes = list(walk(plan))
+        names = [n.getClass().getSimpleName() for n in nodes]
+        # the loop body reads the cached edge table, it doesn't rebuild it
+        assert "InMemoryTableScanExec" in names
+        shuffles = [
+            n for n in nodes if "ShuffleExchange" in n.getClass().getSimpleName()
+        ]
+        # at most: rank-side exchange + contribution groupBy(node)
+        assert len(shuffles) <= 2, names
+        for exchange in shuffles:
+            part = exchange.outputPartitioning().toString()
+            assert "src" not in part, part
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        for (_, rdd) in spark.sparkContext._jsc.getPersistentRDDs().items():
+            rdd.unpersist()
