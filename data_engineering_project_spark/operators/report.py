@@ -121,13 +121,31 @@ def combine_hourly_reports(
     counts = hourly_type_counts(
         df, date_col=date_col, hour_col=hour_col, type_col=type_col, types=types
     )
-    # The spine derives its date list from `counts`, but Catalyst collapses
-    # distinct-over-aggregate into distinct-over-base, turning the spine into
-    # a SECOND full scan of the raw events — 2× scan cost at 100 TB. Persist
-    # the post-agg counts (≤ 24 rows/date — trivially memory-resident) so
-    # both the spine and the join read the cached aggregate instead.
-    counts = counts.persist()
     fill = [f"{t}_count" for t in types]
-    dense = densify_hours(counts, fill_cols=fill)
-    out = dense.select("date", "hour", *fill)
+    # Densify WITHOUT a spine join: fold each date's ≤24 sparse rows into an
+    # hour→counts map (one tiny post-agg shuffle on date), explode the full
+    # 0..23 sequence, and zero-fill lookup misses. The round-2 design joined
+    # a spine derived from `counts` back against `counts`, which needed a
+    # persist barrier (Catalyst otherwise collapses distinct-over-agg into a
+    # SECOND full scan of the raw events) — and that cache leaked across
+    # catalog sweeps. This shape is single-scan by construction: no cache to
+    # leak, no join, and the per-date map is bounded at 24 entries.
+    per_date = counts.groupBy("date").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("hour", F.struct(*fill)))
+        ).alias("_by_hour")
+    )
+    exploded = per_date.select(
+        "date",
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour"),
+        "_by_hour",
+    )
+    out = exploded.select(
+        "date",
+        "hour",
+        *[
+            F.coalesce(F.col("_by_hour")[F.col("hour")][c], F.lit(0)).alias(c)
+            for c in fill
+        ],
+    )
     return out.orderBy("date", "hour") if sort else out

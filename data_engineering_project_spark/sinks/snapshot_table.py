@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass, field
@@ -254,13 +255,26 @@ def merge_upsert(
     touched_uris = [
         p for (p,) in touched_rows.select("_file").distinct().collect()
     ]
-    table_abs = os.path.abspath(table)
+    # realpath on BOTH sides: a symlinked table path (e.g. macOS /var ->
+    # /private/var tmp dirs) would otherwise make relpath yield garbage, so
+    # a touched file would be both kept by reference AND rewritten —
+    # silent duplicates. The sanity check below turns any remaining
+    # normalization mismatch into a loud error instead.
+    table_abs = os.path.realpath(table)
     touched_files = {
         os.path.relpath(
-            os.path.normpath(p.split(":", 1)[-1] if ":" in p else p), table_abs
+            os.path.realpath(p.split(":", 1)[-1] if ":" in p else p), table_abs
         )
         for p in touched_uris
     }
+    manifest_paths = {f["path"] for f in m.files}
+    unmatched = touched_files - manifest_paths
+    if unmatched:
+        raise RuntimeError(
+            f"merge_upsert: touched file(s) {sorted(unmatched)!r} resolve "
+            f"outside the manifest of {table!r} v{base} — path "
+            "normalization bug; refusing to commit a duplicating snapshot"
+        )
     kept = [f for f in m.files if f["path"] not in touched_files]
     survivors = (
         current.filter(F.col("_file").isin(touched_uris))
@@ -280,25 +294,49 @@ def merge_upsert(
     )
 
 
-def vacuum(table: str, *, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table: str, *, keep_versions: int = 1, retention_seconds: float = 0.0
+) -> list[str]:
     """Delete orphan data files (crashed commits) and files referenced
     only by expired versions. Keeps the newest ``keep_versions`` manifests
-    and every file any of them references."""
+    and every file any of them references.
+
+    ``retention_seconds`` (mtime-based, like Delta's VACUUM retention)
+    protects IN-FLIGHT writers: a concurrent ``merge_upsert`` writes its
+    data files BEFORE its manifest commit, so an unretained vacuum could
+    delete files the imminent commit will reference, leaving that version
+    unreadable. With the default of 0 the caller asserts no writer is
+    in flight; production sweeps should pass a value comfortably above
+    the longest expected commit duration."""
     newest = current_version(table)
     if newest is None:
         return []
     keep_manifests = range(max(0, newest - keep_versions + 1), newest + 1)
     live: set[str] = set()
     for v in keep_manifests:
-        live |= {f["path"] for f in read_manifest(table, v).files}
+        try:
+            live |= {f["path"] for f in read_manifest(table, v).files}
+        except FileNotFoundError:
+            # an earlier, more aggressive vacuum already dropped this
+            # manifest; nothing for it to keep alive
+            continue
     removed = []
+    now = time.time()
     data_root = os.path.join(table, _DATA_DIR)
-    for snap in sorted(os.listdir(data_root)):
+    snaps = sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []
+    for snap in snaps:
         snap_dir = os.path.join(data_root, snap)
         for name in sorted(os.listdir(snap_dir)):
             rel = os.path.join(_DATA_DIR, snap, name)
+            full = os.path.join(snap_dir, name)
             if rel not in live and name.endswith(".parquet"):
-                os.remove(os.path.join(snap_dir, name))
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # already gone (concurrent vacuum)
+                if age < retention_seconds:
+                    continue  # possibly an in-flight commit's file
+                os.remove(full)
                 removed.append(rel)
         if not os.listdir(snap_dir):
             os.rmdir(snap_dir)

@@ -29,6 +29,10 @@ from data_engineering_project_spark.sources.events import (
     filename_event_type,
 )
 
+#: Histogram bin for values ≤ 0 (no geometric bin exists): sorts before
+#: every real bin and pow(base, ·) underflows to 0.0 in the estimator.
+UNDERFLOW_BIN = -(1 << 62)
+
 
 def read_event_stream(
     spark: SparkSession,
@@ -239,9 +243,10 @@ def upsert_parquet_batch(
 ) -> Callable:
     """foreachBatch writer: upsert each micro-batch into a parquet target
     keyed on ``key_cols`` — the reference's archive→delete→insert (T4) for a
-    file warehouse. Production targets swap this for Delta/Iceberg MERGE or
-    the JDBC merge sink (sinks/warehouse_sink.py); the batch-function shape
-    is identical.
+    file warehouse. LEGACY/test path: O(table) rewrite per batch.
+    ``run_incremental_report`` defaults to :func:`snapshot_upsert_batch`
+    (copy-on-write, O(touched files)); this writer remains as the demo of
+    the rename-swap recovery protocol and for flat-parquet targets.
 
     ``densify`` (e.g. :func:`dense_hourly_grid`) runs on the merged frame
     before the write, so the target always satisfies the output contract.
@@ -272,29 +277,79 @@ def upsert_parquet_batch(
     return _write
 
 
-def snapshot_upsert_batch(table_dir: str, key_cols: list[str]) -> Callable:
+def snapshot_upsert_batch(
+    table_dir: str,
+    key_cols: list[str],
+    *,
+    densify: Callable[[DataFrame], DataFrame] | None = None,
+    seq_col: str | None = None,
+    date_col: str = "date",
+) -> Callable:
     """foreachBatch writer: transactional MERGE of each micro-batch into a
     snapshot-manifest table (sinks/snapshot_table.py) — the production
-    fact-table shape ``upsert_parquet_batch`` documents as its swap-in.
+    fact-table shape, and the default merge for ``run_incremental_report``.
 
-    Versus the rewrite-on-merge writer: cost per batch is proportional to
-    the FILES containing updated keys, not the table (copy-on-write), the
-    commit point is one atomic manifest create (no rename window at all),
-    and every prior version stays time-travel readable until vacuumed.
+    Versus the rewrite-on-merge writer (``upsert_parquet_batch``, kept as a
+    test/demo helper): cost per batch is proportional to the FILES
+    containing updated keys, not the table (copy-on-write), the commit
+    point is one atomic manifest create (no rename window at all), and
+    every prior version stays time-travel readable until vacuumed.
+
+    Intra-batch duplicate keys are resolved DETERMINISTICALLY: ``seq_col``
+    picks the row with the highest sequence/event-time (max_by, as the CDC
+    operators do); without one, the lexicographically-largest payload
+    struct wins. Either way a crash re-delivery commits identical content
+    — ``dropDuplicates`` would keep an arbitrary row and break that.
+
+    ``densify`` (e.g. :func:`dense_hourly_grid`) enforces the dense-grid
+    output contract incrementally: the batch's dates are zero-filled, but a
+    zero row is only INSERTED where the key is absent from both the batch
+    and the table (a blanket zero-fill would overwrite counts from earlier
+    batches). The existing-key probe reads only manifest-pruned files for
+    the batch's ``date_col`` range — O(touched files), like the merge.
 
     Restart safety: foreachBatch re-delivers a batch after a crash; the
-    merge is idempotent at the row level (same keys, same payload), so the
-    re-run commits a new version with identical content. Readers never see
-    a partial state — a crash before the manifest create leaves invisible
-    orphans for ``vacuum``.
+    merge is idempotent at the row level, so the re-run commits a new
+    version with identical content. Readers never see a partial state — a
+    crash before the manifest create leaves invisible orphans for
+    ``vacuum``.
     """
     from data_engineering_project_spark.sinks import snapshot_table as st
 
+    def _dedup(batch_df: DataFrame) -> DataFrame:
+        payload = [c for c in batch_df.columns if c not in key_cols]
+        if not payload:
+            return batch_df.dropDuplicates(key_cols)  # keys only: any row
+        if seq_col is not None:
+            winners = [F.max_by(c, F.col(seq_col)).alias(c) for c in payload]
+        else:
+            struct = F.struct(*[F.col(c) for c in sorted(payload)])
+            winners = [F.max(struct).alias("_w")]
+        agg = batch_df.groupBy(*key_cols).agg(*winners)
+        if seq_col is None:
+            agg = agg.select(
+                *key_cols, *[F.col(f"_w.{c}").alias(c) for c in sorted(payload)]
+            )
+        return agg.select(*batch_df.columns)
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        new = batch_df.dropDuplicates(key_cols)
-        st.merge_upsert(
-            batch_df.sparkSession, table_dir, new, key_cols, stats_cols=key_cols
-        )
+        spark = batch_df.sparkSession
+        new = _dedup(batch_df)
+        if densify is not None:
+            dense = densify(new)
+            zeros = dense.join(new.select(*key_cols), key_cols, "left_anti")
+            if st.current_version(table_dir) is not None:
+                bounds = new.agg(
+                    F.min(date_col).alias("lo"), F.max(date_col).alias("hi")
+                ).first()
+                if bounds["lo"] is None:
+                    return  # empty batch: nothing to merge or densify
+                existing = st.read_pruned(
+                    spark, table_dir, date_col, bounds["lo"], bounds["hi"]
+                ).select(*key_cols)
+                zeros = zeros.join(existing, key_cols, "left_anti")
+            new = new.unionByName(zeros)
+        st.merge_upsert(spark, table_dir, new, key_cols, stats_cols=key_cols)
 
     return _write
 
@@ -397,14 +452,22 @@ def upsert_daily_histograms(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Non-positive values have no geometric bin (ln is NULL/−inf) — a
+        # NULL bin would persist and then sort FIRST in the reader's
+        # cumulative window, corrupting every quantile. Route them to a
+        # sentinel underflow bin instead: pow(base, UNDERFLOW_BIN)
+        # underflows to 0.0, so their estimate reads as "≤ 0".
+        bin_col = (
+            F.when(
+                F.col(value_col) > 0,
+                F.floor(F.ln(value_col) / F.lit(_math.log(log_base))),
+            )
+            .otherwise(F.lit(UNDERFLOW_BIN))
+            .cast("bigint")
+        )
         new = (
             batch_df.filter(F.col(time_col).isNotNull())
-            .groupBy(
-                F.to_date(time_col).alias("day"),
-                F.floor(F.ln(value_col) / F.lit(_math.log(log_base)))
-                .cast("bigint")
-                .alias("bin"),
-            )
+            .groupBy(F.to_date(time_col).alias("day"), bin_col.alias("bin"))
             .agg(F.count("*").alias("n"))
             .withColumn("batch_id", F.lit(batch_id))
         )
@@ -432,7 +495,12 @@ def read_quantile_estimates(
     from pyspark.sql import Window
 
     merged = (
-        spark.read.parquet(target_dir).groupBy("bin").agg(F.sum("n").alias("n"))
+        spark.read.parquet(target_dir)
+        # defensive vs state written before the underflow-bin fix: a NULL
+        # bin would sort first and shift every running count
+        .filter(F.col("bin").isNotNull())
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
     )
     cum = merged.select(
         "bin",
@@ -470,6 +538,7 @@ def run_incremental_report(
     clean_source: str | None = None,
     archive_dir: str | None = None,
     dense_types: tuple[str, ...] | None = ("impressions", "clicks"),
+    merge: str = "snapshot",
 ) -> None:
     """One incremental run (the cron-tick replacement): process exactly the
     files the checkpoint hasn't seen, upsert hour counts into the target.
@@ -477,7 +546,13 @@ def run_incremental_report(
 
     ``dense_types``: streaming output meets the same 24-rows/date contract
     as the batch report — every date in the target carries the full
-    hour × type grid, zero-filled. Pass ``None`` for a sparse target."""
+    hour × type grid, zero-filled. Pass ``None`` for a sparse target.
+
+    ``merge``: ``"snapshot"`` (default) commits each micro-batch as a
+    copy-on-write MERGE into a snapshot-manifest table — O(touched files)
+    per batch, read it back with ``sinks.snapshot_table.read_table``.
+    ``"rewrite"`` is the legacy O(table)-per-batch parquet swap writer,
+    kept for tests/demos of the rename-recovery protocol."""
     events = read_event_stream(
         spark,
         input_dir,
@@ -487,14 +562,17 @@ def run_incremental_report(
     )
     counts = hourly_counts_stream(events, watermark=watermark)
     densify = dense_hourly_grid(dense_types) if dense_types else None
+    keys = ["date", "hour", "event_type"]
+    if merge == "snapshot":
+        batch_fn = snapshot_upsert_batch(target_dir, keys, densify=densify)
+    elif merge == "rewrite":
+        batch_fn = upsert_parquet_batch(target_dir, keys, densify=densify)
+    else:
+        raise ValueError(f"merge must be snapshot|rewrite, got {merge!r}")
     writer = (
         counts.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(
-            upsert_parquet_batch(
-                target_dir, ["date", "hour", "event_type"], densify=densify
-            )
-        )
+        .foreachBatch(batch_fn)
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()

@@ -42,9 +42,18 @@ def dirs(tmp_path):
 
 
 def _counts(spark, target):
+    """Read the streaming target: a snapshot-manifest table for the default
+    merge path, a flat parquet dir for the legacy rewrite path."""
+    import os
+
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    if os.path.isdir(os.path.join(target, "_manifests")):
+        df = st.read_table(spark, target)
+    else:
+        df = spark.read.parquet(target)
     return {
-        (r["date"], r["hour"], r["event_type"]): r["n"]
-        for r in spark.read.parquet(target).collect()
+        (r["date"], r["hour"], r["event_type"]): r["n"] for r in df.collect()
     }
 
 
@@ -101,19 +110,24 @@ def test_multi_type_and_late_file(spark, dirs):
 
 
 def test_upsert_recovers_from_crash_between_renames(spark, dirs):
-    """The upsert's two-rename swap can die in the middle (target renamed
-    away, replacement not yet in place). The next batch must restore the
-    saved target and re-merge — no rows lost, no partial target read."""
+    """The legacy rewrite path's two-rename swap can die in the middle
+    (target renamed away, replacement not yet in place). The next batch
+    must restore the saved target and re-merge — no rows lost, no partial
+    target read."""
     import os
 
     _write_events(f"{dirs['in']}/impressions_processed_dk_20220526113212045_1-4_1.parquet", 4)
-    run_incremental_report(spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA)
+    run_incremental_report(
+        spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA, merge="rewrite"
+    )
 
     # simulate the crash window: target moved aside, replacement missing
     os.rename(dirs["target"], dirs["target"] + "_old")
 
     _write_events(f"{dirs['in']}/clicks_processed_dk_20220526123000000_1-3_1.parquet", 3)
-    run_incremental_report(spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA)
+    run_incremental_report(
+        spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA, merge="rewrite"
+    )
     _assert_dense(
         _counts(spark, dirs["target"]),
         {
@@ -123,6 +137,65 @@ def test_upsert_recovers_from_crash_between_renames(spark, dirs):
     )
     assert not os.path.isdir(dirs["target"] + "_old")
     assert not os.path.isdir(dirs["target"] + "_next")
+
+
+def test_snapshot_default_targets_versioned_table(spark, dirs):
+    """The DEFAULT merge path commits each run as a snapshot version:
+    O(touched files) per batch, time-travel readable, dense contract held
+    incrementally (zero rows inserted only where absent — a second run for
+    a new date must not reset the first date's counts to zero)."""
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526113212045_1-4_1.parquet", 4)
+    run_incremental_report(spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA)
+    v1 = st.current_version(dirs["target"])
+    assert v1 is not None
+
+    # second run touches a DIFFERENT date: its zero-fill must not clobber
+    # the 05-26 counts, and the table must advance by snapshot commit
+    _write_events(f"{dirs['in']}/clicks_processed_dk_20220527120000000_1-3_1.parquet", 3)
+    run_incremental_report(spark, dirs["in"], dirs["target"], dirs["ckpt"], SCHEMA)
+    assert st.current_version(dirs["target"]) > v1
+    _assert_dense(
+        _counts(spark, dirs["target"]),
+        {
+            ("2022-05-26", 11, "impressions"): 4,
+            ("2022-05-27", 12, "clicks"): 3,
+        },
+    )
+    # time travel: the pre-merge version still reads bit-identically
+    old = {
+        (r["date"], r["hour"], r["event_type"]): r["n"]
+        for r in st.read_table(spark, dirs["target"], version=v1).collect()
+    }
+    _assert_dense(old, {("2022-05-26", 11, "impressions"): 4})
+
+
+def test_snapshot_batch_dedup_is_deterministic(spark, tmp_path):
+    """Intra-batch duplicate keys resolve to ONE deterministic winner (so a
+    crash re-delivery commits identical content): max_by(seq_col) when
+    given, else the lexicographically-largest payload struct."""
+    from data_engineering_project_spark.sinks import snapshot_table as st
+    from data_engineering_project_spark.streaming.pipeline import (
+        snapshot_upsert_batch,
+    )
+
+    dup = spark.createDataFrame(
+        [("k1", 5, 100), ("k1", 9, 50), ("k2", 1, 7)], "k string, seq int, v int"
+    )
+    by_seq = str(tmp_path / "by_seq")
+    snapshot_upsert_batch(by_seq, ["k"], seq_col="seq")(dup, 0)
+    got = {(r.k, r.seq, r.v) for r in st.read_table(spark, by_seq).collect()}
+    assert got == {("k1", 9, 50), ("k2", 1, 7)}  # highest seq wins
+
+    by_payload = str(tmp_path / "by_payload")
+    writer = snapshot_upsert_batch(by_payload, ["k"])
+    writer(dup, 0)
+    first = {tuple(r) for r in st.read_table(spark, by_payload).collect()}
+    writer(dup, 1)  # re-delivery: identical winners, idempotent content
+    second = {tuple(r) for r in st.read_table(spark, by_payload).collect()}
+    assert first == second
+    assert ("k1", 9, 50) in first  # largest (seq, v) struct
 
 
 def test_session_window_stream(spark, dirs):
@@ -517,3 +590,43 @@ def test_streaming_histogram_quantile_maintenance(spark, dirs):
     for p, est in got.items():
         true = all_vals[math.ceil(p * len(all_vals)) - 1]
         assert est <= true <= est * 1.2 * 1.0000001, (p, est, true)
+
+
+def test_histogram_handles_nonpositive_values(spark, dirs):
+    """Values ≤ 0 have no geometric bin: they must land in the sentinel
+    underflow bin (never a NULL bin, which would sort first and corrupt
+    the cumulative quantile walk) and read back as estimate 0.0."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        UNDERFLOW_BIN,
+        read_quantile_estimates,
+        upsert_daily_histograms,
+    )
+
+    vals = [-5.0, 0.0] + [float(v) for v in range(1, 99)]  # 2 underflow, 98 real
+    batch = spark.createDataFrame([(v,) for v in vals], "value double").withColumn(
+        "batch_ts", F.lit("2022-05-26 11:00:00").cast("timestamp")
+    )
+    upsert_daily_histograms(dirs["target"])(batch, 0)
+
+    state = spark.read.parquet(dirs["target"])
+    assert state.filter(F.col("bin").isNull()).count() == 0
+    assert (
+        state.filter(F.col("bin") == UNDERFLOW_BIN).agg(F.sum("n")).collect()[0][0]
+        == 2
+    )
+    got = {
+        r["p"]: r["est_lo"]
+        for r in read_quantile_estimates(spark, dirs["target"]).collect()
+    }
+    # p50 of 100 values (2 nonpositive + 1..98) is 49: est within a bin
+    assert got[0.5] <= 49 <= got[0.5] * 1.2 * 1.0000001
+    # the 1st percentile would fall in the underflow bin -> estimate 0.0
+    got1 = {
+        r["p"]: r["est_lo"]
+        for r in read_quantile_estimates(
+            spark, dirs["target"], quantiles=(0.01,)
+        ).collect()
+    }
+    assert got1[0.01] == 0.0
