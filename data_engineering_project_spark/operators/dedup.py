@@ -202,16 +202,33 @@ def jaccard_prefix_pairs(
     )
 
 
+def md5_hash64(col: Column) -> Column:
+    """64-bit hash from the md5 digest's SECOND 8 bytes (hex chars 17–32),
+    parsed as two 32-bit halves (``conv`` on 16 hex chars would saturate a
+    signed long). Portable by construction: any engine with md5 + hex
+    parsing restates it bit-for-bit — DuckDB:
+    ``CAST('0x' || substr(md5(t), 17, 8) AS BIGINT)`` for the high half.
+    Slower than xxhash64 but still JVM-side, and the whole fingerprint
+    becomes oracle-checkable (same portability rationale as the md5-based
+    MinHash above)."""
+    hex_ = F.md5(col)
+    hi = F.conv(F.substring(hex_, 17, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hex_, 25, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash over whitespace tokens.
 
-    Per token: 64-bit hash (xxhash64 — JVM-side, fast); per bit: +1 if set
-    else −1, summed over tokens; fingerprint bit = sign of the sum. Documents
-    within small Hamming distance are near-duplicates. One expression tree,
-    no explode — at scale this is a pure map over the corpus.
+    Per token: 64-bit md5-derived hash (portable — the DuckDB oracle
+    restates the fingerprint exactly; xxhash64 would be Spark-only); per
+    bit: +1 if set else −1, summed over tokens; fingerprint bit = sign of
+    the sum. Documents within small Hamming distance are near-duplicates.
+    One expression tree, no explode — at scale this is a pure map over the
+    corpus.
     """
     toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: md5_hash64(t))
     one = F.lit(1).cast("long")
 
     # factory keeps the merge lambda binary — pyspark rejects extra

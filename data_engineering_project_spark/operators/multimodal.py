@@ -46,11 +46,20 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _real_decode(payload: bytes) -> tuple[int, int, int]:
-    """Hook for an actual image codec (PIL/libvips). Not available in this
-    environment — deployments override this function."""
-    raise NotImplementedError(
-        "media codecs are not installed; deployments plug PIL/libvips here"
-    )
+    """Real image codec hook: decodes with PIL when it is importable
+    (optional dependency — not shipped in this container), else raises.
+    Deployments with other codecs (libvips, torchvision.io) override this
+    function; the contract is payload bytes → (width, height, channels)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media codecs are not installed; deployments plug PIL/libvips here"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(bytes(payload))) as im:
+        return (im.width, im.height, len(im.getbands()))
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -76,7 +85,19 @@ def decode_image_meta(
     # don't have this package on sys.path, so a by-reference pickle of a
     # module-level function would raise ModuleNotFoundError on executors.
     if use_real_codec:
-        decode = _real_decode
+        # closure clone of _real_decode (see NOTE above on by-value pickling)
+        def decode(payload: bytes) -> tuple[int, int, int]:
+            try:
+                from PIL import Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "media codecs are not installed; deployments plug "
+                    "PIL/libvips here"
+                ) from exc
+            import io
+
+            with Image.open(io.BytesIO(bytes(payload))) as im:
+                return (im.width, im.height, len(im.getbands()))
     else:
         def decode(payload: bytes) -> tuple[int, int, int]:
             n = len(payload)

@@ -183,17 +183,44 @@ def docs_minhash_signature_profile(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# The bucket is the fingerprint's top 16 bits; fingerprint bit (48+k) is the
+# sign of the ±1 bit-sum over token hashes at bit (48+k), which lives in the
+# HIGH 32-bit half of the md5-derived hash (operators/dedup.py:md5_hash64) —
+# so the oracle needs only hex chars 17–24 of each token's md5.
+_SIMHASH_BUCKET_TERMS = " + ".join(
+    "CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+    "THEN 1 ELSE -1 END)) > 0 THEN {w} ELSE 0 END".format(b=16 + k, w=1 << k)
+    for k in range(16)
+)
+
+
 @register(
     "docs_simhash_buckets",
-    sql=None,  # xxhash64 is Spark-specific → rows-only + invariant checks
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(
+                   t, s -> CAST('0x' || substr(md5(s), 17, 8) AS BIGINT)
+               ) AS hs
+        FROM toks
+    )
+    SELECT bucket, COUNT(*) AS n_docs FROM (
+        SELECT CAST({_SIMHASH_BUCKET_TERMS} AS BIGINT) AS bucket FROM h
+    ) GROUP BY bucket
+    """,
     doc="SimHash-64 fingerprints bucketed by their top-16 bits: documents "
     "sharing a bucket are Hamming-close candidates. Pure map + one small "
     "agg; pairs within buckets verify with hamming64 ≤ threshold "
-    "(operators/dedup.py). No SQL oracle (xxhash64 is Spark-specific), but "
-    "the FULL histogram makes the portable invariants exact: sum(n_docs) = "
-    "corpus size, every bucket in [0, 2^16) — asserted value-level in "
-    "tests/test_oracle_parity.py; Hamming-within-bucket behavior on a "
-    "seeded fixture in tests/test_dedup.py.",
+    "(operators/dedup.py). The md5-derived token hash (md5_hash64) makes "
+    "the fingerprint portable, so the DuckDB oracle restates the bucket "
+    "bits exactly (the round-2 xxhash64 version was rows-only); "
+    "Hamming-within-bucket behavior on a seeded fixture in "
+    "tests/test_dedup.py.",
     tags=("dedup", "simhash"),
 )
 def docs_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,7 @@ while quoted lowercase resolves identically on Postgres, DuckDB, and Derby.
 
 from __future__ import annotations
 
+import time as _time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -126,6 +127,84 @@ def execute_merge(connection, spec: MergeSpec) -> None:
     except Exception:
         connection.execute(plan.rollback)
         raise
+
+
+class RecyclingConnectionFactory:
+    """Pool-of-one with ``pool_recycle`` semantics, mirroring the
+    reference's SQLAlchemy engine config (``pool_size=5, pool_recycle=1800``
+    — ``/root/reference/src/Task2/warehouse.py:31-35``). The merge protocol
+    runs driver-side over ONE connection at a time, so the pool dimension
+    that matters here is staleness, not size: connections older than
+    ``recycle_seconds`` (or explicitly invalidated after an error) are
+    closed and re-created instead of handed out stale — the failure mode
+    ``pool_recycle`` exists for (server-side idle timeouts killing
+    long-lived connections between cron ticks)."""
+
+    def __init__(self, factory: Callable[[], object], *, recycle_seconds: float = 1800.0):
+        self._factory = factory
+        self._recycle = recycle_seconds
+        self._conn: object | None = None
+        self._born = 0.0
+
+    def acquire(self):
+        if self._conn is not None and _time.time() - self._born > self._recycle:
+            self.invalidate()
+        if self._conn is None:
+            self._conn = self._factory()
+            self._born = _time.time()
+        return self._conn
+
+    def invalidate(self) -> None:
+        """Drop the cached connection (best-effort close); the next
+        ``acquire`` dials fresh."""
+        conn, self._conn = self._conn, None
+        if conn is not None:
+            try:
+                conn.close()
+            except Exception:
+                pass  # a dead connection often can't close cleanly
+
+    def close(self) -> None:
+        self.invalidate()
+
+
+def execute_merge_with_retry(
+    pool: RecyclingConnectionFactory,
+    spec: MergeSpec,
+    *,
+    attempts: int = 3,
+    backoff_seconds: float = 0.2,
+) -> None:
+    """:func:`execute_merge` with reconnect-on-stale + bounded retry.
+
+    Retry is safe ONLY for failures raised before COMMIT was issued: every
+    statement ran inside the open transaction, so the database rolled back
+    (or the connection's death rolled back implicitly) and the target is
+    untouched — re-running the whole protocol on a fresh connection is
+    exactly idempotent. A failure DURING commit is ambiguous (the commit
+    may have landed); retrying could archive freshly-committed rows a
+    second time, so it propagates to the caller, who resolves via the
+    verification read (S11) before any re-run.
+    """
+    plan = build_merge_statements(spec)
+    for attempt in range(1, attempts + 1):
+        conn = pool.acquire()
+        in_commit = False
+        try:
+            conn.execute(plan.begin)
+            for stmt in plan.statements:
+                conn.execute(stmt)
+            in_commit = True
+            conn.execute(plan.commit)
+            return
+        except Exception:
+            try:
+                conn.execute(plan.rollback)
+            except Exception:
+                pool.invalidate()  # connection itself is dead
+            if in_commit or attempt == attempts:
+                raise
+            _time.sleep(backoff_seconds * (2 ** (attempt - 1)))
 
 
 class JdbcStatementConnection:

@@ -142,3 +142,136 @@ def test_merge_failure_rolls_back_atomically(spark, derby, spec):
     with pytest.raises(Exception):
         _load(spark, derby, bad_spec, [(_ts(12), 1, 1)])
     assert _table(spark, derby, "client_report") == before
+
+
+def test_retry_reconnects_after_mid_protocol_connection_death(spark, derby, spec):
+    """VERDICT r2 #9: the resilient path re-establishes a killed connection
+    mid-protocol and re-runs the merge without losing atomicity — the
+    pre-commit attempt died inside its open transaction, so nothing
+    landed twice and nothing was lost."""
+    from data_engineering_project_spark.sinks.warehouse_sink import (
+        RecyclingConnectionFactory,
+        execute_merge_with_retry,
+        load_report_jdbc,
+    )
+
+    jvm = spark._jvm
+
+    class DiesMidProtocol:
+        """First connection: hard-closes the underlying java.sql.Connection
+        right before the 3rd statement executes (simulating a server-side
+        kill between statements)."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self._n = 0
+
+        def execute(self, sql):
+            self._n += 1
+            if self._n == 3:
+                # hard kill: abort the open txn and close the JVM
+                # connection — every later statement (including the
+                # wrapper's rollback attempt) hits "No current connection"
+                self._inner._conn.rollback()
+                self._inner._conn.close()
+            self._inner.execute(sql)
+
+        def close(self):
+            self._inner.close()
+
+    made = []
+
+    def factory():
+        conn = JdbcStatementConnection(
+            jvm.java.sql.DriverManager.getConnection(derby)
+        )
+        made.append(conn)
+        return DiesMidProtocol(conn) if len(made) == 1 else conn
+
+    # stage the batch (no inline merge), then run the resilient merge
+    load_report_jdbc(
+        _report(spark, [(_ts(7), 99, 9)]),
+        url=derby,
+        spec=spec,
+        properties={"driver": DRIVER},
+    )
+    pool = RecyclingConnectionFactory(factory)
+    try:
+        execute_merge_with_retry(pool, spec, attempts=3, backoff_seconds=0.01)
+    finally:
+        pool.close()
+
+    assert len(made) == 2  # dead connection invalidated, fresh one dialed
+    rows = _table(spark, derby, "client_report")
+    assert ("2022-05-26 07:00:00", 99, 9) in rows
+
+
+def test_commit_phase_failure_is_not_retried(spark, derby, spec):
+    """A failure DURING commit is ambiguous (it may have landed): the
+    resilient path must propagate it instead of re-running the protocol,
+    which could double-archive freshly committed rows."""
+    import pytest as _pytest
+
+    from data_engineering_project_spark.sinks.warehouse_sink import (
+        RecyclingConnectionFactory,
+        execute_merge_with_retry,
+    )
+
+    jvm = spark._jvm
+
+    class FailsOnCommit:
+        def __init__(self, inner):
+            self._inner = inner
+            self.attempts = 0
+
+        def execute(self, sql):
+            if sql.strip().upper() == "COMMIT":
+                self.attempts += 1
+                raise RuntimeError("socket died during commit")
+            self._inner.execute(sql)
+
+        def close(self):
+            self._inner.close()
+
+    wrapper = FailsOnCommit(
+        JdbcStatementConnection(jvm.java.sql.DriverManager.getConnection(derby))
+    )
+    pool = RecyclingConnectionFactory(lambda: wrapper)
+    try:
+        with _pytest.raises(RuntimeError, match="during commit"):
+            execute_merge_with_retry(pool, spec, attempts=3, backoff_seconds=0.01)
+    finally:
+        pool.close()
+    assert wrapper.attempts == 1  # exactly one commit attempt, no retry
+
+
+def test_recycling_factory_replaces_stale_connections(spark, derby):
+    """pool_recycle analog: a connection older than recycle_seconds is
+    closed and re-dialed instead of handed out stale."""
+    import time
+
+    from data_engineering_project_spark.sinks.warehouse_sink import (
+        RecyclingConnectionFactory,
+    )
+
+    jvm = spark._jvm
+    made = []
+
+    def factory():
+        conn = JdbcStatementConnection(
+            jvm.java.sql.DriverManager.getConnection(derby)
+        )
+        made.append(conn)
+        return conn
+
+    pool = RecyclingConnectionFactory(factory, recycle_seconds=0.05)
+    try:
+        first = pool.acquire()
+        assert pool.acquire() is first  # fresh enough: reused
+        time.sleep(0.1)
+        second = pool.acquire()  # stale: recycled
+        assert second is not first
+        assert len(made) == 2
+        second.execute("VALUES 1")  # the fresh connection actually works
+    finally:
+        pool.close()

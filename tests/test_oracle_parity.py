@@ -27,13 +27,6 @@ def oracle_con(sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _inv_simhash_buckets(sdf, con):
-    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
-    assert sdf["n_docs"].sum() == n_docs  # every doc in exactly one bucket
-    assert sdf["bucket"].between(0, 2**16 - 1).all()  # top-16-bit domain
-    assert (sdf["n_docs"] >= 1).all()
-
-
 def _inv_cms_heavy_hitters(sdf, con):
     true_counts = dict(
         con.execute("SELECT user_id, count(*) FROM events GROUP BY 1").fetchall()
@@ -116,7 +109,6 @@ def _inv_spacesaving_topk(sdf, con):
 
 NO_ORACLE_INVARIANTS = {
     "events_spacesaving_topk": _inv_spacesaving_topk,
-    "docs_simhash_buckets": _inv_simhash_buckets,
     "events_cms_heavy_hitters": _inv_cms_heavy_hitters,
     "events_hll_distinct_users": _inv_hll_distinct,
     "events_hll_daily_rollup": _inv_hll_rollup,
