@@ -11,7 +11,9 @@ probability ``1 − (1/2)^depth`` for ``eps = e/width``.
 Spark-first representation: the sketch IS a DataFrame of
 ``(row_idx, bucket, cnt)`` — at most ``depth × width`` rows. Building it
 is one pass: each input row explodes into ``depth`` (row_idx, bucket)
-probes hashed JVM-side with ``xxhash64`` (no Python UDFs), then a hash
+probes hashed JVM-side (md5-derived by default so a DuckDB oracle can
+restate the sketch bit-for-bit; xxhash64 knob for raw speed — no Python
+UDFs either way), then a hash
 aggregate whose map-side partial combine caps every partition's shuffle
 contribution at ``depth × width`` rows — the shuffle is sketch-sized,
 not data-sized. Estimation is a broadcast join of the candidate keys'
@@ -37,19 +39,37 @@ DEPTH = 4
 WIDTH = 2048
 
 
-def _probes(key: Column, depth: int, width: int, seed: int) -> Column:
+def _probes(
+    key: Column, depth: int, width: int, seed: int, hasher: str = "md5"
+) -> Column:
     """Array of ``depth`` structs (row_idx, bucket) for one key value.
 
-    Row ``i`` uses an independent hash by folding ``seed + i`` into
-    xxhash64's seed argument; ``pmod`` keeps buckets in [0, width).
+    Row ``i`` uses an independent hash by folding ``seed + i`` into the
+    hash input; ``pmod`` keeps buckets in [0, width).
+
+    ``hasher='md5'`` (default) derives the bucket from an md5-based 64-bit
+    hash of ``"{seed+i}:{key}"`` — portable, so a DuckDB oracle restates
+    the sketch exactly (same rationale as MinHash/SimHash in
+    operators/dedup.py). Signed-vs-unsigned 64-bit congruence only holds
+    for POWER-OF-TWO widths (2^64 ≡ 0 mod 2^k), which the defaults are.
+    ``hasher='xxhash64'`` is the faster JVM-native knob when
+    cross-engine restatement isn't needed.
     """
+    from data_engineering_project_spark.operators.dedup import md5_hash64
+
+    if hasher == "xxhash64":
+        def bucket(i: int) -> Column:
+            return F.pmod(F.xxhash64(key, F.lit(seed + i)), F.lit(width))
+    elif hasher == "md5":
+        def bucket(i: int) -> Column:
+            h = md5_hash64(F.concat(F.lit(f"{seed + i}:"), key.cast("string")))
+            return F.pmod(h, F.lit(width))
+    else:
+        raise ValueError(f"hasher must be md5|xxhash64, got {hasher!r}")
     return F.array(
         *[
             F.struct(
-                F.lit(i).alias("row_idx"),
-                F.pmod(F.xxhash64(key, F.lit(seed + i)), F.lit(width)).alias(
-                    "bucket"
-                ),
+                F.lit(i).alias("row_idx"), bucket(i).alias("bucket")
             )
             for i in range(depth)
         ]
@@ -63,6 +83,7 @@ def count_min_sketch(
     depth: int = DEPTH,
     width: int = WIDTH,
     seed: int = 42,
+    hasher: str = "md5",
 ) -> DataFrame:
     """One-pass CMS build → ``(row_idx, bucket, cnt)``, ≤ depth×width rows.
 
@@ -70,7 +91,9 @@ def count_min_sketch(
     partition, so the network cost is independent of data volume.
     """
     return (
-        df.select(F.explode(_probes(F.col(key), depth, width, seed)).alias("p"))
+        df.select(
+            F.explode(_probes(F.col(key), depth, width, seed, hasher)).alias("p")
+        )
         .groupBy(F.col("p.row_idx").alias("row_idx"), F.col("p.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -84,6 +107,7 @@ def cms_estimate(
     depth: int = DEPTH,
     width: int = WIDTH,
     seed: int = 42,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Point-query the sketch for every row of ``candidates``.
 
@@ -94,7 +118,8 @@ def cms_estimate(
     bound, so missing joins coalesce to 0.
     """
     probed = candidates.select(
-        F.col(key), F.explode(_probes(F.col(key), depth, width, seed)).alias("p")
+        F.col(key),
+        F.explode(_probes(F.col(key), depth, width, seed, hasher)).alias("p"),
     ).select(key, "p.row_idx", "p.bucket")
     return (
         probed.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
@@ -111,6 +136,7 @@ def cms_heavy_hitters(
     depth: int = DEPTH,
     width: int = WIDTH,
     seed: int = 42,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Two-pass φ-heavy-hitters: keys whose estimated count ≥ φ·N.
 
@@ -120,10 +146,18 @@ def cms_heavy_hitters(
     near-threshold false positive — precision is governed by width.
     Returns ``(key, est_count, total_count)`` ordered by est desc.
     """
-    sketch = count_min_sketch(df, key, depth=depth, width=width, seed=seed)
+    sketch = count_min_sketch(
+        df, key, depth=depth, width=width, seed=seed, hasher=hasher
+    )
     total = df.count()
     est = cms_estimate(
-        sketch, df.select(key).distinct(), key, depth=depth, width=width, seed=seed
+        sketch,
+        df.select(key).distinct(),
+        key,
+        depth=depth,
+        width=width,
+        seed=seed,
+        hasher=hasher,
     )
     return (
         est.filter(F.col("est_count") >= threshold_frac * total)

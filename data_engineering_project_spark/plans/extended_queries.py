@@ -1246,9 +1246,36 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# md5-derived bucket hash (operators/sketch.py:_probes, operators/dedup.py:
+# md5_hash64): the 64-bit hash is hex chars 17–32 of md5("{seed+i}:{key}").
+# Mod a power-of-two width only the LOW bits matter (2^32 ≡ 0 mod 2^11),
+# so the oracle needs just the low 32-bit half — and signed-vs-unsigned
+# congruence holds for the same reason (2^64 ≡ 0 mod 2^11).
+_CMS_BUCKET = (
+    "(CAST('0x' || substr(md5((42 + i) || ':' || k), 25, 8) AS BIGINT) % 2048)"
+)
+
+
 @register(
     "events_cms_heavy_hitters",
-    sql=None,  # xxhash64-based sketch is Spark-specific → rows-only check
+    sql=f"""
+    WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS k FROM events),
+    probes AS (
+        SELECT user_id, i, {_CMS_BUCKET} AS bucket
+        FROM ev CROSS JOIN range(4) t(i)
+    ),
+    sketch AS (SELECT i, bucket, COUNT(*) AS cnt FROM probes GROUP BY 1, 2),
+    total AS (SELECT COUNT(*) AS n FROM events),
+    cand AS (SELECT DISTINCT user_id, i, bucket FROM probes),
+    est AS (
+        SELECT c.user_id, MIN(s.cnt) AS est_count
+        FROM cand c JOIN sketch s USING (i, bucket)
+        GROUP BY 1
+    )
+    SELECT e.user_id, e.est_count, t.n AS total_count
+    FROM est e CROSS JOIN total t
+    WHERE e.est_count >= 0.008 * t.n
+    """,
     doc="φ-heavy-hitters over event user_ids via a count-min sketch "
     "(operators/sketch.py): pass 1 folds the stream into a fixed "
     "depth×width counter table (the shuffle is sketch-sized, independent "
@@ -1257,8 +1284,9 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "memory); pass 2 broadcast-probes candidate keys and keeps "
     "est ≥ φ·N. Overestimate-only error: recall of true heavy hitters "
     "is 100% by construction (property-tested in tests/test_sketch.py). "
-    "Fully deterministic (fixed hash seeds), so the rows-only check is "
-    "stable across runs.",
+    "The md5-derived bucket hash makes the whole sketch "
+    "engine-portable, so the DuckDB oracle rebuilds it and hash-matches "
+    "exactly (was rows-only under xxhash64 in round 2).",
     tags=("sketch", "approx", "agg"),
 )
 def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,28 @@ from data_engineering_project_spark.sources.tables import load_table
 EMB_DIM = 64
 
 
+def _plane_literal(plane: list[float]) -> str:
+    """DuckDB list literal of the plane's double coefficients. ``repr`` is
+    shortest-roundtrip, so DuckDB parses back the identical double."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _lsh_bucket_sql(n_planes: int, seed: int = 42, vec: str = "embedding") -> str:
+    """DuckDB restatement of operators/similarity.py:lsh_bucket — the
+    hyperplanes are deterministic plan literals (pure-python LCG), so the
+    oracle embeds the exact same doubles and reproduces every sign bit.
+    A sign flip would need |dot| within one ulp of zero (the vectorized
+    path's own bit-exactness argument)."""
+    bits = [
+        "CASE WHEN list_sum(list_transform(list_zip({v}, {p}), "
+        "z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN '1' ELSE '0' END".format(
+            v=vec, p=_plane_literal(plane)
+        )
+        for plane in S._hyperplanes(EMB_DIM, n_planes, seed)
+    ]
+    return " || ".join(bits)
+
+
 @register(
     "emb_cosine_topk",
     sql="""
@@ -82,14 +104,19 @@ def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_lsh_bucket_profile",
-    sql=None,  # hyperplane literals are impractical to restate in SQL — rows-only check
+    sql=f"""
+    WITH b AS (SELECT {_lsh_bucket_sql(12)} AS bucket FROM embeddings)
+    SELECT bucket, COUNT(*) AS n_vectors FROM b GROUP BY bucket
+    """,
     doc="LSH bucketing profile: random-hyperplane sign-bit bucket per vector "
     "(12 planes, seed 42), bucket population counts. The candidate-generation "
     "half of scalable near-dup / ANN search; scoring happens only within "
     "buckets (see operators/similarity.py:lsh_candidate_pairs). Bucketing "
     "runs through the numpy-vectorized mapInPandas path (one matmul per "
     "Arrow batch) — tested bit-identical to the expression path, ~100× "
-    "per-row at bulk scale.",
+    "per-row at bulk scale. The hyperplanes are deterministic plan "
+    "literals, so the DuckDB oracle embeds the same doubles and "
+    "hash-matches the full bucket histogram (was rows-only in round 2).",
     tags=("similarity", "ann", "lsh"),
 )
 def emb_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +130,23 @@ def emb_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_lsh_near_pairs",
-    sql=None,  # approximate candidate set — no SQL oracle; rows-only check
+    sql=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_lsh_bucket_sql(8)} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.embedding, b2.embedding),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b2.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM pairs WHERE c > 0.3
+    """,
     doc="Nearest-neighbour embedding pairs via LSH: bucket join (8 planes) → "
     "exact cosine within buckets → keep pairs above a similarity floor. The "
     "embedding-space analog of MinHash near-dup text dedup; the join "
