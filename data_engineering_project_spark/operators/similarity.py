@@ -59,6 +59,56 @@ def topk_cosine(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def topk_cosine_vectorized(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Bit-exact vectorized twin of :func:`topk_cosine`.
+
+    Same shape (broadcast crossJoin → map-only scoring → distributed
+    TakeOrdered), but the scoring runs as one numpy pass per Arrow batch
+    instead of interpreted higher-order-function expressions (Catalyst
+    doesn't codegen ``aggregate``/``zip_with`` lambdas — they evaluate
+    row-at-a-time on the JVM, the dominant cost of the expression path).
+
+    Bit-exactness: ``np.cumsum`` is ufunc ``add.accumulate`` — a strict
+    left fold in doubles, the SAME operation order as the expression
+    path's ``F.aggregate(..., acc + x)`` and the SQL oracle's ``list_sum``
+    — so dot, norms, and the final cosine reproduce identical doubles
+    (asserted in tests/test_similarity.py).
+    """
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].values).astype(np.float64)
+            # the broadcast query vector is identical on every row of the
+            # crossJoin — lift it once per batch instead of stacking a
+            # redundant (n, dim) matrix
+            q = np.asarray(pdf[query_vec_col].iloc[0], dtype=np.float64)
+            dots = np.cumsum(V * q, axis=1)[:, -1]
+            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            nq = np.sqrt(np.cumsum(q * q)[-1])
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cosine": dots / (nv * nq)}
+            )
+
+    joined = corpus.crossJoin(F.broadcast(query)).select(
+        id_col, vec_col, query_vec_col
+    )
+    scored = joined.mapInPandas(batches, f"{id_col} long, cosine double")
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure-python LCG so the
     plan is reproducible without numpy on the executors — planes are plan

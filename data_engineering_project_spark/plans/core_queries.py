@@ -272,13 +272,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    # Aggregate orders BEFORE the join: the map-side combine collapses the
+    # fact table to one row per customer, so the join (and at 100 TB the
+    # shuffle) moves |customers| rows instead of |orders|. c_name is
+    # functionally dependent on c_custkey, so grouping pre-join is
+    # equivalent to the join-then-group form.
+    per_cust = o.groupBy("o_custkey").agg(
+        S.exact_decimal_sum(F.col("o_totalprice"), 1000).alias("revenue"),
+        F.count("*").alias("order_count"),
+    )
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            S.exact_decimal_sum(F.col("o_totalprice"), 1000).alias("revenue"),
-            F.count("*").alias("order_count"),
-        )
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"])
+        .select("c_custkey", "c_name", "revenue", "order_count")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
     )
@@ -548,17 +553,26 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Selective-dimension-first join order (Catalyst has no stats-based
+    # reorder here): region='ASIA' → nations → suppliers prunes the
+    # supplier side to ~1/|regions| BEFORE lineitem touches a shuffle, so
+    # the expensive lineitem⋈orders exchange carries only ASIA-supplier
+    # line items (~5× less at any scale).
+    asia_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n["n_regionkey"] == r["r_regionkey"],
+    ).select("n_nationkey", "n_name")
+    s_asia = s.join(
+        F.broadcast(asia_nations), s["s_nationkey"] == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
     return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
+        li.join(broadcast_if_small(s_asia), li["l_suppkey"] == s_asia["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(
-            broadcast_if_small(s),
-            (s["s_suppkey"] == li["l_suppkey"])
-            & (s["s_nationkey"] == c["c_nationkey"]),
+            c,
+            (o["o_custkey"] == c["c_custkey"])
+            & (c["c_nationkey"] == s_asia["s_nationkey"]),
         )
-        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
-        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
-        .filter(F.col("r_name") == "ASIA")
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(S.exact_decimal_sum(revenue, 10_000).alias("revenue"))
     )

@@ -68,7 +68,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("query_embedding")
     )
-    top = S.topk_cosine(e.filter(F.col("vec_id") != 0), q, 10)
+    top = S.topk_cosine_vectorized(e.filter(F.col("vec_id") != 0), q, 10)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 

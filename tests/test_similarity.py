@@ -1,0 +1,53 @@
+"""Similarity operators: the vectorized cosine scorer must be BIT-exact
+against the expression path (np.cumsum = add.accumulate = the same left
+fold in doubles as F.aggregate's acc+x), not merely approximately equal —
+the SQL oracle hashes exact values after ROUND."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators.similarity import (
+    topk_cosine,
+    topk_cosine_vectorized,
+)
+
+
+def _corpus(spark, n=200, dim=64, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_vectorized_topk_is_bit_identical_to_expression_path(spark):
+    e = _corpus(spark)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    corpus = e.filter(F.col("vec_id") != 0)
+    # compare FULL score sets (k = corpus size), not just the top-10 — a
+    # drifted low-rank score would hide in a top-k-only comparison
+    expr = {
+        r["vec_id"]: r["cosine"]
+        for r in topk_cosine(corpus, q, 199).collect()
+    }
+    vec = {
+        r["vec_id"]: r["cosine"]
+        for r in topk_cosine_vectorized(corpus, q, 199).collect()
+    }
+    assert expr == vec  # exact float equality, all 199 scores
+
+
+def test_vectorized_topk_orders_and_limits(spark):
+    e = _corpus(spark, n=50)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    top = topk_cosine_vectorized(e.filter(F.col("vec_id") != 0), q, 5).collect()
+    assert len(top) == 5
+    scores = [r["cosine"] for r in top]
+    assert scores == sorted(scores, reverse=True)
