@@ -121,6 +121,119 @@ def docs_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_term_sql(term: str) -> tuple[str, str]:
+    """(tf expression, df-count expression) for one query term — DuckDB
+    restatement of the array-expression form (no explode on either side)."""
+    tf = (
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        f"x -> x = '{term}'))"
+    )
+    return tf, f"SUM(CASE WHEN {tf} > 0 THEN 1 ELSE 0 END)"
+
+
+_BM25_TF_COLS = ", ".join(
+    f"{_bm25_term_sql(t)[0]} AS tf_{i}" for i, t in enumerate(_SEARCH_TERMS)
+)
+_BM25_DF_COLS = ", ".join(
+    f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(_SEARCH_TERMS))
+)
+# fixed left-to-right association: (s0 + s1) + s2 — same order in Spark
+_BM25_SCORE = " + ".join(
+    f"(ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+    f" * (d.tf_{i} * ({_BM25_K1} + 1.0))"
+    f" / (d.tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl)))"
+    for i in range(len(_SEARCH_TERMS))
+)
+
+
+@register(
+    "docs_bm25_search",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS dl,
+               {_BM25_TF_COLS}
+        FROM documents
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {_BM25_DF_COLS}
+        FROM d
+    )
+    SELECT d.doc_id, ROUND({_BM25_SCORE}, 4) AS bm25
+    FROM d CROSS JOIN s
+    WHERE d.tf_0 + d.tf_1 + d.tf_2 > 0
+    ORDER BY bm25 DESC, d.doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+    doc="BM25-ranked keyword search (disjunctive, Lucene-style idf, "
+    "k1=1.2 b=0.75) — the scoring complement of the conjunctive "
+    "docs_keyword_search. NO explode anywhere: per-doc tf/dl are array "
+    "expressions in the scan projection (map-side), corpus stats (N, "
+    "avgdl, per-term df) are ONE tiny global aggregate broadcast back, "
+    "and the ranking is a distributed TakeOrdered — at 100 TB the only "
+    "shuffle is k rows per partition. Score determinism: tf/df/dl/N are "
+    "integers, avgdl is an exact integer ratio, and the 3-term score sum "
+    "is fixed left-to-right on both engines, so doubles match "
+    "bit-for-bit.",
+    tags=("search", "text", "ranking"),
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+
+    # factory keeps the filter lambda UNARY — a 2-param lambda (even with a
+    # default) makes pyspark pass the array INDEX as the second argument,
+    # silently corrupting the comparison (same pitfall as minhash seeds)
+    def tf_of(term: str):
+        return F.size(F.filter(toks, lambda x: x == term))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: x != "")).alias("dl"),
+        *[tf_of(t).alias(f"tf_{i}") for i, t in enumerate(_SEARCH_TERMS)],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_SEARCH_TERMS))
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    joined = per_doc.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf_{i}")
+        return idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+
+    score = term_score(0)
+    for i in range(1, len(_SEARCH_TERMS)):
+        score = score + term_score(i)
+    return (
+        joined.filter(
+            sum(F.col(f"tf_{i}") for i in range(len(_SEARCH_TERMS)))
+            > 0
+        )
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_SAMPLE_K)
+    )
+
+
 @register(
     "events_incremental_daily_agg",
     sql="""
