@@ -216,3 +216,96 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("overlap_us").cast("bigint").alias("overlap_us"),
     )
+
+
+@register(
+    "events_daily_anomalies",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(ROUND(sum(ROUND(value * 100, 0)) / count(*), 0) AS BIGINT)
+                   AS mu
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, day, mu,
+               count(*) OVER win AS n7,
+               sum(mu) OVER win AS s7,
+               sum(mu * mu) OVER win AS ss7
+        FROM daily
+        WINDOW win AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(mu / 100.0, 2) AS day_mean,
+           ROUND(CAST(mu * n7 - s7 AS DOUBLE) / n7
+                 / sqrt(CAST(n7 * ss7 - s7 * s7 AS DOUBLE) / (n7 * (n7 - 1))),
+                 4) AS z
+    FROM w
+    WHERE n7 >= 4 AND n7 * ss7 - s7 * s7 > 0
+      AND abs(CAST(mu * n7 - s7 AS DOUBLE) / n7
+              / sqrt(CAST(n7 * ss7 - s7 * s7 AS DOUBLE) / (n7 * (n7 - 1))))
+          > 1.5
+    """,
+    doc="Trailing-window anomaly detection: per (event_type, day), flag "
+    "days whose mean value deviates > 1.5σ from the PRECEDING 7 days "
+    "(frame excludes the current row — the classic leakage mistake is "
+    "including it, which shrinks z for the very anomaly being tested). "
+    "Determinism design: the day mean is snapped to integer centi-units "
+    "and the window carries only integer sufficient statistics "
+    "(n, Σμ, Σμ²) — exact under ANY accumulation order (Spark sliding "
+    "frames vs DuckDB segment trees associate differently; float sums "
+    "would drift), so mean/variance/z re-derive closed-form from exact "
+    "integers and hash-match bit-for-bit. One shuffle (daily agg reused "
+    "by the window partition).",
+    tags=("timeseries", "anomaly", "window"),
+)
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0)) / F.count("*"), 0
+        )
+        .cast("bigint")
+        .alias("mu")
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "mu",
+        F.count("*").over(win).alias("n7"),
+        F.sum("mu").over(win).alias("s7"),
+        F.sum(F.col("mu") * F.col("mu")).over(win).alias("ss7"),
+    )
+    z = (
+        (F.col("mu") * F.col("n7") - F.col("s7")).cast("double")
+        / F.col("n7")
+        / F.sqrt(
+            (F.col("n7") * F.col("ss7") - F.col("s7") * F.col("s7")).cast(
+                "double"
+            )
+            / (F.col("n7") * (F.col("n7") - 1))
+        )
+    )
+    return (
+        w.filter(
+            (F.col("n7") >= 4)
+            & (F.col("n7") * F.col("ss7") - F.col("s7") * F.col("s7") > 0)
+            & (F.abs(z) > 1.5)
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("mu") / 100.0, 2).alias("day_mean"),
+            F.round(z, 4).alias("z"),
+        )
+    )
