@@ -390,6 +390,77 @@ def _atomic_swap_write(merged: DataFrame, target_dir: str) -> None:
     shutil.rmtree(old_dir, ignore_errors=True)
 
 
+def upsert_cms_sketch(
+    target_dir: str,
+    *,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 42,
+) -> Callable:
+    """foreachBatch writer maintaining a count-min sketch table — the
+    streaming twin of the batch ``events_cms_heavy_hitters`` build
+    (operators/sketch.py). State is the sketch itself: ≤ depth×width
+    counter rows per contributing batch, independent of key cardinality —
+    the property that makes per-key exact streaming state unnecessary for
+    billions of long-tail keys.
+
+    Counters are NOT re-delivery-idempotent (unlike HLL register maxes),
+    so this uses the same exactly-once-counter protocol as
+    ``upsert_daily_histograms``: each batch's counter deltas are keyed by
+    ``batch_id`` and REPLACE any prior rows for that id before the merge —
+    a crash-replayed batch overwrites its own contribution instead of
+    double-counting. Readers vector-add across batches, so compaction of
+    finalized batch ids is a pure optimization.
+    """
+    from data_engineering_project_spark.operators.sketch import (
+        count_min_sketch,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = count_min_sketch(
+            batch_df, key_col, depth=depth, width=width, seed=seed
+        ).withColumn("batch_id", F.lit(batch_id))
+        current = _recover_and_read(spark, target_dir)
+        if current is not None:
+            merged = current.filter(
+                F.col("batch_id") != batch_id
+            ).unionByName(new)
+        else:
+            merged = new
+        _atomic_swap_write(merged, target_dir)
+
+    return _write
+
+
+def read_cms_estimates(
+    spark: SparkSession,
+    target_dir: str,
+    candidates: DataFrame,
+    key_col: str = "user_id",
+    *,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-query the persisted streaming sketch for ``candidates``:
+    vector-add the per-batch deltas into one sketch (≤ depth×width rows),
+    then the standard broadcast probe + min-merge — never re-reads raw
+    events. Estimates keep the CMS guarantee (never underestimate) because
+    vector addition of per-batch sketches IS the sketch of the union."""
+    from data_engineering_project_spark.operators.sketch import cms_estimate
+
+    merged = (
+        spark.read.parquet(target_dir)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cms_estimate(
+        merged, candidates, key_col, depth=depth, width=width, seed=seed
+    )
+
+
 def upsert_daily_sketches(
     target_dir: str,
     *,

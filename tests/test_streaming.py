@@ -630,3 +630,38 @@ def test_histogram_handles_nonpositive_values(spark, dirs):
         ).collect()
     }
     assert got1[0.01] == 0.0
+
+
+def test_streaming_cms_maintenance_exactly_once(spark, dirs):
+    """Streaming CMS: per-batch counter deltas keyed by batch_id REPLACE on
+    crash re-delivery (counters would double-count under a blind append);
+    estimates from the persisted sketch keep the never-underestimate
+    guarantee and are exact here (no collisions at this cardinality)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_cms_estimates,
+        upsert_cms_sketch,
+    )
+
+    def _batch(ids):
+        return spark.createDataFrame([(i,) for i in ids], "user_id long")
+
+    write = upsert_cms_sketch(dirs["target"])
+    write(_batch([1] * 50 + [2] * 10), 0)
+    write(_batch([1] * 25 + [3] * 5), 1)
+    write(_batch([1] * 25 + [3] * 5), 1)  # crash re-delivery: replaced
+
+    state = spark.read.parquet(dirs["target"])
+    # per-row totals equal ONE delivery of each batch (60 + 30, not +30 more)
+    assert (
+        state.groupBy("row_idx").agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+        == 90
+    )
+    cand = _batch([1, 2, 3]).distinct()
+    est = {
+        r["user_id"]: r["est_count"]
+        for r in read_cms_estimates(spark, dirs["target"], cand).collect()
+    }
+    assert est[1] >= 75 and est[2] >= 10 and est[3] >= 5  # never underestimate
+    assert est == {1: 75, 2: 10, 3: 5}  # exact at this cardinality
