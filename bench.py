@@ -67,6 +67,10 @@ HEADLINE = (
     # fifth wave: behavioral analytics (stacked windows, wedge join)
     "events_funnel_conversion",
     "parts_triangle_affinity",
+    # sixth wave (round 3): explode-free BM25 ranking, integer-moment
+    # anomaly windows
+    "docs_bm25_search",
+    "events_daily_anomalies",
 )
 
 

@@ -376,3 +376,21 @@ def test_pagerank_iteration_never_reshuffles_edges(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         for (_, rdd) in spark.sparkContext._jsc.getPersistentRDDs().items():
             rdd.unpersist()
+
+
+def test_bm25_search_has_no_explode(plans):
+    # tf/dl are array expressions in the scan projection; corpus stats are
+    # one broadcast scalar row; ranking is a distributed TakeOrdered. An
+    # exploded-postings BM25 would shuffle |tokens| rows instead of k/part.
+    plan = plans("docs_bm25_search")
+    assert "Generate" not in plan  # Spark's explode operator
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_daily_anomalies_carries_integer_moments(plans):
+    # one shuffle for the daily agg, one (dates x types sized) for the
+    # trailing window — and no float stddev/variance aggregate anywhere:
+    # the z-score derives from exact integer (n, sum, sum-of-squares)
+    plan = plans("events_daily_anomalies")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "stddev" not in plan and "var_samp" not in plan
