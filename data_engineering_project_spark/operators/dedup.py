@@ -131,6 +131,92 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``(id, band_key)`` LSH index table for a corpus.
+
+    Persist this (plain parquet or ``sinks/snapshot_table.write_table`` for
+    versioned appends) and probe each ingest batch against it with
+    :func:`incremental_minhash_pairs` — continuous-ingest dedup then costs
+    banding the NEW batch plus one index join, never re-pairing the whole
+    corpus. The index is ~n_bands rows per document, two narrow columns.
+    """
+    rows_per_band = n_hashes // n_bands
+    sh = shingles(F.col(text_col), shingle_k)
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            band_keys(minhash_signature(sh, n_hashes), n_bands, rows_per_band)
+        ).alias("band_key"),
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW ingest batch against an already-indexed
+    corpus: band the new docs (same seeds/banding as the index), join the
+    index on ``band_key`` for candidates, then exact-Jaccard verify by
+    fetching ONLY the candidate texts from each side.
+
+    Contract: ``index`` was built by :func:`minhash_band_index` with the
+    same ``n_hashes``/``n_bands``/``shingle_k``, and new ids are disjoint
+    from corpus ids. At 100 TB the per-batch cost is
+    O(batch + matching index buckets + candidates) — the corpus is touched
+    only at candidate ids (parquet/row-group pruning applies); a full
+    re-pairing (``minhash_lsh_pairs`` over old ∪ new) would re-shuffle the
+    entire corpus every ingest.
+
+    Returns ``(new_id, corpus_id, jaccard)`` with jaccard ≥ min_jaccard —
+    identical to the (new × old) cross-slice of a full re-pairing, which
+    is what the test asserts.
+    """
+    new_bands = minhash_band_index(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        shingle_k=shingle_k,
+    ).select(F.col(id_col).alias("new_id"), "band_key")
+    old_bands = index.select(F.col(id_col).alias("corpus_id"), "band_key")
+    cand = (
+        new_bands.join(old_bands, on="band_key")
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sh = shingles(F.col(text_col), shingle_k)
+    new_sh = new_docs.select(F.col(id_col).alias("_nid"), sh.alias("sh_new"))
+    old_sh = corpus.select(F.col(id_col).alias("_oid"), sh.alias("sh_old"))
+    verified = (
+        cand.join(new_sh, cand["new_id"] == new_sh["_nid"])
+        .select("new_id", "corpus_id", "sh_new")
+        .join(old_sh, F.col("corpus_id") == old_sh["_oid"])
+        .select("new_id", "corpus_id", "sh_new", "sh_old")
+    )
+    return (
+        verified.withColumn("jaccard", jaccard(F.col("sh_new"), F.col("sh_old")))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def jaccard_prefix_pairs(
     docs: DataFrame,
     *,

@@ -457,3 +457,104 @@ def docs_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_checksum"),
     )
+
+
+_PSI_EDGES = (100, 200, 400, 800, 1600)  # n_chars bin edges (6 bins)
+
+
+def _psi_bin_case_sql(col: str = "n_chars") -> str:
+    conds = [f"WHEN {col} < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES)]
+    return "CASE " + " ".join(conds) + f" ELSE {len(_PSI_EDGES)} END"
+
+
+_PSI_COUNT_COLS = ", ".join(
+    f"SUM(CASE WHEN bin = {i} AND half = 0 THEN 1 ELSE 0 END) AS a{i}, "
+    f"SUM(CASE WHEN bin = {i} AND half = 1 THEN 1 ELSE 0 END) AS b{i}"
+    for i in range(len(_PSI_EDGES) + 1)
+)
+_PSI_TOTALS = (
+    "("
+    + " + ".join(f"a{i} + 1" for i in range(len(_PSI_EDGES) + 1))
+    + ") AS ta, ("
+    + " + ".join(f"b{i} + 1" for i in range(len(_PSI_EDGES) + 1))
+    + ") AS tb"
+)
+# fixed left-to-right sum over the 6 bins — deterministic doubles
+_PSI_SUM = " + ".join(
+    f"((CAST(a{i} + 1 AS DOUBLE) / ta - CAST(b{i} + 1 AS DOUBLE) / tb)"
+    f" * ln((CAST(a{i} + 1 AS DOUBLE) / ta) / (CAST(b{i} + 1 AS DOUBLE) / tb)))"
+    for i in range(len(_PSI_EDGES) + 1)
+)
+
+
+@register(
+    "docs_length_drift_psi",
+    sql=f"""
+    WITH binned AS (
+        SELECT lang, doc_id % 2 AS half, {_psi_bin_case_sql()} AS bin
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, {_PSI_COUNT_COLS} FROM binned GROUP BY lang
+    ),
+    tot AS (SELECT lang, *, {_PSI_TOTALS} FROM counts)
+    SELECT lang,
+           CAST(ta - {len(_PSI_EDGES) + 1} AS BIGINT) AS n_baseline,
+           CAST(tb - {len(_PSI_EDGES) + 1} AS BIGINT) AS n_current,
+           ROUND({_PSI_SUM}, 6) AS psi
+    FROM tot
+    """,
+    doc="Population-stability-index drift monitor over the document length "
+    "distribution, per language: fixed n_chars bins, baseline = even "
+    "doc_ids vs current = odd doc_ids (stand-in for two ingest windows), "
+    "PSI = Σ (p−q)·ln(p/q) with +1 Laplace smoothing so empty bins stay "
+    "finite. The production use is gating an ingest batch whose "
+    "distribution drifted (PSI > 0.2 rule of thumb). Determinism: bin "
+    "counts are conditional-aggregation INTEGER columns (one shuffle, no "
+    "per-bin rows), totals are exact, and the 6-term PSI sum is a fixed "
+    "left-to-right expression on both engines — doubles match "
+    "bit-for-bit.",
+    tags=("text", "drift", "monitoring"),
+)
+def docs_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_bins = len(_PSI_EDGES) + 1
+    bin_col = F.lit(n_bins - 1)
+    for i in range(len(_PSI_EDGES) - 1, -1, -1):
+        bin_col = F.when(
+            F.col("n_chars") < _PSI_EDGES[i], F.lit(i)
+        ).otherwise(bin_col)
+    binned = docs.select(
+        "lang", (F.col("doc_id") % 2).alias("half"), bin_col.alias("bin")
+    )
+    aggs = []
+    for i in range(n_bins):
+        aggs.append(
+            F.sum(
+                ((F.col("bin") == i) & (F.col("half") == 0)).cast("long")
+            ).alias(f"a{i}")
+        )
+        aggs.append(
+            F.sum(
+                ((F.col("bin") == i) & (F.col("half") == 1)).cast("long")
+            ).alias(f"b{i}")
+        )
+    counts = binned.groupBy("lang").agg(*aggs)
+    ta = sum(F.col(f"a{i}") + 1 for i in range(n_bins))
+    tb = sum(F.col(f"b{i}") + 1 for i in range(n_bins))
+    counts = counts.withColumn("ta", ta).withColumn("tb", tb)
+
+    def term(i: int):
+        p = (F.col(f"a{i}") + 1).cast("double") / F.col("ta")
+        q = (F.col(f"b{i}") + 1).cast("double") / F.col("tb")
+        return (p - q) * F.log(p / q)
+
+    psi = term(0)
+    for i in range(1, n_bins):
+        psi = psi + term(i)
+    return counts.select(
+        "lang",
+        (F.col("ta") - n_bins).cast("bigint").alias("n_baseline"),
+        (F.col("tb") - n_bins).cast("bigint").alias("n_current"),
+        F.round(psi, 6).alias("psi"),
+    )
