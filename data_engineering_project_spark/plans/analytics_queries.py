@@ -588,3 +588,89 @@ def docs_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("frame_idx") == 0) | (F.col("scene_jump") >= 4.0))
     )
+
+
+@register(
+    "events_ab_conversion_z",
+    sql="""
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS arm,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+        FROM assign
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+           ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+           CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1
+                THEN NULL
+                ELSE ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                     / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                            * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1)),
+                     4) END AS z
+    FROM arms
+    """,
+    doc="Two-proportion z-test for an A/B experiment: users hash-assigned "
+    "to arms (user_id parity — deterministic, the production analog is a "
+    "salted hash), per-user conversion = any purchase with value > 150, "
+    "pooled "
+    "standard error. Shapes: one user-level aggregate (map-side "
+    "combinable max) then a single scalar row — no window, no join. All "
+    "inputs to the z formula are exact integers, so the closed-form "
+    "double matches the oracle bit-for-bit.",
+    tags=("analytics", "experiment", "aggregate"),
+)
+def events_ab_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 150)
+            ).cast("int")
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    arms = assign.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0).cast("long")).alias("c0"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0).cast("long")).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    degenerate = (
+        (F.col("n0") == 0)
+        | (F.col("n1") == 0)
+        | (F.col("c0") + F.col("c1") == 0)
+        | (F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1"))
+    )
+    z = F.when(degenerate, F.lit(None).cast("double")).otherwise(
+        F.round(
+            (p0 - p1)
+            / F.sqrt(
+                pooled
+                * (1.0 - pooled)
+                * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+            ),
+            4,
+        )
+    )
+    return arms.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        z.alias("z"),
+    )
