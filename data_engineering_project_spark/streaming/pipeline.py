@@ -744,6 +744,66 @@ def stateful_type_totals_stream(events: DataFrame, *, key_col: str = "event_type
     )
 
 
+def funnel_stage_stream(
+    events: DataFrame,
+    *,
+    stages: tuple[str, ...] = ("impressions", "clicks"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "batch_ts",
+):
+    """Streaming ORDERED funnel via ``applyInPandasWithState`` — the
+    streaming twin of the batch ``events_funnel_conversion`` (stacked
+    unbounded-MIN windows can't run on a stream: they'd need the whole
+    history per user; here state per user is ONE small int).
+
+    Per user, state = highest funnel stage reached so far, advancing only
+    when the NEXT stage's event arrives (an out-of-order later stage does
+    not count until its predecessors happened — the ordered-funnel
+    semantic). Events are applied in ``time_col`` order within each batch;
+    across batches, cross-batch stragglers older than the previous
+    batch's events are a documented approximation shared by every
+    stateful streaming funnel (bound it with a watermark upstream).
+
+    Emits ``(user, stage_idx, stage)`` per touched user per batch; update
+    mode. State restores from the checkpoint across availableNow runs —
+    a funnel that spans ingest ticks still converts. No processing-time
+    timers, so availableNow terminates cleanly (see idle-timeout operator
+    below for why that matters).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{user_col} bigint, stage_idx int, stage string"
+    state_schema = "stage_idx int"
+    stage_list = list(stages)
+
+    # self-contained: pickled by value, no module deps on the workers
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        idx = state.get[0] if state.exists else -1
+        for pdf in pdfs:
+            for t in pdf.sort_values(time_col)[type_col]:
+                if idx + 1 < len(stage_list) and t == stage_list[idx + 1]:
+                    idx += 1
+        state.update((idx,))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "stage_idx": [idx],
+                "stage": [stage_list[idx] if idx >= 0 else None],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def idle_timeout_sessions_stream(
     events: DataFrame, *, key_col: str = "event_type", idle_ms: int = 1000
 ):

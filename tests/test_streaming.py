@@ -665,3 +665,65 @@ def test_streaming_cms_maintenance_exactly_once(spark, dirs):
     }
     assert est[1] >= 75 and est[2] >= 10 and est[3] >= 5  # never underestimate
     assert est == {1: 75, 2: 10, 3: 5}  # exact at this cardinality
+
+
+def test_streaming_funnel_is_ordered_and_recovers_state(spark, dirs):
+    """Ordered-funnel semantics on a stream: a user reaches stage k+1 only
+    AFTER stage k (a purchase-before-click user stays unconverted), and
+    stage state restores from the checkpoint across separate availableNow
+    runs — a funnel spanning ingest ticks still converts."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        funnel_stage_stream,
+        read_event_stream,
+    )
+
+    def run_once():
+        events = read_event_stream(spark, dirs["in"], SCHEMA).withColumn(
+            "user_id", F.col("interaction_id") % 2
+        )
+        funnel = funnel_stage_stream(
+            events, stages=("impressions", "clicks")
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(dirs["target"])
+
+        q = (
+            funnel.writeStream.outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: user 0 (even ids) sees an impression; user 1 (odd ids) sees a
+    # CLICK FIRST — out of order, must not advance
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526110000000_2-2_1.parquet", 1)  # id 0 -> user 0
+    pq.write_table(
+        pa.table({"interaction_id": [1], "page_url": ["https://x.test/1"]}),
+        f"{dirs['in']}/clicks_processed_dk_20220526110500000_1-1_1.parquet",
+    )  # id 1 -> user 1: click with no prior impression
+    run_once()
+    # run 2: user 0's click arrives (completes the funnel across runs);
+    # user 1 finally gets an impression (reaches stage 0 only)
+    pq.write_table(
+        pa.table({"interaction_id": [2], "page_url": ["https://x.test/2"]}),
+        f"{dirs['in']}/clicks_processed_dk_20220526120000000_3-3_1.parquet",
+    )  # id 2 -> user 0
+    pq.write_table(
+        pa.table({"interaction_id": [3], "page_url": ["https://x.test/3"]}),
+        f"{dirs['in']}/impressions_processed_dk_20220526120500000_4-4_1.parquet",
+    )  # id 3 -> user 1
+    run_once()
+
+    latest = {}
+    for r in sorted(
+        spark.read.parquet(dirs["target"]).collect(),
+        key=lambda r: r["stage_idx"],
+    ):
+        latest[r["user_id"]] = (r["stage_idx"], r["stage"])
+    assert latest[0] == (1, "clicks")  # impression (run 1) -> click (run 2)
+    assert latest[1] == (0, "impressions")  # early click never counted
