@@ -280,6 +280,66 @@ def events_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "segment_revenue_mv_incremental",
+    sql="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(ROUND(o_totalprice * 1000, 0)) / 1000, 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Incremental maintenance of a JOIN materialized view: both base "
+    "relations change (orders split by date = fact delta, customers split "
+    "by key = dim delta), so the refresh is the bilinear delta "
+    "decomposition ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB merged into the stale MV "
+    "— never re-joining A_old⋈B_old. Partial aggregates carry integer "
+    "milli-units so the four-way merge re-adds exactly; the oracle "
+    "recomputes the join from the FULL inputs, so the hash-match IS the "
+    "incremental == full-recompute proof (the join analog of "
+    "events_incremental_daily_agg). At 100 TB each delta term joins a "
+    "small delta against a base — broadcast or pruned-shuffle — while a "
+    "full refresh re-shuffles both complete relations.",
+    tags=("incremental", "join", "maintenance"),
+)
+def segment_revenue_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o_old = orders.filter(F.col("o_orderdate") < "2000-08-01")
+    o_new = orders.filter(F.col("o_orderdate") >= "2000-08-01")
+    c_old = cust.filter(F.col("c_custkey") % 7 != 0)
+    c_new = cust.filter(F.col("c_custkey") % 7 == 0)
+
+    def term(o: DataFrame, c: DataFrame) -> DataFrame:
+        # integer milli-units, NOT the rounded sum: partial MV state must
+        # merge losslessly across the delta terms
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 1000, 0)).alias("units"),
+            )
+        )
+
+    stale_mv = term(o_old, c_old)
+    deltas = (
+        term(o_new, c_old)
+        .unionByName(term(o_old, c_new))
+        .unionByName(term(o_new, c_new))
+    )
+    refreshed = (
+        stale_mv.unionByName(deltas)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("n").alias("n"), F.sum("units").alias("units"))
+    )
+    return refreshed.select(
+        "c_mktsegment",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("units") / 1000, 2).alias("revenue"),
+    )
+
+
+@register(
     "docs_weighted_sample",
     sql=f"""
     WITH keyed AS (
