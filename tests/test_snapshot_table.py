@@ -144,3 +144,48 @@ def test_snapshot_upsert_batch_is_versioned_copy_on_write(spark, table):
     v0 = {f["path"] for f in st.read_manifest(table, 0).files}
     v1 = {f["path"] for f in st.read_manifest(table, 1).files}
     assert v0 & v1
+
+
+def test_vacuum_retention_protects_fresh_orphans(spark, table):
+    """ADVICE r2: a concurrent writer's data files land BEFORE its manifest
+    commit — vacuum with a retention window must leave fresh orphans alone
+    (they may belong to an in-flight commit), while an expired orphan (or
+    retention 0) is reclaimed."""
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    orphans = st._write_snapshot_files(_rows(spark, [(99, "inflight")]), table, ())
+
+    # fresh orphan + 1h retention: untouched
+    removed = st.vacuum(table, retention_seconds=3600)
+    assert removed == []
+    for e in orphans:
+        assert os.path.exists(os.path.join(table, e["path"]))
+
+    # the "in-flight" writer now commits — its files become live and stay
+    # protected by the manifest even under retention 0
+    base = st.current_version(table)
+    m = st.read_manifest(table, base)
+    st._commit(
+        table,
+        st.Manifest(
+            version=base + 1, parent=base, operation="append",
+            files=m.files + orphans,
+        ),
+    )
+    assert st.vacuum(table, retention_seconds=0) == []
+    assert {r.k for r in st.read_table(spark, table).collect()} == {1, 99}
+
+
+def test_vacuum_tolerates_manifests_removed_by_earlier_vacuum(spark, table):
+    """ADVICE r2: a prior aggressive vacuum deleted old manifests; a later
+    vacuum asked to keep MORE versions must skip the missing ones instead
+    of crashing on FileNotFoundError."""
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    st.write_table(_rows(spark, [(2, "b")]), table, mode="overwrite")
+    st.write_table(_rows(spark, [(3, "c")]), table, mode="overwrite")
+    st.vacuum(table, keep_versions=1)  # drops manifests v0, v1
+    assert not os.path.exists(st._manifest_path(table, 0))
+
+    # keep_versions spans the deleted range — must not raise
+    removed = st.vacuum(table, keep_versions=3)
+    assert removed == []
+    assert {r.k for r in st.read_table(spark, table).collect()} == {3}
