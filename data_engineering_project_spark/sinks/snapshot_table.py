@@ -51,6 +51,54 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_LEASE_DIR = "_leases"
+
+#: a lease older than this is a crashed writer's debris, not an in-flight
+#: commit; long-running writers must refresh (re-touch) before it elapses
+DEFAULT_LEASE_TIMEOUT = 900.0
+
+
+def _begin_lease(table: str) -> str:
+    """Register an in-flight writer: an empty uniquely-named file whose
+    mtime is the heartbeat. Vacuum will not reclaim orphan data files
+    while any unexpired lease exists (a writer's data lands BEFORE its
+    manifest commit, so orphans are indistinguishable from in-flight
+    work without this)."""
+    os.makedirs(os.path.join(table, _LEASE_DIR), exist_ok=True)
+    path = os.path.join(table, _LEASE_DIR, f"{uuid.uuid4().hex}.lease")
+    with open(path, "x"):
+        pass
+    return path
+
+
+def _end_lease(lease_path: str) -> None:
+    try:
+        os.remove(lease_path)
+    except OSError:
+        pass  # already reaped as expired; harmless
+
+
+def _active_leases(table: str, timeout: float) -> list[str]:
+    """Unexpired lease files; expired ones are reaped as a side effect."""
+    ldir = os.path.join(table, _LEASE_DIR)
+    if not os.path.isdir(ldir):
+        return []
+    now = time.time()
+    active = []
+    for name in os.listdir(ldir):
+        path = os.path.join(ldir, name)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue  # concurrently removed
+        if age < timeout:
+            active.append(path)
+        else:
+            try:
+                os.remove(path)  # crashed writer's debris
+            except OSError:
+                pass
+    return active
 
 
 class CommitConflictError(RuntimeError):
@@ -174,18 +222,22 @@ def write_table(
     previous file set by reference; ``overwrite`` starts a fresh one)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    base = current_version(table)
-    entries = _write_snapshot_files(df, table, stats_cols)
-    prior = read_manifest(table, base).files if (base is not None and mode == "append") else []
-    return _commit(
-        table,
-        Manifest(
-            version=0 if base is None else base + 1,
-            parent=base,
-            operation=mode,
-            files=prior + entries,
-        ),
-    )
+    lease = _begin_lease(table)
+    try:
+        base = current_version(table)
+        entries = _write_snapshot_files(df, table, stats_cols)
+        prior = read_manifest(table, base).files if (base is not None and mode == "append") else []
+        return _commit(
+            table,
+            Manifest(
+                version=0 if base is None else base + 1,
+                parent=base,
+                operation=mode,
+                files=prior + entries,
+            ),
+        )
+    finally:
+        _end_lease(lease)
 
 
 def read_table(
@@ -242,6 +294,23 @@ def merge_upsert(
     base = current_version(table)
     if base is None:
         return write_table(updates, table, mode="append", stats_cols=stats_cols)
+    lease = _begin_lease(table)
+    try:
+        return _merge_upsert_leased(
+            spark, table, updates, key_cols, base, stats_cols
+        )
+    finally:
+        _end_lease(lease)
+
+
+def _merge_upsert_leased(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    base: int,
+    stats_cols: Sequence[str],
+) -> Manifest:
     m = read_manifest(table, base)
     current = read_table(spark, table, version=base).withColumn(
         "_file", F.col("_metadata.file_path")
@@ -295,22 +364,29 @@ def merge_upsert(
 
 
 def vacuum(
-    table: str, *, keep_versions: int = 1, retention_seconds: float = 0.0
+    table: str,
+    *,
+    keep_versions: int = 1,
+    retention_seconds: float = 0.0,
+    lease_timeout_seconds: float = DEFAULT_LEASE_TIMEOUT,
 ) -> list[str]:
     """Delete orphan data files (crashed commits) and files referenced
     only by expired versions. Keeps the newest ``keep_versions`` manifests
     and every file any of them references.
 
-    ``retention_seconds`` (mtime-based, like Delta's VACUUM retention)
-    protects IN-FLIGHT writers: a concurrent ``merge_upsert`` writes its
-    data files BEFORE its manifest commit, so an unretained vacuum could
-    delete files the imminent commit will reference, leaving that version
-    unreadable. With the default of 0 the caller asserts no writer is
-    in flight; production sweeps should pass a value comfortably above
-    the longest expected commit duration."""
+    In-flight-writer safety, two layers: every writer registers a LEASE
+    before writing data files and releases it after its manifest commit —
+    while any unexpired lease exists, vacuum reclaims nothing (an orphan
+    is indistinguishable from an imminent commit's file); leases older
+    than ``lease_timeout_seconds`` are crashed-writer debris and are
+    reaped. ``retention_seconds`` (mtime-based, like Delta's VACUUM
+    retention) is the belt-and-suspenders margin on top for writers that
+    bypass the lease API."""
     newest = current_version(table)
     if newest is None:
         return []
+    if _active_leases(table, lease_timeout_seconds):
+        return []  # an in-flight writer's files may look like orphans
     keep_manifests = range(max(0, newest - keep_versions + 1), newest + 1)
     live: set[str] = set()
     for v in keep_manifests:

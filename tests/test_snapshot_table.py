@@ -189,3 +189,39 @@ def test_vacuum_tolerates_manifests_removed_by_earlier_vacuum(spark, table):
     removed = st.vacuum(table, keep_versions=3)
     assert removed == []
     assert {r.k for r in st.read_table(spark, table).collect()} == {3}
+
+
+def test_writer_lease_blocks_vacuum_until_released(spark, table):
+    """Lease protocol: while a writer's lease is live, vacuum reclaims
+    NOTHING (even with retention 0); a crashed writer's expired lease is
+    reaped and its orphans become reclaimable."""
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    orphans = st._write_snapshot_files(_rows(spark, [(99, "dead")]), table, ())
+
+    lease = st._begin_lease(table)  # simulated in-flight writer
+    assert st.vacuum(table, retention_seconds=0) == []
+    for e in orphans:
+        assert os.path.exists(os.path.join(table, e["path"]))
+
+    st._end_lease(lease)  # writer finished (or crashed long ago)
+    removed = st.vacuum(table, retention_seconds=0)
+    assert sorted(e["path"] for e in orphans) == sorted(removed)
+
+
+def test_expired_lease_is_reaped_and_does_not_block(spark, table):
+    import time as _t
+
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    lease = st._begin_lease(table)
+    _t.sleep(0.05)
+    # timeout shorter than the lease's age: treated as crashed debris
+    removed = st.vacuum(table, retention_seconds=0, lease_timeout_seconds=0.01)
+    assert not os.path.exists(lease)  # reaped
+    assert removed == []  # nothing orphaned in this fixture — just no crash
+
+
+def test_normal_writes_leave_no_lease_behind(spark, table):
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    st.merge_upsert(spark, table, _rows(spark, [(1, "b")]), key_cols=("k",))
+    ldir = os.path.join(table, "_leases")
+    assert not os.path.isdir(ldir) or os.listdir(ldir) == []
