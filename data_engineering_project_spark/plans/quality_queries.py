@@ -135,3 +135,87 @@ def dq_count_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("impression_count").alias("total_impressions"),
         F.sum("click_count").alias("total_clicks"),
     )
+
+
+
+@register(
+    "lineitem_expectations",
+    sql="""
+    WITH j AS (
+        SELECT l_quantity, l_discount, l_returnflag, l_shipdate, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    agg AS (
+        SELECT count(*) AS n_rows,
+               count(*) - count(l_quantity) AS q_nulls,
+               min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+               min(l_discount) AS d_min, max(l_discount) AS d_max,
+               sum(CASE WHEN l_shipdate >= o_orderdate THEN 1 ELSE 0 END)
+                   AS ship_ok,
+               count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END)
+                   AS bad_flag
+        FROM j
+    )
+    SELECT e.expectation, e.passed, CAST(a.n_rows AS BIGINT) AS n_rows
+    FROM agg a CROSS JOIN LATERAL (VALUES
+        ('l_quantity_no_nulls', a.q_nulls = 0),
+        ('l_quantity_in_range', a.q_min >= 1 AND a.q_max <= 50),
+        ('l_discount_in_range', a.d_min >= 0 AND a.d_max <= 0.1),
+        ('l_shipdate_after_orderdate_rate', a.ship_ok * 100 >= a.n_rows * 95),
+        ('returnflag_domain', a.bad_flag = 0)
+    ) AS e(expectation, passed)
+    """,
+    doc="Expectation suite (deequ/Great-Expectations style) over "
+    "lineitem⋈orders: nullability, numeric ranges, cross-table temporal "
+    "sanity (ship ≥ order date for ≥95% of rows — integer-scaled "
+    "comparison, no float rate), and a categorical domain check. ONE scan "
+    "+ one scalar aggregate evaluates every expectation; results pivot to "
+    "(expectation, passed, n_rows) rows. The assertion layer on top of "
+    "lineitem_column_profile's observability layer.",
+    tags=("quality", "expectations", "aggregate"),
+)
+def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_quantity", "l_discount", "l_returnflag", "l_shipdate", "o_orderdate"
+    )
+    agg = j.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("l_quantity")).alias("q_nulls"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+        F.min("l_discount").alias("d_min"),
+        F.max("l_discount").alias("d_max"),
+        F.sum(
+            (F.col("l_shipdate") >= F.col("o_orderdate")).cast("long")
+        ).alias("ship_ok"),
+        F.count(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), F.lit(1))
+        ).alias("bad_flag"),
+    )
+    checks = F.array(
+        F.struct(
+            F.lit("l_quantity_no_nulls").alias("expectation"),
+            (F.col("q_nulls") == 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("l_quantity_in_range").alias("expectation"),
+            ((F.col("q_min") >= 1) & (F.col("q_max") <= 50)).alias("passed"),
+        ),
+        F.struct(
+            F.lit("l_discount_in_range").alias("expectation"),
+            ((F.col("d_min") >= 0) & (F.col("d_max") <= 0.1)).alias("passed"),
+        ),
+        F.struct(
+            F.lit("l_shipdate_after_orderdate_rate").alias("expectation"),
+            (F.col("ship_ok") * 100 >= F.col("n_rows") * 95).alias("passed"),
+        ),
+        F.struct(
+            F.lit("returnflag_domain").alias("expectation"),
+            (F.col("bad_flag") == 0).alias("passed"),
+        ),
+    )
+    return agg.select(
+        F.explode(checks).alias("e"), F.col("n_rows")
+    ).select("e.expectation", "e.passed", "n_rows")
