@@ -282,9 +282,28 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
-    out = json.dumps(line)
-    assert len(out) < 4000, f"driver line too long ({len(out)} bytes)"
-    print(out)
+
+    # The driver captures only a bounded (~2000-byte) TAIL of stdout and
+    # parses the last JSON line it finds. Rounds 2 and 3 both lost their
+    # official bench record to an overlong line (r3's guard asserted <4000
+    # against a 2000-byte window). So: keep ONLY the contract keys on the
+    # line, degrade by dropping optional keys instead of dying, round the
+    # per-query values to shave bytes, and print the line LAST with nothing
+    # after it. Full payload (duckdb/ratio/slope/spread) stays in
+    # BENCH_DETAIL.json.
+    DRIVER_TAIL_BYTES = 1900
+    line = {
+        "metric": "headline_query_wall_time_total",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(SF_DIR),
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) >= DRIVER_TAIL_BYTES:
+        line["queries"] = {"detail": "see BENCH_DETAIL.json"}
+        out = json.dumps(line, separators=(",", ":"))
+    print(out, flush=True)
 
 
 if __name__ == "__main__":

@@ -65,9 +65,16 @@ def _driver_checked() -> set[str]:
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            # Only a GREEN row counts as checked. An ``err``/mismatch row
+            # (e.g. a query whose oracle was added after a ``no_oracle``
+            # sample) must re-enter the front of the rotation, else it
+            # would stay unverified forever (round-3 verdict item #3).
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                seen.add(name)
     return seen
 
 

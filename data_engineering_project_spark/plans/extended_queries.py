@@ -1296,26 +1296,60 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_spacesaving_topk",
-    sql=None,  # bounds depend on partitioning → invariant-checked, not hashed
+    sql="""
+    SELECT CAST(LEAST(10, count(DISTINCT user_id)) AS BIGINT) AS k_returned,
+           TRUE AS bounds_hold,
+           (SELECT CAST(max(c) AS BIGINT)
+            FROM (SELECT count(*) AS c FROM events GROUP BY user_id))
+               AS exact_top1_count,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    """,
     doc="Deterministic top-10 users via merged Misra-Gries (space-saving "
     "family) summaries — the ONE-pass, hard-guarantee alternative to the "
     "two-pass CMS heavy hitters above: est_lower ≤ true ≤ est_upper always "
     "(no failure probability), per-partition state capped at 32 counters "
     "regardless of key cardinality, shuffle ≤ capacity rows/partition. "
-    "est_upper − est_lower = Σ partition decrements — zero (provably exact) "
-    "when per-partition cardinality fits. Bounds + exactness-when-tight are "
-    "value-checked against DuckDB ground truth in tests/test_oracle_parity; "
+    "The raw bounds depend on partitioning, so the HASHED output is the "
+    "bound WITNESS: Spark joins the sketch's top-k to exact per-key counts "
+    "and emits bool_and(est_lower ≤ exact ≤ est_upper) plus "
+    "oracle-computable exact ground truth (top-1 count, N) — a broken "
+    "sketch flips bounds_hold and the value hash. Raw-output bounds + "
+    "exactness-when-tight stay value-checked in tests/test_oracle_parity; "
     "merge math property-tested in tests/test_sketch.py.",
     tags=("sketch", "approx", "agg"),
 )
 def events_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return K.space_saving_topk(ev, "user_id", k=10, capacity=32)
+    topk = K.space_saving_topk(ev, "user_id", k=10, capacity=32)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    witness = (
+        topk.join(exact, "user_id", "left")
+        .agg(
+            F.count("*").alias("k_returned"),
+            F.bool_and(
+                (F.col("est_lower") <= F.col("exact_count"))
+                & (F.col("exact_count") <= F.col("est_upper"))
+            ).alias("bounds_hold"),
+        )
+    )
+    truth = ev.agg(F.count("*").alias("n_events")).crossJoin(
+        exact.agg(F.max("exact_count").alias("exact_top1_count"))
+    )
+    return witness.crossJoin(truth).select(
+        "k_returned", "bounds_hold", "exact_top1_count", "n_events"
+    )
 
 
 @register(
     "events_hll_distinct_users",
-    sql=None,  # Datasketches HLL estimates aren't restatable in DuckDB → rows-only
+    sql="""
+    SELECT event_type,
+           TRUE AS sketch_within_5pct,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
     doc="Mergeable distinct-count sketches: per-event-type distinct users "
     "via hll_sketch_agg/hll_sketch_estimate (Apache DataSketches, "
     "JVM-side). The 100 TB story: HLL state is a fixed 2^lgK-register "
@@ -1324,8 +1358,12 @@ def events_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with key cardinality and whose merges must keep every key. Sketches "
     "from different partitions/days union losslessly (union = register "
     "max), enabling pre-aggregated daily sketches rolled into arbitrary "
-    "ranges. The exact count rides along at this SF as the in-row "
-    "accuracy witness (est error bound property-tested in "
+    "ranges. The DataSketches estimate can't hash-match DuckDB's HLL "
+    "implementation, so the hashed output is exact ground truth plus the "
+    "error-bound WITNESS |est−exact|/exact ≤ 5% (lgK=12 → ~1.6% typical; "
+    "low cardinality is exact-mode, error 0) — a broken sketch flips the "
+    "boolean and the hash (same device as user_distinct_profile's "
+    "hll_within_5pct; est error bound also property-tested in "
     "tests/test_sketch.py).",
     tags=("sketch", "approx", "agg"),
 )
@@ -1340,12 +1378,28 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("exact_users"),
             F.count("*").alias("n_events"),
         )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("sketch_within_5pct"),
+            "exact_users",
+            "n_events",
+        )
     )
 
 
 @register(
     "events_hll_daily_rollup",
-    sql=None,  # Datasketches HLL estimates aren't restatable in DuckDB → rows-only
+    sql="""
+    SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS union_equals_direct,
+           TRUE AS union_within_5pct,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total_users
+    FROM events
+    """,
     doc="Sketch ROLLUP — the reason sketches beat exact state at 100 TB: "
     "one HLL sketch per DAY (the pre-aggregation a warehouse would "
     "persist alongside each partition), then hll_union_agg folds the 30 "
@@ -1353,9 +1407,13 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "touching raw events again. Union is register-wise max — associative, "
     "commutative, lossless w.r.t. the sketch — so arbitrary date ranges "
     "cost one tiny merge over fixed-size state where exact countDistinct "
-    "would re-scan and re-shuffle every raw key. The mergeability "
-    "property (union estimate == direct single-pass estimate) is "
-    "asserted in tests/test_sketch.py.",
+    "would re-scan and re-shuffle every raw key. The hashed output states "
+    "the mergeability property AS DATA: union_equals_direct (30 daily "
+    "sketches unioned == one direct full-range sketch, bit-equal "
+    "estimates) and the 5% error-bound witness, alongside "
+    "oracle-computable exact ground truth — DuckDB asserts both TRUE, so "
+    "a broken union or estimator flips the hash (same property asserted "
+    "in tests/test_sketch.py).",
     tags=("sketch", "approx", "agg", "rollup"),
 )
 def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1363,11 +1421,25 @@ def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
     )
-    exact = ev.select("user_id").distinct().count()
-    return daily.agg(
+    rolled = daily.agg(
         F.count("*").alias("n_days"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total_users"),
-        F.lit(exact).alias("exact_total_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"),
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_total_users"),
+    )
+    return rolled.crossJoin(direct).select(
+        "n_days",
+        (F.col("union_est") == F.col("direct_est")).alias("union_equals_direct"),
+        (
+            F.abs(F.col("union_est") - F.col("exact_total_users"))
+            / F.col("exact_total_users")
+            <= 0.05
+        ).alias("union_within_5pct"),
+        "exact_total_users",
     )
 
 

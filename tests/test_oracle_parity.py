@@ -20,38 +20,25 @@ def oracle_con(sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Value-level invariants for the queries that legitimately have NO SQL oracle
-# (Spark-specific hashes / sketches / random hyperplanes). "Rows-only" is not
-# the bar: each asserts mathematically-portable properties against DuckDB
-# ground truth, so a broken implementation still fails the parity suite.
+# Raw-output invariants for sketch operators whose CATALOG queries are
+# restated as bound witnesses (round 4): the catalog rows hash-match an
+# exact oracle, and these tests keep the richer raw-output guarantees
+# (hard MG bounds, HLL error bound) value-checked against DuckDB ground
+# truth at the operator level.
 # ---------------------------------------------------------------------------
 
 
-def _inv_hll_distinct(sdf, con):
-    exact = dict(
-        con.execute(
-            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
-        ).fetchall()
-    )
-    assert dict(zip(sdf["event_type"], sdf["exact_users"])) == exact
-    rel_err = (sdf["est_users"] - sdf["exact_users"]).abs() / sdf["exact_users"]
-    assert (rel_err <= 0.05).all()  # lgK=12 → ~1.6% typical, 5% generous
+def test_spacesaving_raw_bounds(spark, sf_dir, oracle_con):
+    from data_engineering_project_spark.operators import sketch as K
+    from data_engineering_project_spark.sources.tables import load_table
 
-
-def _inv_hll_rollup(sdf, con):
-    exact, n_days = con.execute(
-        "SELECT count(DISTINCT user_id), count(DISTINCT CAST(ts AS DATE))"
-        " FROM events"
-    ).fetchone()
-    row = sdf.iloc[0]
-    assert row["exact_total_users"] == exact
-    assert row["n_days"] == n_days
-    assert abs(row["est_total_users"] - exact) / exact <= 0.05
-
-
-def _inv_spacesaving_topk(sdf, con):
+    sdf = K.space_saving_topk(
+        load_table(spark, sf_dir, "events"), "user_id", k=10, capacity=32
+    ).toPandas()
     true_counts = dict(
-        con.execute("SELECT user_id, count(*) FROM events GROUP BY 1").fetchall()
+        oracle_con.execute(
+            "SELECT user_id, count(*) FROM events GROUP BY 1"
+        ).fetchall()
     )
     assert len(sdf) == min(10, len(true_counts))
     for _, r in sdf.iterrows():
@@ -66,11 +53,33 @@ def _inv_spacesaving_topk(sdf, con):
         assert got == want
 
 
-NO_ORACLE_INVARIANTS = {
-    "events_spacesaving_topk": _inv_spacesaving_topk,
-    "events_hll_distinct_users": _inv_hll_distinct,
-    "events_hll_daily_rollup": _inv_hll_rollup,
-}
+def test_hll_raw_estimates(spark, sf_dir, oracle_con):
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sdf = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .toPandas()
+    )
+    exact = dict(
+        oracle_con.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert dict(zip(sdf["event_type"], sdf["exact_users"])) == exact
+    rel_err = (sdf["est_users"] - sdf["exact_users"]).abs() / sdf["exact_users"]
+    assert (rel_err <= 0.05).all()  # lgK=12 → ~1.6% typical, 5% generous
+
+
+NO_ORACLE_INVARIANTS: dict = {}
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
