@@ -105,7 +105,11 @@ def topk_cosine_vectorized(
     joined = corpus.crossJoin(F.broadcast(query)).select(
         id_col, vec_col, query_vec_col
     )
-    scored = joined.mapInPandas(batches, f"{id_col} long, cosine double")
+    # derive the id type from the corpus schema — a hardcoded "long" would
+    # silently miscast int/string id columns (ADVICE r3); the expression
+    # twin above preserves the input type for free
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    scored = joined.mapInPandas(batches, f"{id_col} {id_type}, cosine double")
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 

@@ -149,9 +149,17 @@ def cms_heavy_hitters(
     sketch = count_min_sketch(
         df, key, depth=depth, width=width, seed=seed, hasher=hasher
     )
-    total = df.count()
+    # One action materializes the bounded sketch (≤ depth×width rows —
+    # O(1) driver state, same class as k-means' k centroids) and N falls
+    # out of it for free: every depth-row's counters sum to the stream
+    # length, so row 0 IS the count — no separate df.count() scan, and
+    # pass 2 probes a LocalTableScan instead of recomputing the sketch
+    # lineage (round-3 verdict item #6: one fewer full scan per call).
+    sketch_rows = sketch.collect()
+    total = sum(r["cnt"] for r in sketch_rows if r["row_idx"] == 0)
+    sketch_local = df.sparkSession.createDataFrame(sketch_rows, sketch.schema)
     est = cms_estimate(
-        sketch,
+        sketch_local,
         df.select(key).distinct(),
         key,
         depth=depth,

@@ -291,11 +291,18 @@ def merge_upsert(
     over by reference. Mirrors Delta's MERGE file-pruning execution:
     cost ∝ touched files, not table size.
     """
-    base = current_version(table)
-    if base is None:
-        return write_table(updates, table, mode="append", stats_cols=stats_cols)
+    # Lease FIRST, then read the version: the version-read and the
+    # empty-table branch decision must sit inside lease protection, or a
+    # concurrent vacuum/writer can interleave in the gap (ADVICE r3;
+    # mirrors write_table's ordering). Nested leases (write_table takes
+    # its own) are harmless — two independent lease files.
     lease = _begin_lease(table)
     try:
+        base = current_version(table)
+        if base is None:
+            return write_table(
+                updates, table, mode="append", stats_cols=stats_cols
+            )
         return _merge_upsert_leased(
             spark, table, updates, key_cols, base, stats_cols
         )
@@ -412,6 +419,17 @@ def vacuum(
                     continue  # already gone (concurrent vacuum)
                 if age < retention_seconds:
                     continue  # possibly an in-flight commit's file
+                # Re-check leases IMMEDIATELY before each delete: a writer
+                # that registered after the scan-start check would otherwise
+                # lose freshly written files (TOCTOU, ADVICE r3). Writers
+                # lease BEFORE writing any data file, so "no active lease
+                # now" proves any candidate file's writer either committed
+                # (file would be live) or crashed (lease expired) — files
+                # appearing after scan start are separately protected by the
+                # age<0 guard above (age is measured against scan-start
+                # ``now``).
+                if _active_leases(table, lease_timeout_seconds):
+                    return removed  # writer appeared mid-scan; stop here
                 os.remove(full)
                 removed.append(rel)
         if not os.listdir(snap_dir):

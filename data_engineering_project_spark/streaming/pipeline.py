@@ -782,8 +782,15 @@ def funnel_stage_stream(
         import pandas as pd
 
         idx = state.get[0] if state.exists else -1
-        for pdf in pdfs:
-            for t in pdf.sort_values(time_col)[type_col]:
+        # Concatenate ALL Arrow chunks before the single sort: one user's
+        # batch data can span multiple chunks, and per-chunk sorting would
+        # apply events out of global time order within the batch (ADVICE
+        # r3 — the docstring's only-cross-batch-approximation claim must
+        # hold). Per-user batch volumes are small; one concat is cheap.
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            for t in batch.sort_values(time_col)[type_col]:
                 if idx + 1 < len(stage_list) and t == stage_list[idx + 1]:
                     idx += 1
         state.update((idx,))

@@ -88,15 +88,35 @@ def test_cms_deterministic_across_builds(spark, sf_dir):
 
 
 def test_hll_estimate_close_to_exact_and_deterministic(spark, sf_dir):
+    # raw estimates (the catalog query now emits the bound WITNESS; the
+    # underlying sketch accuracy is asserted here on the raw aggregate)
+    from pyspark.sql import functions as F
+
     from data_engineering_project_spark.plans.catalog import queries
 
-    fn = queries()["events_hll_distinct_users"]
-    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
-    b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    def raw():
+        ev = load_table(spark, sf_dir, "events")
+        return [
+            tuple(r)
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", F.lit(12))
+                ).alias("est"),
+                F.countDistinct("user_id").alias("exact"),
+            )
+            .collect()
+        ]
+
+    a, b = raw(), raw()
     assert a == b  # fixed lgK + deterministic hashing ⇒ stable estimates
     assert a
-    for _etype, est, exact, _n in a:
+    for _etype, est, exact in a:
         assert abs(est - exact) / exact <= 0.05  # lgK=12 ⇒ ~1.6% rse
+
+    # and the catalog query's witness columns agree
+    wit = queries()["events_hll_distinct_users"](spark, sf_dir).collect()
+    assert wit and all(r.sketch_within_5pct for r in wit)
 
 
 def test_hll_daily_union_equals_direct_sketch(spark, sf_dir):
@@ -109,13 +129,22 @@ def test_hll_daily_union_equals_direct_sketch(spark, sf_dir):
     from data_engineering_project_spark.sources.tables import load_table
 
     row = queries()["events_hll_daily_rollup"](spark, sf_dir).collect()[0]
+    assert row.union_equals_direct  # daily-union estimate == one-pass estimate
+    assert row.union_within_5pct
+    assert row.n_days > 1  # the rollup actually merged multiple sketches
+
+    # independently recompute the union path and compare to a direct sketch
     ev = load_table(spark, sf_dir, "events")
+    daily_union = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u"))
+        .collect()[0]["u"]
+    )
     direct = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("d")
     ).collect()[0]["d"]
-    assert row.est_total_users == direct
-    assert abs(row.est_total_users - row.exact_total_users) <= 0.05 * row.exact_total_users
-    assert row.n_days > 1  # the rollup actually merged multiple sketches
+    assert daily_union == direct
 
 
 def test_misra_gries_bounds_hold_under_forced_decrements(spark):

@@ -208,6 +208,32 @@ def test_writer_lease_blocks_vacuum_until_released(spark, table):
     assert sorted(e["path"] for e in orphans) == sorted(removed)
 
 
+def test_vacuum_stops_when_lease_appears_mid_scan(spark, table, monkeypatch):
+    """ADVICE r3 TOCTOU: a writer whose lease registers AFTER vacuum's
+    scan-start check must not lose files — leases are re-checked
+    immediately before every delete, and the scan aborts the moment one
+    appears."""
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    orphans = st._write_snapshot_files(_rows(spark, [(99, "late")]), table, ())
+
+    real = st._active_leases
+    calls = {"n": 0}
+
+    def racy(tbl, timeout):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real(tbl, timeout)  # scan-start check: no lease yet
+        # a writer registered between the scan-start check and the delete
+        return ["simulated-late-writer.lease"]
+
+    monkeypatch.setattr(st, "_active_leases", racy)
+    removed = st.vacuum(table, retention_seconds=0)
+    assert removed == []  # nothing reclaimed once the late lease was seen
+    assert calls["n"] >= 2  # the per-delete re-check actually ran
+    for e in orphans:
+        assert os.path.exists(os.path.join(table, e["path"]))
+
+
 def test_expired_lease_is_reaped_and_does_not_block(spark, table):
     import time as _t
 

@@ -667,6 +667,56 @@ def test_streaming_cms_maintenance_exactly_once(spark, dirs):
     assert est == {1: 75, 2: 10, 3: 5}  # exact at this cardinality
 
 
+def test_streaming_funnel_orders_across_arrow_chunks(spark, dirs):
+    """ADVICE r3: one user's batch data can span multiple Arrow chunks;
+    events must be applied in GLOBAL time order within the batch, not
+    per-chunk. Forced with maxRecordsPerBatch=1 (every row its own chunk)
+    and a batch where the later-stage event's file sorts FIRST: per-chunk
+    sorting would see the click before the impression and never advance."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        funnel_stage_stream,
+        read_event_stream,
+    )
+
+    # click at 12:00 (file listed first) and impression at 11:00, same user,
+    # ONE micro-batch → correct ordered funnel applies impression first
+    pq.write_table(
+        pa.table({"interaction_id": [2], "page_url": ["https://x.test/2"]}),
+        f"{dirs['in']}/clicks_processed_dk_20220526120000000_1-1_1.parquet",
+    )
+    _write_events(
+        f"{dirs['in']}/impressions_processed_dk_20220526110000000_2-2_1.parquet",
+        1,
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 1)
+    try:
+        events = read_event_stream(spark, dirs["in"], SCHEMA).withColumn(
+            "user_id", F.col("interaction_id") % 2
+        )
+        funnel = funnel_stage_stream(events, stages=("impressions", "clicks"))
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(dirs["target"])
+
+        q = (
+            funnel.writeStream.outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    rows = spark.read.parquet(dirs["target"]).collect()
+    by_user = {r["user_id"]: (r["stage_idx"], r["stage"]) for r in rows}
+    assert by_user[0] == (1, "clicks")  # impression applied before click
+
+
 def test_streaming_funnel_is_ordered_and_recovers_state(spark, dirs):
     """Ordered-funnel semantics on a stream: a user reaches stage k+1 only
     AFTER stage k (a purchase-before-click user stays unconverted), and
