@@ -59,28 +59,30 @@ def topk_cosine(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def topk_cosine_vectorized(
-    corpus: DataFrame,
-    query: DataFrame,
-    k: int,
+def score_cosine_vectorized(
+    joined: DataFrame,
     *,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "query_embedding",
+    keep_cols: tuple[str, ...] = ("vec_id",),
 ) -> DataFrame:
-    """Bit-exact vectorized twin of :func:`topk_cosine`.
+    """Vectorized cosine scorer: ``keep_cols + (cosine,)`` per input row.
 
-    Same shape (broadcast crossJoin → map-only scoring → distributed
-    TakeOrdered), but the scoring runs as one numpy pass per Arrow batch
-    instead of interpreted higher-order-function expressions (Catalyst
-    doesn't codegen ``aggregate``/``zip_with`` lambdas — they evaluate
-    row-at-a-time on the JVM, the dominant cost of the expression path).
+    ``joined`` must already carry a constant broadcast query vector in
+    ``query_vec_col`` (crossJoin against a 1-row query side). The scoring
+    runs as one numpy pass per Arrow batch instead of interpreted
+    higher-order-function expressions (Catalyst doesn't codegen
+    ``aggregate``/``zip_with`` lambdas — they evaluate row-at-a-time on the
+    JVM, the dominant cost of the expression path).
 
-    Bit-exactness: ``np.cumsum`` is ufunc ``add.accumulate`` — a strict
-    left fold in doubles, the SAME operation order as the expression
-    path's ``F.aggregate(..., acc + x)`` and the SQL oracle's ``list_sum``
-    — so dot, norms, and the final cosine reproduce identical doubles
-    (asserted in tests/test_similarity.py).
+    Bit-exactness with :func:`cosine`: ``np.cumsum`` is ufunc
+    ``add.accumulate`` — a strict left fold in doubles, the SAME operation
+    order as the expression path's ``F.aggregate(..., acc + x)`` and the
+    SQL oracle's ``list_sum`` — so dot, norms, and the final cosine
+    reproduce identical doubles (asserted in tests/test_similarity.py).
+
+    Passthrough column types are derived from the input schema (a
+    hardcoded ``long`` would silently miscast int/string ids — ADVICE r3).
     """
 
     def batches(it):
@@ -98,18 +100,38 @@ def topk_cosine_vectorized(
             dots = np.cumsum(V * q, axis=1)[:, -1]
             nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
             nq = np.sqrt(np.cumsum(q * q)[-1])
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cosine": dots / (nv * nq)}
-            )
+            out = {c: pdf[c] for c in keep_cols}
+            out["cosine"] = dots / (nv * nq)
+            yield pd.DataFrame(out)
 
-    joined = corpus.crossJoin(F.broadcast(query)).select(
-        id_col, vec_col, query_vec_col
+    fields = ", ".join(
+        f"{c} {joined.schema[c].dataType.simpleString()}" for c in keep_cols
     )
-    # derive the id type from the corpus schema — a hardcoded "long" would
-    # silently miscast int/string id columns (ADVICE r3); the expression
-    # twin above preserves the input type for free
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    scored = joined.mapInPandas(batches, f"{id_col} {id_type}, cosine double")
+    narrowed = joined.select(*keep_cols, vec_col, query_vec_col)
+    return narrowed.mapInPandas(batches, f"{fields}, cosine double")
+
+
+def topk_cosine_vectorized(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+) -> DataFrame:
+    """Bit-exact vectorized twin of :func:`topk_cosine`.
+
+    Same shape (broadcast crossJoin → map-only scoring → distributed
+    TakeOrdered); the batch scorer is :func:`score_cosine_vectorized`.
+    """
+    joined = corpus.crossJoin(F.broadcast(query))
+    scored = score_cosine_vectorized(
+        joined,
+        vec_col=vec_col,
+        query_vec_col=query_vec_col,
+        keep_cols=(id_col,),
+    )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 

@@ -238,17 +238,20 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label")
     )
 
-    # exact search inside the probed cells only
+    # exact search inside the probed cells only; the in-cell scorer is the
+    # numpy batch scorer (bit-exact twin of the expression fold — see
+    # operators/similarity.py), not row-at-a-time HOF evaluation
     cand = e.filter(F.col("vec_id") != 0).join(F.broadcast(probe), "label")
-    scored = cand.crossJoin(F.broadcast(q)).select(
-        "vec_id",
-        "label",
-        S.cosine(F.col("embedding"), F.col("qe")).alias("c"),
+    scored = S.score_cosine_vectorized(
+        cand.crossJoin(F.broadcast(q)),
+        vec_col="embedding",
+        query_vec_col="qe",
+        keep_cols=("vec_id", "label"),
     )
     return (
-        scored.orderBy(F.desc("c"), F.asc("vec_id"))
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", "label", F.round("c", 6).alias("cosine"))
+        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
     )
 
 

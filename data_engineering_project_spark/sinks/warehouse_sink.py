@@ -35,8 +35,13 @@ from dataclasses import dataclass, field
 
 
 def _q(ident: str) -> str:
-    """Double-quote an SQL identifier (already-lowercase names only)."""
-    return f'"{ident}"'
+    """Double-quote an SQL identifier (already-lowercase names only).
+
+    Schema-qualified names quote each part separately —
+    ``adform_dw.client_report`` → ``"adform_dw"."client_report"`` — because
+    ``"adform_dw.client_report"`` is a single identifier WITH a dot in
+    Postgres, not a schema-qualified reference."""
+    return ".".join(f'"{part}"' for part in ident.split("."))
 
 
 @dataclass(frozen=True)
