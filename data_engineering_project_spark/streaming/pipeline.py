@@ -811,6 +811,86 @@ def funnel_stage_stream(
     )
 
 
+def cohort_retention_stream(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "batch_ts",
+):
+    """Streaming weekly cohort retention via ``applyInPandasWithState`` —
+    the streaming twin of the batch ``events_cohort_retention``
+    (behavior_queries.py). The batch plan needs a first-touch window over
+    the WHOLE history per user; here per-user state is two small values:
+    the cohort week (epoch days of the Monday of the first observed event)
+    and the set of week offsets already emitted.
+
+    Emits one ``(user, cohort_week, week_offset)`` row per pair the FIRST
+    time it is observed — the stream of emitted rows IS the batch plan's
+    distinct ``user_weeks`` relation, so a plain append sink followed by
+    ``GROUP BY cohort_week, week_offset → count(*)`` reproduces the batch
+    retention grid exactly (asserted against the batch query in
+    tests/test_streaming.py). Checkpointed state makes the emission
+    exactly-once: a pair re-observed in a later batch (or a redelivered
+    file) is suppressed, so append-mode counting never double-counts.
+
+    Cohort assignment is **first-OBSERVED touch**: a straggler that
+    predates the recorded first event does not re-base the user's cohort
+    (re-basing would invalidate grid rows already emitted downstream —
+    every streaming cohort system shares this approximation; bound it
+    with an upstream watermark). Weeks start Monday 00:00, matching
+    ``date_trunc('week', ...)`` in both Spark and DuckDB.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{user_col} bigint, cohort_week string, week_offset int"
+    state_schema = "cohort_days int, offsets array<int>"
+
+    # self-contained: pickled by value, no module deps on the workers
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        ts = pd.to_datetime(batch[time_col])
+        week_start = (
+            ts - pd.to_timedelta(ts.dt.dayofweek, unit="D")
+        ).dt.normalize()
+        days = (week_start - pd.Timestamp("1970-01-01")).dt.days
+        if state.exists:
+            cohort_days, prior = state.get
+            seen = set(prior)
+        else:
+            cohort_days = int(days.min())
+            seen = set()
+        fresh = sorted(
+            {int((d - cohort_days) // 7) for d in days if d >= cohort_days}
+            - seen
+        )
+        seen.update(fresh)
+        state.update((int(cohort_days), sorted(int(o) for o in seen)))
+        if fresh:
+            week = pd.Timestamp("1970-01-01") + pd.Timedelta(
+                days=int(cohort_days)
+            )
+            yield pd.DataFrame(
+                {
+                    user_col: key[0],
+                    "cohort_week": week.strftime("%Y-%m-%d"),
+                    "week_offset": fresh,
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def idle_timeout_sessions_stream(
     events: DataFrame, *, key_col: str = "event_type", idle_ms: int = 1000
 ):
