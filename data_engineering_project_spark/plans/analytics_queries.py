@@ -22,6 +22,7 @@ from data_engineering_project_spark.operators.multimodal import (
     frame_intensity,
     sample_frames,
 )
+from data_engineering_project_spark.functions.scalars import decimal_units
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
 
@@ -422,7 +423,7 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.min("val"), 4).alias("min_val"),
         F.round(F.max("val"), 4).alias("max_val"),
-        F.round(F.sum(F.round(F.col("val") * 100, 0)) / 100, 2).alias("sum_val"),
+        F.round(F.sum(decimal_units(F.col("val"), 100)) / 100, 2).alias("sum_val"),
     )
 
 
@@ -498,7 +499,7 @@ def orders_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 1000, 0)).over(w) / 1000, 2
+            F.sum(decimal_units(F.col("o_totalprice"), 1000)).over(w) / 1000, 2
         ).alias("revenue_30d"),
     )
 

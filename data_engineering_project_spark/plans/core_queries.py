@@ -412,10 +412,22 @@ def nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def distinct_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # Two single-distinct plans joined on the tiny group key instead of one
+    # multi-distinct aggregate: Spark plans 2+ distinct columns as an
+    # Expand that multiplies every input row ×3 through the shuffle. A/B at
+    # sf0.1 (round-3 verdict item #4): marginal cost 0.10 s vs 0.26 s per
+    # sf0.1-worth of rows — the extra column-pruned scan is cheaper than
+    # 3× row expansion, and each single-distinct agg gets map-side partial
+    # dedup. The result join is a broadcast over a handful of flag rows.
+    s = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct("l_partkey").alias("n_parts"),
         F.count("*").alias("n_rows"),
+    )
+    p = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    return s.join(p, "l_returnflag").select(
+        "l_returnflag", "n_suppliers", "n_parts", "n_rows"
     )
 
 
@@ -445,7 +457,7 @@ def running_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "o_orderkey",
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 1000, 0)).over(w) / 1000, 2
+            F.sum(S.decimal_units(F.col("o_totalprice"), 1000)).over(w) / 1000, 2
         ).alias("running_revenue"),
     )
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_engineering_project_spark.functions.scalars import exact_decimal_sum
+from data_engineering_project_spark.functions.scalars import decimal_units, exact_decimal_sum
 from data_engineering_project_spark.operators import similarity as S
 from data_engineering_project_spark.operators import sketch as K
 from data_engineering_project_spark.operators.skew import salted_aggregate
@@ -776,7 +776,7 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dormant.groupBy("c_nationkey").agg(
         F.count("*").alias("n_customers"),
         F.round(
-            F.sum(F.round(F.col("c_acctbal") * 1000, 0)) / 1000, 2
+            F.sum(decimal_units(F.col("c_acctbal"), 1000)) / 1000, 2
         ).alias("total_acctbal"),
     )
 
@@ -1022,7 +1022,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
         .agg(
             F.round(
-                F.sum(F.round(F.col("l_extendedprice") * 100, 0)) / 100 / 7.0, 2
+                F.sum(decimal_units(F.col("l_extendedprice"), 100)) / 100 / 7.0, 2
             ).alias("avg_yearly"),
             F.count("*").alias("n_small_lines"),
         )

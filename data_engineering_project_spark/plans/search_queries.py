@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_project_spark.functions.scalars import decimal_units
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
 
@@ -261,7 +262,7 @@ def events_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("date").alias("event_date"), "event_type"
         ).agg(
             F.count("*").alias("n"),
-            F.sum(F.round(F.col("value") * 100, 0)).alias("units"),
+            F.sum(decimal_units(F.col("value"), 100)).alias("units"),
         )
 
     base = _rollup(ev.filter(F.col("ts") < F.lit(_SPLIT_TS)))
@@ -317,7 +318,7 @@ def segment_revenue_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFram
             .groupBy("c_mktsegment")
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.round(F.col("o_totalprice") * 1000, 0)).alias("units"),
+                F.sum(decimal_units(F.col("o_totalprice"), 1000)).alias("units"),
             )
         )
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_project_spark.operators import intervals
 from data_engineering_project_spark.operators import timeseries as TS
+from data_engineering_project_spark.functions.scalars import decimal_units
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
 
@@ -268,7 +269,7 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(
         F.round(
-            F.sum(F.round(F.col("value") * 100, 0)) / F.count("*"), 0
+            F.sum(decimal_units(F.col("value"), 100)) / F.count("*"), 0
         )
         .cast("bigint")
         .alias("mu")
