@@ -675,3 +675,59 @@ def events_ab_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate1"),
         z.alias("z"),
     )
+
+
+@register(
+    "orders_yoy_growth",
+    sql="""
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(sum(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS units
+        FROM orders GROUP BY month
+    ),
+    laged AS (
+        SELECT month, units,
+               lag(units, 12) OVER (ORDER BY month) AS prev_units
+        FROM monthly
+    )
+    SELECT month,
+           ROUND(units / 1000.0, 3) AS revenue,
+           ROUND(prev_units / 1000.0, 3) AS prev_revenue,
+           CAST(floor((units - prev_units) * 10000.0 / prev_units + 0.5)
+                AS BIGINT) AS yoy_growth_bp
+    FROM laged WHERE prev_units IS NOT NULL
+    """,
+    doc="Year-over-year monthly revenue growth: exact integer-unit monthly "
+    "sums, a lag(12) self-alignment over the POST-AGGREGATION month "
+    "series (a bounded few-hundred-row frame — the unpartitioned window "
+    "is not a scale risk), growth in basis points via the portable "
+    "floor(x+0.5) round. ROUND at 3 dp = the exact decimal width of the "
+    "1/1000-unit sums, so the rendering is lossless on every engine.",
+    tags=("analytics", "window", "trend"),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(decimal_units(F.col("o_totalprice"), 1000)).alias("units"))
+    lagged = monthly.select(
+        "month",
+        "units",
+        F.lag("units", 12).over(Window.orderBy("month")).alias("prev_units"),
+    )
+    return lagged.filter(F.col("prev_units").isNotNull()).select(
+        "month",
+        F.round(F.col("units") / 1000.0, 3).alias("revenue"),
+        F.round(F.col("prev_units") / 1000.0, 3).alias("prev_revenue"),
+        F.floor(
+            (F.col("units") - F.col("prev_units"))
+            * 10000.0
+            / F.col("prev_units")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("yoy_growth_bp"),
+    )

@@ -329,3 +329,58 @@ def parts_triangle_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("part_key")))
     )
     return corners.groupBy("part_key").agg(F.count("*").alias("n_triangles"))
+
+
+@register(
+    "events_markov_transitions",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(floor(n * 1000000.0 /
+                      sum(n) OVER (PARTITION BY from_type) + 0.5)
+                AS BIGINT) AS prob_ppm
+    FROM pairs
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() within one hash partitioning on user_id (ties "
+    "broken by event_id for total determinism), pair counts, and "
+    "row-normalized transition probabilities in parts-per-million via "
+    "the portable floor(x+0.5) round. The sequence window and the "
+    "normalizing window both reuse keyed partitionings — no global sort; "
+    "the matrix itself is |event_types|^2 rows. The sequence-mining "
+    "sibling of the ordered funnel: conversion says WHETHER users "
+    "advance, the transition matrix says WHERE they go instead.",
+    tags=("behavior", "window", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(seq_w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    norm_w = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.floor(F.col("n") * 1000000.0 / F.sum("n").over(norm_w) + F.lit(0.5))
+        .cast("bigint")
+        .alias("prob_ppm"),
+    )

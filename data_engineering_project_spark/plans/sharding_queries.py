@@ -133,3 +133,53 @@ def docs_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("frac_bp"),
     )
+
+
+@register(
+    "docs_shuffle_positions",
+    sql=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST((CAST(('0x' || substr(md5('shuffle-v1' ||
+                                          CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000) % {N_SHARDS}
+                    AS INTEGER) AS shard_id,
+               md5('shuffle-v1' || CAST(doc_id AS VARCHAR)) AS order_key
+        FROM documents
+    )
+    SELECT doc_id, shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id
+                                   ORDER BY order_key, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+    doc="Deterministic global training shuffle as a two-level manifest: "
+    "shard = md5-bucket mod N (salt 'shuffle-v1'), position = rank of the "
+    "full md5 digest WITHIN the shard (doc_id tie-break). A reader that "
+    "walks shards in id order and each shard in pos order sees a "
+    "pseudorandom permutation of the corpus — yet no global sort ever "
+    "runs: the only exchange is the hash partition on shard_id and the "
+    "sort is per-shard (1/N of the data, the write_training_shards "
+    "layout). Epoch reshuffles are a salt change, not a data move "
+    "decision; the same salt reproduces the same permutation on any "
+    "engine, which is what makes training runs resumable and auditable.",
+    tags=("sharding", "sampling", "curation"),
+)
+def docs_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        assign_shard(F.col("doc_id"), N_SHARDS, salt="shuffle-v1").alias(
+            "shard_id"
+        ),
+        F.md5(F.concat(F.lit("shuffle-v1"), F.col("doc_id").cast("string")))
+        .alias("order_key"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("order_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

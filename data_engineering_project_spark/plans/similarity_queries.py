@@ -347,3 +347,99 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.sum("vec_id").cast("bigint").alias("member_id_sum"),
     )
+
+
+@register(
+    "emb_dim_standardize",
+    sql=f"""
+    WITH expl AS (
+        SELECT u.i AS pos,
+               CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
+                    AS BIGINT) AS units
+        FROM embeddings, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) u
+    ),
+    stats AS (
+        SELECT pos, CAST(count(*) AS BIGINT) AS n,
+               sum(units) AS su, sum(units * units) AS ssu
+        FROM expl GROUP BY pos
+    ),
+    derived AS (
+        SELECT pos, n,
+               su / (n * 1000000.0) AS mean,
+               sqrt(greatest(ssu / (n * 1000000000000.0)
+                             - (su / (n * 1000000.0))
+                               * (su / (n * 1000000.0)), 0.0)) AS std
+        FROM stats
+    ),
+    outliers AS (
+        SELECT e.pos, CAST(count(*) AS BIGINT) AS n_outliers
+        FROM expl e JOIN derived d ON e.pos = d.pos
+        WHERE abs(e.units / 1000000.0 - d.mean) > 3 * d.std
+        GROUP BY e.pos
+    )
+    SELECT d.pos, d.n,
+           CAST(floor(d.mean * 1000000 + 0.5) AS BIGINT) AS mean_u,
+           CAST(floor(d.std * 1000000 + 0.5) AS BIGINT) AS std_u,
+           COALESCE(o.n_outliers, CAST(0 AS BIGINT)) AS n_outliers
+    FROM derived d LEFT JOIN outliers o ON d.pos = o.pos
+    """,
+    doc="Per-dimension feature standardization — the fit half of the "
+    "standard-scaler every training pipeline runs before model input: "
+    "mean and population std per embedding dimension plus the 3-sigma "
+    "outlier count (the transform half is a map-only broadcast-join "
+    "apply). Two passes by construction: pass 1 reduces the corpus to "
+    "dim-count rows (values snapped to exact integer micro-units so the "
+    "LONG partial sums are order-independent; variance derives from "
+    "integer sum/sumsq with one double conversion at the end), pass 2 "
+    "re-scans with the 64-row stats broadcast to score outliers. No "
+    "state grows with corpus size; the shuffles carry dim-count rows.",
+    tags=("similarity", "profile", "standardize"),
+)
+def emb_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select(
+        F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("units"),
+    )
+    stats = expl.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("units").alias("su"),
+        F.sum(F.col("units") * F.col("units")).alias("ssu"),
+    )
+    mean = F.col("su") / (F.col("n") * 1000000.0)
+    msq = F.col("ssu") / (F.col("n") * 1000000000000.0)
+    derived = stats.select(
+        "pos",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(msq - mean * mean, F.lit(0.0))).alias("std"),
+    )
+    outliers = (
+        expl.join(F.broadcast(derived), "pos")
+        .filter(
+            F.abs(F.col("units") / 1000000.0 - F.col("mean"))
+            > 3 * F.col("std")
+        )
+        .groupBy("pos")
+        .agg(F.count("*").cast("bigint").alias("n_outliers"))
+    )
+    return (
+        derived.join(outliers, "pos", "left")
+        .select(
+            "pos",
+            "n",
+            F.floor(F.col("mean") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("mean_u"),
+            F.floor(F.col("std") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("std_u"),
+            F.coalesce(F.col("n_outliers"), F.lit(0).cast("bigint")).alias(
+                "n_outliers"
+            ),
+        )
+    )

@@ -310,3 +310,75 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@register(
+    "events_seasonal_decompose",
+    sql=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value * {UNIT} + 0.5) AS BIGINT)) AS BIGINT)
+                   AS units
+        FROM events GROUP BY d
+    ),
+    trended AS (
+        SELECT d, units,
+               sum(units) OVER w AS s7,
+               count(*) OVER w AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detrended AS (
+        SELECT CAST((date_diff('day', DATE '1970-01-01', d) + 4) % 7
+                    AS INTEGER) AS dow,
+               units * 7 - s7 AS det7
+        FROM trended WHERE n7 = 7
+    )
+    SELECT dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(floor(sum(det7) * 100.0 / (7.0 * count(*) * {UNIT}) + 0.5)
+                AS BIGINT) AS seasonal_c
+    FROM detrended GROUP BY dow
+    """,
+    doc="Weekly seasonal decomposition (STL-lite): daily totals -> 7-day "
+    "centered moving-average trend -> day-of-week mean of the detrended "
+    "residual, the additive seasonal index in integer cents. All "
+    "arithmetic is exact-integer until one final division: daily sums "
+    "snap to 1/10000 units (LONG), the detrended term is units*7 - "
+    "sum7(units) (no fractional trend), and the per-dow mean divides "
+    "once at the end — so partial-agg merge order can never flip a bit, "
+    "and the portable floor(x+0.5) rounds identically on every engine. "
+    "The trend window runs on the POST-AGGREGATION daily series (365 "
+    "rows/year), so the unpartitioned ORDER BY is a bounded-size frame, "
+    "not a scale risk; day-of-week is epoch-day arithmetic ((days+4)%7, "
+    "Sunday=0), immune to engine dow-numbering and locale.",
+    tags=("timeseries", "window", "seasonal"),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(decimal_units(F.col("value"), UNIT)).alias("units")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "units",
+        F.sum("units").over(w).alias("s7"),
+        F.count("*").over(w).alias("n7"),
+    )
+    det = trended.filter(F.col("n7") == 7).select(
+        ((F.datediff("d", F.lit("1970-01-01")) + 4) % 7)
+        .cast("int")
+        .alias("dow"),
+        (F.col("units") * 7 - F.col("s7")).alias("det7"),
+    )
+    return det.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.floor(
+            F.sum("det7") * 100.0 / (7.0 * F.count("*") * UNIT) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("seasonal_c"),
+    )
