@@ -394,3 +394,38 @@ def test_daily_anomalies_carries_integer_moments(plans):
     plan = plans("events_daily_anomalies")
     assert plan.count("Exchange hashpartitioning") == 2
     assert "stddev" not in plan and "var_samp" not in plan
+
+
+def test_markov_sequence_and_normalize_share_keyed_exchanges(plans):
+    # the lag() window and the pair aggregation both key on user-derived
+    # columns; the normalizing window partitions on from_type over the
+    # tiny matrix — no unpartitioned global sort anywhere in the plan
+    plan = plans("events_markov_transitions")
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_shuffle_positions_sort_is_per_shard_not_global(plans):
+    # the training-shuffle permutation must come from a per-shard sort
+    # (hash exchange on shard_id), never a global range exchange — that's
+    # the whole point of the two-level manifest
+    plan = plans("docs_shuffle_positions")
+    assert "Exchange hashpartitioning(shard_id" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_dim_standardize_broadcasts_stats_to_scoring_pass(plans):
+    # pass 2 scores outliers against the dim-count stats frame via a
+    # broadcast join; the left join assembling the final 64-row result may
+    # hash-shuffle, but no exchange may carry the exploded corpus beyond
+    # the stats aggregations
+    plan = plans("emb_dim_standardize")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seasonal_decompose_windows_run_post_aggregation(plans):
+    # the 7-day trend window sorts the aggregated daily series (bounded
+    # rows), which Spark plans as a single-partition window AFTER the
+    # daily aggregation's hash exchange — the raw events are scanned once
+    plan = plans("events_seasonal_decompose")
+    assert plan.count("FileScan") == 1
