@@ -71,6 +71,10 @@ HEADLINE = (
     # anomaly windows
     "docs_bm25_search",
     "events_daily_anomalies",
+    # seventh wave (round 4): per-user sequence windows (Markov matrix),
+    # explode + broadcast-stats two-pass (feature standardization)
+    "events_markov_transitions",
+    "emb_dim_standardize",
 )
 
 

@@ -384,3 +384,192 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prob_ppm"),
     )
+
+
+#: association-rule mining support floor (distinct orders containing the pair)
+_RULE_MIN_SUPPORT = 3
+
+
+@register(
+    "parts_association_rules",
+    sql=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_ord AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+    item AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        FROM op GROUP BY l_partkey
+        HAVING count(*) >= {_RULE_MIN_SUPPORT}
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM op a
+        JOIN item ia ON a.l_partkey = ia.l_partkey
+        JOIN op b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey
+        JOIN item ib ON b.l_partkey = ib.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_RULE_MIN_SUPPORT}
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           ia.n_item AS n_antecedent,
+           CAST(floor(p.n_both * 1000000.0 / ia.n_item + 0.5) AS BIGINT)
+               AS confidence_ppm,
+           CAST(floor(p.n_both * 1000000.0 * (SELECT n FROM n_ord)
+                      / (ia.n_item * ib.n_item) + 0.5) AS BIGINT)
+               AS lift_ppm
+    FROM pairs p
+    JOIN item ia ON p.antecedent = ia.l_partkey
+    JOIN item ib ON p.consequent = ib.l_partkey
+    """,
+    doc="Association-rule mining (the scoring step of market-basket "
+    "A-priori): distinct order-part pairs, frequent single items first "
+    "(support >= 3 — the A-priori prune that bounds the self-join's "
+    "fan-out, the same sparsifier idea as the triangle query's weight "
+    "threshold), directed co-occurrence counts, then confidence "
+    "n(a,b)/n(a) and lift n(a,b)*N/(n(a)*n(b)) in ppm via the portable "
+    "floor round. The self-join shuffles on l_orderkey only; frequent-"
+    "item filters broadcast. All counts are exact integers; the two "
+    "ratios are single divisions of identical doubles on both engines.",
+    tags=("behavior", "association", "join"),
+)
+def parts_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = op.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item = (
+        op.groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("n_item"))
+        .filter(F.col("n_item") >= _RULE_MIN_SUPPORT)
+    )
+    a = (
+        op.join(
+            F.broadcast(item.select(F.col("l_partkey"))), "l_partkey"
+        )
+        .select(
+            F.col("l_orderkey"), F.col("l_partkey").alias("antecedent")
+        )
+    )
+    b = (
+        op.join(
+            F.broadcast(item.select(F.col("l_partkey"))), "l_partkey"
+        )
+        .select(
+            F.col("l_orderkey"), F.col("l_partkey").alias("consequent")
+        )
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= _RULE_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                item.select(
+                    F.col("l_partkey").alias("antecedent"),
+                    F.col("n_item").alias("n_antecedent"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                item.select(
+                    F.col("l_partkey").alias("consequent"),
+                    F.col("n_item").alias("n_consequent"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_ord))
+    )
+    return scored.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_antecedent",
+        F.floor(
+            F.col("n_both") * 1000000.0 / F.col("n_antecedent") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("confidence_ppm"),
+        F.floor(
+            F.col("n_both")
+            * 1000000.0
+            * F.col("n")
+            / (F.col("n_antecedent") * F.col("n_consequent"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lift_ppm"),
+    )
+
+
+@register(
+    "events_type_dow_pmi",
+    sql="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                     + 4) % 7 AS INTEGER) AS dow,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT event_type, dow, n_xy,
+               sum(n_xy) OVER (PARTITION BY event_type) AS n_x,
+               sum(n_xy) OVER (PARTITION BY dow) AS n_y,
+               sum(n_xy) OVER () AS n
+        FROM cells
+    )
+    SELECT event_type, dow, n_xy,
+           CAST(floor(ln(n_xy * 1.0 * n / (n_x * n_y)) * 1000000 + 0.5)
+                AS BIGINT) AS pmi_micro_nats
+    FROM marg
+    """,
+    doc="Pointwise mutual information between event type and day-of-week "
+    "— the dependence-profiling operator behind feature selection and "
+    "leakage audits ('does this categorical leak the time axis?'). All "
+    "marginals are window sums over the tiny post-aggregation cell grid "
+    "(|types| x 7 rows), so the raw scan reduces once; PMI is computed "
+    "per cell (no cross-row double summation — the determinism trap an "
+    "aggregate MI total would hit), in micro-nats via the portable floor "
+    "round; ln on identical integer-derived doubles matches across "
+    "engines (same precedent as the PSI drift monitor).",
+    tags=("behavior", "profile", "information"),
+)
+def events_type_dow_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        ((F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 4) % 7)
+        .cast("int")
+        .alias("dow"),
+    ).agg(F.count("*").cast("bigint").alias("n_xy"))
+    marg = cells.select(
+        "event_type",
+        "dow",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("event_type")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("dow")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).alias("n"),
+    )
+    return marg.select(
+        "event_type",
+        "dow",
+        "n_xy",
+        F.floor(
+            F.log(
+                F.col("n_xy") * 1.0 * F.col("n") / (F.col("n_x") * F.col("n_y"))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("pmi_micro_nats"),
+    )

@@ -1609,3 +1609,99 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "events_user_state_diff",
+    sql="""
+    WITH a AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS units
+        FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+        GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS units
+        FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+        GROUP BY 1, 2
+    ),
+    diff AS (
+        SELECT CASE WHEN a.user_id IS NULL THEN 'added'
+                    WHEN b.user_id IS NULL THEN 'removed'
+                    WHEN md5(CAST(a.n AS VARCHAR) || '|'
+                             || CAST(a.units AS VARCHAR))
+                         <> md5(CAST(b.n AS VARCHAR) || '|'
+                                || CAST(b.units AS VARCHAR))
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(a.units, 0) AS units_a,
+               COALESCE(b.units, 0) AS units_b
+        FROM a FULL OUTER JOIN b
+          ON a.user_id = b.user_id AND a.k = b.k
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(units_a) AS BIGINT) AS units_a,
+           CAST(sum(units_b) AS BIGINT) AS units_b
+    FROM diff GROUP BY status
+    """,
+    doc="Snapshot diff — the regression-check operator between two "
+    "pipeline runs: aggregate each side to one row per key, FULL OUTER "
+    "JOIN on the key, classify added / removed / changed / unchanged by "
+    "row-digest comparison (md5 over a canonical field encoding), and "
+    "reduce to per-class counts. Here the two 'runs' are the first and "
+    "second half-month of per-(user, props-key) event state, a grain at which every class (added / removed / changed / unchanged) is populated. Both sides shuffle once "
+    "on the join key and the digest compare is a map-side expression — "
+    "at 100 TB this is the cheapest correct way to answer 'what did the "
+    "new pipeline version change?' without row-by-row eyeballing.",
+    tags=("diff", "join", "quality"),
+)
+def events_user_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(pred):
+        return (
+            ev.filter(pred)
+            .groupBy(
+                "user_id",
+                F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(decimal_units(F.col("value"), 10000))
+                .cast("bigint")
+                .alias("units"),
+            )
+        )
+
+    cutoff = F.to_date("ts") < F.lit("2024-01-16")
+    a, b = side(cutoff).alias("a"), side(~cutoff).alias("b")
+    digest = lambda s: F.md5(
+        F.concat_ws("|", F.col(f"{s}.n").cast("string"),
+                    F.col(f"{s}.units").cast("string"))
+    )
+    diff = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.k") == F.col("b.k")),
+        "full_outer",
+    ).select(
+        F.when(F.col("a.user_id").isNull(), F.lit("added"))
+        .when(F.col("b.user_id").isNull(), F.lit("removed"))
+        .when(digest("a") != digest("b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce(F.col("a.units"), F.lit(0).cast("bigint")).alias("units_a"),
+        F.coalesce(F.col("b.units"), F.lit(0).cast("bigint")).alias("units_b"),
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("units_a").cast("bigint").alias("units_a"),
+        F.sum("units_b").cast("bigint").alias("units_b"),
+    )

@@ -891,6 +891,69 @@ def cohort_retention_stream(
     )
 
 
+def markov_transitions_stream(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "batch_ts",
+):
+    """Streaming first-order Markov transition maintenance — the streaming
+    twin of the batch ``events_markov_transitions`` (behavior_queries.py).
+    The batch plan lags over each user's WHOLE history; here per-user
+    state is one string: the last event type seen.
+
+    Each batch emits ``(from_type, to_type, n)`` DELTA counts: the
+    transitions inside the batch (events applied in global ``time_col``
+    order after a single chunk concat — the funnel operator's ADVICE-r3
+    lesson) plus the bridge transition from the checkpointed last type
+    into the batch's first event. Summing the deltas downstream
+    (``GROUP BY from_type, to_type``) reproduces the batch matrix
+    exactly when data arrives in order; cross-batch stragglers share the
+    documented streaming-funnel approximation (bound with a watermark).
+    Checkpointed state makes the deltas exactly-once: a redelivered file
+    is never re-counted, so append-mode summation never double-counts.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "from_type string, to_type string, n bigint"
+    state_schema = "last_type string"
+
+    # self-contained: pickled by value, no module deps on the workers
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(time_col)
+        types = list(batch[type_col])
+        prev = state.get[0] if state.exists else None
+        counts: dict[tuple[str, str], int] = {}
+        for t in types:
+            if prev is not None:
+                pair = (prev, t)
+                counts[pair] = counts.get(pair, 0) + 1
+            prev = t
+        state.update((prev,))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "from_type": [p[0] for p in counts],
+                    "to_type": [p[1] for p in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def idle_timeout_sessions_stream(
     events: DataFrame, *, key_col: str = "event_type", idle_ms: int = 1000
 ):

@@ -847,3 +847,71 @@ def test_streaming_cohort_retention_matches_batch_grid(spark, dirs):
         ("2022-05-23", 1): 1,  # user 0 returned the next week
         ("2022-05-23", 2): 1,  # user 1 returned two weeks later
     }
+
+
+def test_streaming_markov_deltas_sum_to_batch_matrix(spark, dirs):
+    """markov_transitions_stream: per-batch transition deltas summed over
+    two availableNow runs equal the batch lag() matrix over the union of
+    files, including the bridge transition across the run boundary
+    (checkpointed last-type state); redelivered pairs are never
+    double-counted."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        markov_transitions_stream,
+        read_event_stream,
+    )
+
+    def run_once():
+        events = read_event_stream(spark, dirs["in"], SCHEMA).withColumn(
+            "user_id", F.col("interaction_id") % 2
+        )
+        deltas = markov_transitions_stream(events)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(dirs["target"])
+
+        q = (
+            deltas.writeStream.outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: user 0 sees impression(11:00) then click(12:00) -> one i->c;
+    # user 1 sees click(11:30) only (no transition yet)
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526110000000_1-1_1.parquet", 1)  # id 0 -> u0
+    pq.write_table(
+        pa.table({"interaction_id": [2], "page_url": ["https://x.test/2"]}),
+        f"{dirs['in']}/clicks_processed_dk_20220526120000000_2-2_1.parquet",
+    )  # id 2 -> u0
+    pq.write_table(
+        pa.table({"interaction_id": [1], "page_url": ["https://x.test/1"]}),
+        f"{dirs['in']}/clicks_processed_dk_20220526113000000_3-3_1.parquet",
+    )  # id 1 -> u1
+    run_once()
+    # run 2: u0 gets another impression (bridge click->impression across
+    # the run boundary via state); u1 gets an impression (bridge c->i)
+    pq.write_table(
+        pa.table({"interaction_id": [4], "page_url": ["https://x.test/4"]}),
+        f"{dirs['in']}/impressions_processed_dk_20220526130000000_4-4_1.parquet",
+    )  # id 4 -> u0
+    pq.write_table(
+        pa.table({"interaction_id": [3], "page_url": ["https://x.test/3"]}),
+        f"{dirs['in']}/impressions_processed_dk_20220526133000000_5-5_1.parquet",
+    )  # id 3 -> u1
+    run_once()
+
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in spark.read.parquet(dirs["target"])
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert got == {
+        ("impressions", "clicks"): 1,  # u0 run 1
+        ("clicks", "impressions"): 2,  # u0 and u1 across the run boundary
+    }
