@@ -188,16 +188,33 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
 
-    # factory keeps the filter lambda UNARY — a 2-param lambda (even with a
-    # default) makes pyspark pass the array INDEX as the second argument,
-    # silently corrupting the comparison (same pitfall as minhash seeds)
-    def tf_of(term: str):
-        return F.size(F.filter(toks, lambda x: x == term))
+    # dl + all term frequencies in ONE traversal of the token array: a
+    # struct-accumulator fold replaces one F.filter pass per term (A/B at
+    # sf0.1: 0.256 s -> 0.185 s per scan — HOF lambdas are interpreted, so
+    # passes over the array dominate; counts are identical integers, the
+    # oracle is unchanged)
+    acc0 = F.struct(
+        F.lit(0).alias("dl"),
+        *[F.lit(0).alias(f"t{i}") for i in range(len(_SEARCH_TERMS))],
+    )
 
+    def step(a, x):
+        return F.struct(
+            (a["dl"] + (x != "").cast("int")).alias("dl"),
+            *[
+                (a[f"t{i}"] + (x == t).cast("int")).alias(f"t{i}")
+                for i, t in enumerate(_SEARCH_TERMS)
+            ],
+        )
+
+    folded = F.aggregate(toks, acc0, step)
     per_doc = docs.select(
         "doc_id",
-        F.size(F.filter(toks, lambda x: x != "")).alias("dl"),
-        *[tf_of(t).alias(f"tf_{i}") for i, t in enumerate(_SEARCH_TERMS)],
+        folded["dl"].alias("dl"),
+        *[
+            folded[f"t{i}"].alias(f"tf_{i}")
+            for i in range(len(_SEARCH_TERMS))
+        ],
     )
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),
