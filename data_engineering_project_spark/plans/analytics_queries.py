@@ -731,3 +731,253 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("yoy_growth_bp"),
     )
+
+
+@register(
+    "events_session_paths",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               array_to_string(
+                   list_slice(list(event_type ORDER BY ts, event_id), 1, 3),
+                   '>') AS journey
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT journey, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY journey
+    """,
+    doc="Session journey analysis: the first three event types of every "
+    "30-min-gap session, concatenated as a path signature, counted "
+    "globally — the 'how do sessions begin' complement of the Markov "
+    "matrix (which forgets position) and the funnel (which fixes the "
+    "path in advance). Sessionization is the shared lag+cumsum window "
+    "(operators/asof.py:sessionize, event_id tie-break); the per-session "
+    "path is a sorted-struct fold, NOT a second ordered window; the "
+    "journey vocabulary is at most |types|^3 rows.",
+    tags=("behavior", "sessionize", "window"),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, key="user_id", time_col="ts", gap="30 minutes",
+        order_tie_break="event_id",
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return paths.groupBy("journey").agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+
+
+@register(
+    "parts_abc_classification",
+    sql="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS units
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, units,
+               sum(units) OVER (ORDER BY units DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_units,
+               sum(units) OVER () AS tot_units
+        FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN cum_units * 10 <= tot_units * 8 THEN 'A'
+                    WHEN cum_units * 100 <= tot_units * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               units
+        FROM ranked
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           ROUND(sum(units) / 100.0, 2) AS revenue
+    FROM classed GROUP BY abc_class
+    """,
+    doc="ABC inventory classification: parts ranked by revenue, cumulative "
+    "share thresholds 80/95% — the contribution-analysis operator behind "
+    "'which 20% of SKUs carry 80% of revenue'. Threshold tests are pure "
+    "integer comparisons (cum*10 <= tot*8), so no floating-point share "
+    "ever exists to disagree across engines. The ranking window runs on "
+    "the POST-AGGREGATION part ledger (|parts| rows, not line items); a "
+    "cumulative distribution is inherently a global order — at extreme "
+    "dimension cardinality, range-partition the prefix sums.",
+    tags=("analytics", "window", "classification"),
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(decimal_units(F.col("l_extendedprice"), 100))
+        .cast("bigint")
+        .alias("units")
+    )
+    w_cum = Window.orderBy(F.desc("units"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "units",
+        F.sum("units").over(w_cum).alias("cum_units"),
+        F.sum("units").over(Window.partitionBy()).alias("tot_units"),
+    )
+    classed = ranked.select(
+        F.when(
+            F.col("cum_units") * 10 <= F.col("tot_units") * 8, F.lit("A")
+        )
+        .when(
+            F.col("cum_units") * 100 <= F.col("tot_units") * 95, F.lit("B")
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "units",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("units") / 100.0, 2).alias("revenue"),
+    )
+
+
+@register(
+    "events_value_mad",
+    sql="""
+    WITH u AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS units
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, units,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY units) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM u
+    ),
+    med AS (
+        SELECT event_type,
+               sum(units) / count(*) / 100.0 AS median_value
+        FROM ranked
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY event_type
+    ),
+    dev AS (
+        SELECT u.event_type,
+               abs(u.units - CAST(floor(m.median_value * 100 + 0.5)
+                                  AS BIGINT)) AS adev,
+               row_number() OVER (PARTITION BY u.event_type
+                                  ORDER BY abs(u.units -
+                                      CAST(floor(m.median_value * 100 + 0.5)
+                                           AS BIGINT)), u.units) AS rn,
+               count(*) OVER (PARTITION BY u.event_type) AS n
+        FROM u JOIN med m ON u.event_type = m.event_type
+    )
+    SELECT d.event_type,
+           ROUND(m.median_value, 3) AS median_value,
+           ROUND(sum(d.adev) / count(*) / 100.0, 3) AS mad
+    FROM dev d JOIN med m ON d.event_type = m.event_type
+    WHERE d.rn IN ((d.n + 1) // 2, (d.n + 2) // 2)
+    GROUP BY d.event_type, m.median_value
+    """,
+    doc="Robust statistics: EXACT per-group median and median absolute "
+    "deviation — the outlier-resistant location/scale pair behind robust "
+    "z-scores (the daily-anomaly query's mean/std break down under heavy "
+    "tails). Both medians are restated identically on both engines as "
+    "row_number selections over integer cent units (lower/upper middle "
+    "averaged via sum/count — never an engine median() builtin, whose "
+    "interpolation rules differ), with a units tie-break on the "
+    "deviation rank. Each pass is one keyed window over hash-partitioned "
+    "groups; no global sort.",
+    tags=("analytics", "robust", "window"),
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("units"),
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = u.select(
+        "event_type",
+        "units",
+        F.row_number().over(wt.orderBy("units")).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    def is_middle(rn, n):
+        return (rn == F.floor((n + 1) / 2).cast("long")) | (
+            rn == F.floor((n + 2) / 2).cast("long")
+        )
+
+    med = (
+        ranked.filter(is_middle(F.col("rn"), F.col("n")))
+        .groupBy("event_type")
+        .agg(
+            (F.sum("units") / F.count("*") / 100.0).alias("median_value")
+        )
+    )
+    med_units = F.floor(F.col("median_value") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    dev = u.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median_value",
+        F.abs(F.col("units") - med_units).alias("adev"),
+        "units",
+    )
+    ranked2 = dev.select(
+        "event_type",
+        "median_value",
+        "adev",
+        F.row_number()
+        .over(wt.orderBy("adev", "units"))
+        .alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    return (
+        ranked2.filter(is_middle(F.col("rn"), F.col("n")))
+        .groupBy("event_type", "median_value")
+        .agg(
+            (F.sum("adev") / F.count("*") / 100.0).alias("mad_raw")
+        )
+        .select(
+            "event_type",
+            F.round("median_value", 3).alias("median_value"),
+            F.round("mad_raw", 3).alias("mad"),
+        )
+    )

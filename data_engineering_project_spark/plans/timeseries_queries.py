@@ -382,3 +382,61 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seasonal_c"),
     )
+
+
+@register(
+    "events_window_dedup",
+    sql="""
+    WITH keyed AS (
+        SELECT event_type, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 300 AS bucket,
+               ts, event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id, event_type, bucket
+                                  ORDER BY ts, event_id) AS rn
+        FROM keyed
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_removed
+    FROM ranked GROUP BY event_type
+    """,
+    doc="Tumbling-window telemetry dedup: keep the earliest event per "
+    "(user, type, 5-min bucket), report kept/removed per type — the "
+    "batch contract of at-least-once ingestion cleanup (streaming twin: "
+    "deduped_event_stream's dropDuplicates-within-watermark). The bucket "
+    "is integer epoch-seconds division, so assignment is engine-portable "
+    "and stateless; the ranking window shares one hash partitioning on "
+    "the dedup key — no global sort, state bounded by the window length.",
+    tags=("timeseries", "dedup", "window"),
+)
+def events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("bucket"),
+        "ts",
+        "event_id",
+    )
+    ranked = keyed.select(
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count(F.when(F.col("rn") == 1, 1)).cast("bigint").alias("n_kept"),
+        F.count(F.when(F.col("rn") > 1, 1)).cast("bigint").alias("n_removed"),
+    )
