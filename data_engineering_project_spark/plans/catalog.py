@@ -117,9 +117,11 @@ def _ensure_loaded() -> None:
         graph_queries,
         profile_queries,
         quality_queries,
+        relational_queries,
         search_queries,
         sharding_queries,
         similarity_queries,
+        stats_queries,
         text_queries,
         timeseries_queries,
     )

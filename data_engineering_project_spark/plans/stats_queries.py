@@ -1,0 +1,365 @@
+"""Statistical time-series / dependence profiling queries.
+
+Round-4 additions: autocorrelation, correlation matrix, entropy profiling,
+and two-window mean-shift changepoint scoring. All follow the repo's
+determinism invariants (ROADMAP "Known-good invariants"):
+
+- every float aggregate snaps to exact integer units BEFORE the sum
+  (``decimal_units``) so Spark's nondeterministic partial-agg merge order
+  cannot flip a bit vs the oracle;
+- cross-row sums of transcendental terms (ln) floor-quantize each term to
+  integer micro-nats FIRST, then sum integers (the PMI/PSI precedent) —
+  summing raw doubles across rows is order-dependent;
+- products of integer units that could exceed 2**63 route through
+  DECIMAL(38,0) on the Spark side and HUGEINT on the DuckDB side — both
+  exact, both cast to double only in the final closed-form expression, so
+  the doubles are bit-identical before the defensive ROUND.
+
+Beyond-reference family (SURVEY.md §2.11 "Profiling"); the reference has no
+statistical profiling at all — its analytics ceiling is groupBy-count
+(src/Task1/data_processing.py:268-291).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.functions.scalars import decimal_units
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+#: integer-unit scale for `events.value` (2 decimal places in the data; 100
+#: keeps daily sums ~1e7 — far from the 2**63 ceiling even at SF 1e5).
+CENTS = 100
+
+
+@register(
+    "events_daily_acf",
+    sql=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(floor(value * {CENTS} + 0.5) AS BIGINT)) AS units
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.units AS x, b.units AS y
+        FROM daily a
+        JOIN lags l ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    ),
+    stats AS (
+        SELECT lag,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM stats
+    WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+    """,
+    doc="Sample autocorrelation of the daily total value series at calendar "
+    "lags 1..7 — the seasonality detector feeding the weekly decomposition "
+    "(`events_seasonal_decompose`). The lag pairing is a calendar self-join "
+    "(day+k), not a positional LAG, so missing days pair with nothing "
+    "instead of silently shifting the series. Everything after the one "
+    "daily groupBy runs on the ~|days|-row aggregate: the 7-lag dimension "
+    "is a broadcast range, the pair join is broadcast, and the Pearson r "
+    "per lag derives closed-form from exact integer sufficient statistics "
+    "(n, Σx, Σy, Σxy, Σx², Σy² of centi-units) — bit-identical across "
+    "engines before the defensive ROUND. One raw-data shuffle total.",
+    tags=("stats", "timeseries", "profile"),
+)
+def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(decimal_units(F.col("value"), CENTS)).alias("units")
+    )
+    # both pair sides read the same ~|days|-row aggregate; persist it or
+    # Catalyst re-runs the raw scan+groupBy for each side
+    daily = daily.persist()
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("day").alias("day_x"), F.col("units").alias("x"))
+    b = daily.select(F.col("day").alias("day_y"), F.col("units").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("day_y")
+            == F.date_add(F.col("day_x"), F.col("lag").cast("int")),
+        )
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return (
+        s.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("acf"),
+        )
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    sql="""
+    WITH u AS (
+        SELECT CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT) AS q,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS p,
+               CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS d
+        FROM lineitem
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+               sum(q * q) AS sqq, sum(p * p) AS spp, sum(d * d) AS sdd,
+               sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd
+        FROM u
+    )
+    SELECT col_x, col_y,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+    FROM (
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+               n, sq AS sx, sp AS sy, sqp AS sxy, sqq AS sxx, spp AS syy
+        FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               n, sq, sd, sqd, sqq, sdd FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               n, sp, sd, spd, spp, sdd FROM m
+    )
+    """,
+    doc="Pairwise Pearson correlation matrix over (l_quantity, "
+    "l_extendedprice, l_discount) — the single-pass numeric dependence "
+    "profile (complements `lineitem_column_profile`'s univariate stats). "
+    "ONE scan computes all ten sufficient statistics as exact integers; "
+    "the 3 matrix cells unfold from that 1-row aggregate driver-side-free "
+    "via a literal UNION (Spark: union of three 1-row projections — no "
+    "second scan, Catalyst reuses the aggregated subplan). Determinism at "
+    "scale: Σp², Σqp overflow 2**63 around SF 1 — products route through "
+    "DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both exact, cast to double "
+    "only inside the final closed-form r. Built-in corr() would NOT "
+    "hash-match across engines (float accumulation order).",
+    tags=("stats", "profile"),
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(19,0)"
+    q = decimal_units(F.col("l_quantity"), 100).cast(dec)
+    p = decimal_units(F.col("l_extendedprice"), 100).cast(dec)
+    d = decimal_units(F.col("l_discount"), 100).cast(dec)
+    m = li.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"),
+    )
+    # the 1-row sufficient-statistics frame feeds all three matrix cells;
+    # persist it or each unioned cell re-aggregates the full scan
+    m = m.persist()
+
+    def cell(name_x, name_y, sx, sy, sxy, sxx, syy):
+        num = (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast(
+            "double"
+        )
+        dx = (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast(
+            "double"
+        )
+        dy = (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast(
+            "double"
+        )
+        return m.select(
+            F.lit(name_x).alias("col_x"),
+            F.lit(name_y).alias("col_y"),
+            F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("pearson_r"),
+        )
+
+    return (
+        cell("l_quantity", "l_extendedprice", "sq", "sp", "sqp", "sqq", "spp")
+        .unionAll(
+            cell("l_quantity", "l_discount", "sq", "sd", "sqd", "sqq", "sdd")
+        )
+        .unionAll(
+            cell(
+                "l_extendedprice", "l_discount", "sp", "sd", "spd", "spp",
+                "sdd",
+            )
+        )
+    )
+
+
+@register(
+    "events_dow_entropy",
+    sql="""
+    WITH cells AS (
+        SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                     + 4) % 7 AS INTEGER) AS dow,
+               count(*) AS c
+        FROM events GROUP BY 1, event_type
+    ),
+    terms AS (
+        SELECT dow,
+               CAST(sum(c) AS BIGINT) AS n,
+               sum(CAST(floor(c * ln(c) * 1000000 + 0.5) AS BIGINT))
+                   AS s_micro
+        FROM cells GROUP BY dow
+    )
+    SELECT dow, n,
+           ROUND(ln(n) - s_micro / 1000000.0 / n, 6) AS entropy_nats
+    FROM terms
+    """,
+    doc="Shannon entropy (nats) of the event-type distribution per "
+    "day-of-week — the categorical-balance probe behind mixture/quota "
+    "monitoring ('did the type mix collapse on weekends?'). Identity "
+    "H = ln(n) − (Σ c·ln c)/n avoids materializing probabilities; each "
+    "c·ln(c) term floor-quantizes to integer micro-nats BEFORE the "
+    "cross-row sum (the PMI precedent — raw double summation across type "
+    "rows is accumulation-order-dependent in Spark partial aggs), so both "
+    "engines sum identical integers and the final doubles are "
+    "bit-identical before ROUND. Single shuffle on the (dow, type) grid.",
+    tags=("stats", "profile", "information"),
+)
+def events_dow_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        ((F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 4) % 7)
+        .cast("int")
+        .alias("dow"),
+        "event_type",
+    ).agg(F.count("*").alias("c"))
+    terms = cells.groupBy("dow").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("c") * F.log(F.col("c").cast("double")) * 1000000
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("s_micro"),
+    )
+    return terms.select(
+        "dow",
+        "n",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("s_micro") / 1000000.0 / F.col("n"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+@register(
+    "events_mean_shift",
+    sql=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(ROUND(sum(CAST(floor(value * {CENTS} + 0.5) AS BIGINT))
+                          * 1.0 / count(*), 0) AS BIGINT) AS mu
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, day, mu,
+               count(*) OVER pre  AS np, sum(mu) OVER pre  AS sp,
+               count(*) OVER post AS nf, sum(mu) OVER post AS sf
+        FROM daily
+        WINDOW pre AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+               post AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(abs(CAST(sf * np - sp * nf AS DOUBLE))
+                 / (np * nf) / {CENTS}, 4) AS shift_score
+    FROM w
+    WHERE np = 3 AND nf = 3
+      AND abs(CAST(sf * np - sp * nf AS DOUBLE)) / (np * nf) / {CENTS} > 0.5
+    """,
+    doc="Two-window mean-shift changepoint score: per (event_type, day), "
+    "|mean of the NEXT 3 day-means − mean of the PREVIOUS 3| — the "
+    "sliding-window CUSUM alternative that stays SQL-expressible (true "
+    "CUSUM is a recursive fold; this binary-segmentation statistic is the "
+    "standard non-recursive screen and flags the same level shifts). Day "
+    "means snap to integer centi-units (`events_daily_anomalies` "
+    "precedent); both frames carry only integer (count, Σμ) so the score "
+    "re-derives closed-form from exact integers — the cross-mean "
+    "difference uses the common-denominator form (Σf·np − Σp·nf)/(np·nf) "
+    "to stay integer until one final double division. Windows run on the "
+    "~(types×days)-row aggregate, never raw events.",
+    tags=("stats", "timeseries", "anomaly", "window"),
+)
+def events_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.sum(decimal_units(F.col("value"), CENTS)) / F.count("*"), 0
+        )
+        .cast("bigint")
+        .alias("mu")
+    )
+    pre = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, -1)
+    )
+    post = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(1, 3)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        F.count("*").over(pre).alias("np"),
+        F.sum("mu").over(pre).alias("sp"),
+        F.count("*").over(post).alias("nf"),
+        F.sum("mu").over(post).alias("sf"),
+    )
+    score = (
+        F.abs(
+            (F.col("sf") * F.col("np") - F.col("sp") * F.col("nf")).cast(
+                "double"
+            )
+        )
+        / (F.col("np") * F.col("nf"))
+        / CENTS
+    )
+    return (
+        w.filter((F.col("np") == 3) & (F.col("nf") == 3) & (score > 0.5))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(score, 4).alias("shift_score"),
+        )
+    )

@@ -429,3 +429,56 @@ def test_seasonal_decompose_windows_run_post_aggregation(plans):
     # daily aggregation's hash exchange — the raw events are scanned once
     plan = plans("events_seasonal_decompose")
     assert plan.count("FileScan") == 1
+
+
+def test_cooccurrence_is_join_free_single_scan(plans):
+    # the bipartite projection folds each order's suppliers into a sorted
+    # array and unfolds pair combinations array-side — no self-join, one
+    # scan, two shuffles (order fold, edge count)
+    plan = plans("suppliers_cooccurrence")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corr_matrix_caches_sufficient_stats(plans):
+    # the 1-row moment frame feeds all three unioned matrix cells from
+    # cache; without it the full lineitem aggregate re-runs 3x
+    plan = plans("lineitem_corr_matrix")
+    assert "InMemoryTableScan" in plan
+    assert "Union" in plan
+
+
+def test_acf_pair_join_is_broadcast_on_cached_daily(plans):
+    # both lag-pair sides read the persisted ~|days|-row daily aggregate;
+    # the pairing joins broadcast (post-agg frames), never shuffling the
+    # raw events a second time
+    plan = plans("events_daily_acf")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pareto_nested_loop_runs_on_pruned_candidates_only(plans):
+    # the exact dominance anti-join may nested-loop ONLY over the cached
+    # candidate survivors of the bin-prefix prune — both its sides must be
+    # InMemoryTableScans, never a raw FileScan of part
+    plan = plans("parts_pareto_frontier")
+    nl = plan.index("BroadcastNestedLoopJoin")
+    below = plan[nl:]
+    assert "InMemoryTableScan" in below
+    # the prune threshold itself reaches the map side as a broadcast join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mean_shift_windows_run_post_aggregation(plans):
+    plan = plans("events_mean_shift")
+    assert plan.count("FileScan") == 1
+
+
+def test_streaks_windows_partition_by_user(plans):
+    # gaps-and-islands: every window partitions by user_id (parallel), the
+    # only global order is the final TakeOrdered top-20
+    plan = plans("users_activity_streaks")
+    assert plan.count("FileScan") == 1
+    assert "TakeOrderedAndProject" in plan
