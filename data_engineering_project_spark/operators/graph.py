@@ -132,3 +132,57 @@ def pagerank_quantized(
     edges_deg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop count from any source
+    node, bounded at ``rounds`` hops.
+
+    Parameters
+    ----------
+    edges:
+        ``src: long`` / ``dst: long`` directed edge list (deduplicated —
+        parallel edges don't change hop counts but inflate the join).
+    sources:
+        single ``node: long`` column; distance 0 seeds.
+
+    Returns ``(node: long, hops: int)`` for every node reachable in at most
+    ``rounds`` hops. Hop counts are exact integers and the per-round
+    reduction is ``min`` — order-independent, so the unrolled computation
+    is bit-reproducible and oracle-checkable (same argument as the
+    integer-quantized PageRank above).
+
+    Scale notes: mirrors the PageRank loop scaffold — the loop-invariant
+    edge table is hash-partitioned on ``src`` and persisted once, so each
+    round exchanges only the (|reached nodes|-sized) distance table; the
+    full-frontier re-join per round (instead of delta-frontier tracking)
+    keeps every round's plan identical and the oracle trivially unrollable
+    — for bounded small ``rounds`` the re-joined closed set costs one extra
+    |reached| exchange, not an edge reshuffle. Lineage truncated per round
+    via ``localCheckpoint``.
+    """
+    if not {"src", "dst"} <= set(edges.columns):
+        raise ValueError("edges must have 'src' and 'dst' columns")
+    edges_p = edges.repartition("src").sortWithinPartitions("src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dist = sources.select("node", F.lit(0).cast("int").alias("hops"))
+    for i in range(rounds):
+        stepped = edges_p.join(
+            dist, edges_p["src"] == dist["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("hops") + 1).cast("int").alias("hops"),
+        )
+        dist = (
+            dist.union(stepped)
+            .groupBy("node")
+            .agg(F.min("hops").cast("int").alias("hops"))
+        )
+        dist = dist.localCheckpoint(eager=(i == rounds - 1))
+    edges_p.unpersist()
+    return dist

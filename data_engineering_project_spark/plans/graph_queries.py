@@ -109,3 +109,87 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("entity_id"),
         "rank_micro",
     )
+
+
+def _bfs_round(prev: str, cur: str) -> str:
+    """One unrolled BFS round: relax every edge from the closed set."""
+    return f"""
+    {cur} AS (
+        SELECT node, CAST(min(hops) AS INTEGER) AS hops
+        FROM (
+            SELECT node, hops FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, p.hops + 1 AS hops
+            FROM edges e JOIN {prev} p ON e.src = p.node
+        )
+        GROUP BY node
+    )"""
+
+
+_BFS_ROUNDS = 3
+
+_BFS_SQL = f"""
+    WITH base AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ),
+    d0 AS (
+        SELECT min(src) AS node, CAST(0 AS INTEGER) AS hops FROM base
+    ),
+    {",".join(_bfs_round(f"d{i}", f"d{i + 1}") for i in range(_BFS_ROUNDS))}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS entity_id,
+           hops
+    FROM d{_BFS_ROUNDS}
+"""
+
+
+@register(
+    "graph_bfs_hops_trade",
+    sql=_BFS_SQL,
+    doc="Bounded breadth-first search: minimum hop distance from the "
+    "lowest-keyed trading customer to every node reachable in ≤3 hops of "
+    "the undirected customer ⇄ supplier graph (orders ⋈ lineitem). The "
+    "neighborhood-expansion primitive behind 'related entities within k "
+    "links' and graph-based contamination tracing. Hop counts are exact "
+    "integers reduced by min — order-independent, so the DuckDB oracle "
+    "unrolls the rounds and hash-matches exactly (the PageRank "
+    "precedent). Loop scaffold shared with `pagerank_quantized`: edges "
+    "hash-partitioned+sorted+persisted once, each round exchanges only "
+    "the distance table, lineage truncated per round "
+    "(operators/graph.py:bfs_hops).",
+    tags=("graph", "iterative", "bfs"),
+)
+def graph_bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.graph import bfs_hops
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = base.agg(F.min("src").alias("node"))
+    dist = bfs_hops(edges, sources, rounds=_BFS_ROUNDS)
+    return dist.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_id"),
+        "hops",
+    )

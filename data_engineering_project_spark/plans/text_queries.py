@@ -558,3 +558,139 @@ def docs_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tb") - n_bins).cast("bigint").alias("n_current"),
         F.round(psi, 6).alias("psi"),
     )
+
+
+@register(
+    "docs_bigram_lm_score",
+    sql="""
+    WITH pos AS (
+        SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS b
+        FROM documents, LATERAL unnest(generate_series(1, length(text) - 1))
+             AS t(i)
+    ),
+    dc AS (
+        SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        FROM pos GROUP BY 1, 2
+    ),
+    model AS (
+        SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM dc GROUP BY b
+    ),
+    ctx AS (
+        SELECT substr(b, 1, 1) AS x, CAST(sum(cb) AS BIGINT) AS cx
+        FROM model GROUP BY 1
+    ),
+    vocab AS (
+        SELECT CAST(count(DISTINCT substr(b, 2, 1)) AS BIGINT) AS v
+        FROM model
+    ),
+    term AS (
+        SELECT m.b,
+               CAST(floor((ln(ctx.cx + vocab.v) - ln(m.cb + 1)) * 1000000
+                          + 0.5) AS BIGINT) AS t_micro
+        FROM model m
+        JOIN ctx ON ctx.x = substr(m.b, 1, 1)
+        CROSS JOIN vocab
+    ),
+    score AS (
+        SELECT dc.doc_id,
+               CAST(sum(dc.c * term.t_micro) AS BIGINT) AS s_micro,
+               CAST(sum(dc.c) AS BIGINT) AS n_bigrams
+        FROM dc JOIN term ON dc.b = term.b
+        GROUP BY dc.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND(s_micro / 1000000.0 / n_bigrams, 6) AS avg_nll_nats
+    FROM score
+    ORDER BY CAST(s_micro AS DOUBLE) / n_bigrams DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Character-bigram language-model scoring — the model-based quality "
+    "filter (CCNet/Gopher-style perplexity filtering): train an add-1-"
+    "smoothed bigram LM on the corpus itself in one pass, then surface "
+    "the 20 most 'surprising' documents by average negative log-"
+    "likelihood per bigram. P(y|x) = (C(xy)+1)/(C(x·)+V), V = distinct "
+    "successor characters. Plan shape at 100 TB: ONE explode produces "
+    "(doc, bigram) positions; the per-doc count table is the only "
+    "corpus-sized intermediate (persisted — it feeds both the model "
+    "aggregation and the scoring join); the model/context/vocab frames "
+    "collapse to |Σ|² rows and come back as BROADCAST joins, so scoring "
+    "adds zero extra shuffle of corpus-sized data beyond the final "
+    "per-doc groupBy. Determinism: each bigram's smoothed -ln P "
+    "quantizes to integer micro-nats BEFORE the per-doc sum (PMI/entropy "
+    "precedent); ln over identical integers is bit-identical across "
+    "engines; top-20 ordered by the exact rational s/n with doc_id "
+    "tie-break.",
+    tags=("text", "lm", "quality", "curation"),
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # guard: Spark's sequence(1, 0) auto-reverses to [1, 0] instead of
+    # returning empty (DuckDB's generate_series IS empty) — sub-2-char
+    # docs would fabricate bigrams on one side only
+    pos = docs.filter(F.length("text") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1), "
+                "i -> substring(text, i, 2))"
+            )
+        ).alias("b"),
+    )
+    dc = pos.groupBy("doc_id", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    # feeds the model aggregation AND the scoring join — persist, or the
+    # explode+count recomputes per consumer (2x the corpus scan)
+    dc = dc.persist()
+    model = dc.groupBy("b").agg(F.sum("c").cast("bigint").alias("cb"))
+    ctx = model.groupBy(F.substring("b", 1, 1).alias("x")).agg(
+        F.sum("cb").cast("bigint").alias("cx")
+    )
+    vocab = model.agg(
+        F.countDistinct(F.substring("b", 2, 1)).cast("bigint").alias("v")
+    )
+    term = (
+        model.join(
+            F.broadcast(ctx), F.substring(model["b"], 1, 1) == ctx["x"]
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("cx") + F.col("v")).cast("double")
+                    )
+                    - F.log((F.col("cb") + 1).cast("double"))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("t_micro"),
+        )
+    )
+    score = (
+        dc.join(F.broadcast(term), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("t_micro"))
+            .cast("bigint")
+            .alias("s_micro"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return (
+        score.orderBy(
+            (F.col("s_micro").cast("double") / F.col("n_bigrams")).desc(),
+            "doc_id",
+        )
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("s_micro") / 1000000.0 / F.col("n_bigrams"), 6
+            ).alias("avg_nll_nats"),
+        )
+    )

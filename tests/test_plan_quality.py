@@ -482,3 +482,20 @@ def test_streaks_windows_partition_by_user(plans):
     plan = plans("users_activity_streaks")
     assert plan.count("FileScan") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_lm_scores_via_broadcast_model(plans):
+    # the LM model/context/vocab frames are |alphabet|^2-sized and must
+    # come back to the corpus-sized count table as broadcast joins; the
+    # count table itself is cached (feeds model build + scoring)
+    plan = plans("docs_bigram_lm_score")
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bfs_rounds_truncate_lineage(plans):
+    # after 3 unrolled rounds the returned plan must be a checkpoint scan,
+    # not a 3x-nested join tree (localCheckpoint per round)
+    plan = plans("graph_bfs_hops_trade")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
