@@ -1065,3 +1065,131 @@ def stream_stream_attribution(
         & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {within}")),
         "inner",
     )
+
+
+def upsert_mg_summaries(
+    target_dir: str,
+    *,
+    key_col: str = "user_id",
+    capacity: int = 256,
+) -> Callable:
+    """foreachBatch writer maintaining a Misra-Gries top-k summary table —
+    the streaming twin of the batch ``events_spacesaving_topk``
+    (operators/sketch.py:misra_gries_summaries; mergeability per Agarwal
+    et al. 2012). Completes the streaming sketch family: CMS (probabilistic
+    counts), HLL (distinct), histogram (quantiles), MG (deterministic
+    heavy hitters with HARD bounds).
+
+    Per batch: the per-partition summaries merge to ONE batch summary
+    (Σest per key, Σdec across partitions), then MG-compact to ``capacity``
+    rows — subtract the (capacity+1)-th largest est from every counter,
+    fold it into ``dec``, drop non-positives — so persisted state is
+    O(capacity) rows per contributing batch regardless of key cardinality.
+    The batch's dec rides on a null-key sentinel row (the same carrier
+    trick as the partition summaries).
+
+    MG counters are NOT re-delivery-idempotent, so this uses the
+    exactly-once-counter protocol shared with ``upsert_cms_sketch``:
+    rows are keyed by ``batch_id`` and a crash-replayed batch REPLACES its
+    own prior contribution instead of double-counting.
+    """
+    from data_engineering_project_spark.operators.sketch import (
+        misra_gries_summaries,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        summ = misra_gries_summaries(batch_df, key_col, capacity=capacity)
+        part_dec = summ.select("pid", "dec").distinct().agg(
+            F.sum("dec").alias("dec")
+        )
+        merged = (
+            summ.filter(F.col(key_col).isNotNull())
+            .groupBy(key_col)
+            .agg(F.sum("est").alias("est"))
+        )
+        # MG-compact the merged summary back to `capacity` counters: the
+        # (capacity+1)-th largest est is subtracted from everyone and
+        # added to the batch decrement (rank window over ≤ partitions ×
+        # capacity rows — bounded, not data-sized)
+        w = Window.orderBy(F.desc("est"), F.asc(key_col))
+        ranked = merged.select(
+            key_col, "est", F.row_number().over(w).alias("rn")
+        )
+        # global aggs always yield exactly one row, even over an empty
+        # frame — so the sentinel survives batches whose compactions
+        # dropped every counter (the dec must still be recorded)
+        cut_val = ranked.filter(F.col("rn") == capacity + 1).agg(
+            F.coalesce(F.max("est"), F.lit(0)).alias("cut")
+        )
+        trimmed = (
+            ranked.crossJoin(F.broadcast(cut_val))
+            .filter(F.col("est") - F.col("cut") > 0)
+            .select(
+                key_col,
+                (F.col("est") - F.col("cut")).alias("est"),
+                F.lit(0).cast("long").alias("dec"),
+            )
+        )
+        sentinel = (
+            part_dec.crossJoin(cut_val)
+            .select(
+                F.lit(None).cast(batch_df.schema[key_col].dataType).alias(
+                    key_col
+                ),
+                F.lit(0).cast("long").alias("est"),
+                (F.coalesce(F.col("dec"), F.lit(0)) + F.col("cut")).alias(
+                    "dec"
+                ),
+            )
+        )
+        new = trimmed.unionByName(sentinel).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        current = _recover_and_read(spark, target_dir)
+        if current is not None:
+            merged_state = current.filter(
+                F.col("batch_id") != batch_id
+            ).unionByName(new)
+        else:
+            merged_state = new
+        _atomic_swap_write(merged_state, target_dir)
+
+    return _write
+
+
+def read_mg_topk(
+    spark: SparkSession,
+    target_dir: str,
+    *,
+    key_col: str = "user_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k heavy hitters from the persisted streaming MG summaries:
+    Σest per key across batch summaries is the merged lower bound, and
+    Σ batch decs (sentinel rows) the shared slack —
+    ``est_lower ≤ true ≤ est_lower + Σdec`` stays a hard guarantee because
+    vector-adding MG summaries IS the MG merge (Agarwal et al.). Never
+    re-reads raw events; input is O(batches × capacity) rows."""
+    state = spark.read.parquet(target_dir)
+    dec_total = state.filter(F.col(key_col).isNull()).agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("dec_total")
+    )
+    merged = (
+        state.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum("est").alias("est_lower"))
+    )
+    return (
+        merged.orderBy(F.desc("est_lower"), F.asc(key_col))
+        .limit(k)
+        .crossJoin(F.broadcast(dec_total))
+        .select(
+            key_col,
+            "est_lower",
+            (F.col("est_lower") + F.col("dec_total")).alias("est_upper"),
+        )
+        .orderBy(F.desc("est_lower"), F.asc(key_col))
+    )

@@ -915,3 +915,67 @@ def test_streaming_markov_deltas_sum_to_batch_matrix(spark, dirs):
         ("impressions", "clicks"): 1,  # u0 run 1
         ("clicks", "impressions"): 2,  # u0 and u1 across the run boundary
     }
+
+
+def test_streaming_mg_maintenance_exactly_once(spark, dirs):
+    """Streaming Misra-Gries: per-batch summaries keyed by batch_id REPLACE
+    on crash re-delivery (MG counters double-count under a blind append);
+    merged bounds stay hard (lower <= true <= upper) and are exact here
+    because nothing overflows capacity (dec == 0)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_mg_topk,
+        upsert_mg_summaries,
+    )
+
+    def _batch(ids):
+        return spark.createDataFrame([(i,) for i in ids], "user_id long")
+
+    write = upsert_mg_summaries(dirs["target"], capacity=8)
+    write(_batch([1] * 50 + [2] * 10), 0)
+    write(_batch([1] * 25 + [3] * 5), 1)
+    write(_batch([1] * 25 + [3] * 5), 1)  # crash re-delivery: replaced
+
+    state = spark.read.parquet(dirs["target"])
+    # counter totals equal ONE delivery of each batch (60 + 30, not +30)
+    assert (
+        state.filter(F.col("user_id").isNotNull())
+        .agg(F.sum("est"))
+        .collect()[0][0]
+        == 90
+    )
+    rows = read_mg_topk(spark, dirs["target"], k=3).collect()
+    got = {r["user_id"]: (r["est_lower"], r["est_upper"]) for r in rows}
+    assert got == {1: (75, 75), 2: (10, 10), 3: (5, 5)}
+
+
+def test_streaming_mg_compaction_keeps_bounds(spark, dirs):
+    """A batch whose merged summary overflows capacity compacts: counters
+    shrink by the (capacity+1)-th largest, dec rides the sentinel, and
+    lower <= true <= upper still holds for every surviving key."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_mg_topk,
+        upsert_mg_summaries,
+    )
+
+    # capacity 2: keys 1 (x8), 2 (x5), 3 (x2) in one partition-coalesced
+    # batch -> per-partition or merge-level compaction must fire
+    ids = [1] * 8 + [2] * 5 + [3] * 2
+    batch = spark.createDataFrame(
+        [(i,) for i in ids], "user_id long"
+    ).coalesce(1)
+    upsert_mg_summaries(dirs["target"], capacity=2)(batch, 0)
+
+    state = spark.read.parquet(dirs["target"])
+    dec = (
+        state.filter(F.col("user_id").isNull())
+        .agg(F.sum("dec"))
+        .collect()[0][0]
+    )
+    assert dec > 0  # compaction fired somewhere
+    true = {1: 8, 2: 5, 3: 2}
+    for r in read_mg_topk(spark, dirs["target"], k=2).collect():
+        assert r["est_lower"] <= true[r["user_id"]] <= r["est_upper"]
