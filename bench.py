@@ -75,6 +75,12 @@ HEADLINE = (
     # explode + broadcast-stats two-pass (feature standardization)
     "events_markov_transitions",
     "emb_dim_standardize",
+    # eighth wave (round 4b): broadcast-model LM scoring, join-free
+    # bipartite projection, pruned skyline, union+LOCF PIT lookup
+    "docs_bigram_lm_score",
+    "suppliers_cooccurrence",
+    "parts_pareto_frontier",
+    "events_pit_enrichment",
 )
 
 

@@ -133,3 +133,69 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
         payload_cols=["value"],
     ).select("user_id", "value", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "events_pit_enrichment",
+    sql="""
+    WITH u AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type <> 'error' THEN 0 ELSE 1 END AS kind,
+               CASE WHEN event_type <> 'error' THEN value END AS cv
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, kind,
+               last_value(cv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS state_value
+        FROM u
+    )
+    SELECT event_id, user_id, state_value
+    FROM s WHERE kind = 1
+    """,
+    doc="Point-in-time-correct enrichment — the feature-store AS-OF "
+    "lookup: every 'error' event (the fact side) is annotated with the "
+    "user's profile value effective AT its timestamp, derived from the "
+    "same changelog the SCD2 build consumes (`scd2_user_value_history`). "
+    "PIT correctness rules: changes apply BEFORE facts at the same "
+    "timestamp (kind sort key), concurrent changes resolve by event_id "
+    "(the SCD2 tiebreak — the fact sees the interval the SCD2 build "
+    "would open last), and facts before any change get NULL, never a "
+    "future value (no leakage). Spark-first shape: instead of the "
+    "interval join against the SCD2 dimension (per-fact range probe, "
+    "join fan-out = intervals per user), the changelog and facts UNION "
+    "and a single per-user LOCF window resolves every lookup — ONE "
+    "shuffle, zero fan-out, identical output to the interval join. The "
+    "looked-up double is carried untouched (no arithmetic), so it "
+    "hash-matches bit-for-bit.",
+    tags=("cdc", "asof", "feature-store", "window"),
+)
+def events_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") != "error", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("kind"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("cv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = u.select(
+        "event_id",
+        "user_id",
+        "kind",
+        F.last("cv", ignorenulls=True).over(w).alias("state_value"),
+    )
+    return s.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", "state_value"
+    )

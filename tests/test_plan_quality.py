@@ -499,3 +499,11 @@ def test_bfs_rounds_truncate_lineage(plans):
     # not a 3x-nested join tree (localCheckpoint per round)
     plan = plans("graph_bfs_hops_trade")
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_pit_enrichment_is_single_shuffle_no_join(plans):
+    # the PIT lookup must be the union+LOCF-window form: one scan, one
+    # user_id exchange, no interval join fan-out
+    plan = plans("events_pit_enrichment")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
