@@ -363,3 +363,190 @@ def events_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 4).alias("shift_score"),
         )
     )
+
+
+@register(
+    "events_interarrival_stats",
+    sql="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    ),
+    g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    ranked AS (
+        SELECT event_type, gap_us,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(gap_us) OVER (PARTITION BY event_type) AS s
+        FROM g
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           ROUND(max(s) * 1.0 / max(n) / 1000000, 3) AS mean_gap_s,
+           ROUND(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                 / 1000000.0, 3) AS p50_gap_s,
+           ROUND(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
+                 / 1000000.0, 3) AS p90_gap_s
+    FROM ranked
+    GROUP BY event_type
+    """,
+    doc="Inter-arrival time profile: per event type, the distribution of "
+    "per-user gaps between consecutive events (count, mean, exact p50 / "
+    "p90) — the queueing/telemetry primitive behind rate limiting, bot "
+    "detection (sub-second median gaps), and session-timeout tuning. "
+    "Gaps are exact integer microseconds (unix_micros both sides — no "
+    "float epoch), quantiles are exact rank selections over integer "
+    "units (never an engine percentile builtin — interpolation rules "
+    "differ), with the lower-median / ceil(0.9n) conventions restated "
+    "identically in the oracle. Two keyed shuffles: the per-(user,type) "
+    "lag window, then the per-type rank window over the gap rows.",
+    tags=("stats", "timeseries", "profile"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(wl)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wt = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wt.orderBy("gap_us")).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+        F.sum("gap_us").over(wt).alias("s"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.round(
+            F.max("s") * 1.0 / F.max("n") / 1000000, 3
+        ).alias("mean_gap_s"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.floor((F.col("n") + 1) / 2).cast("long"),
+                    F.col("gap_us"),
+                )
+            )
+            / 1000000.0,
+            3,
+        ).alias("p50_gap_s"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.floor((9 * F.col("n") + 9) / 10).cast("long"),
+                    F.col("gap_us"),
+                )
+            )
+            / 1000000.0,
+            3,
+        ).alias("p90_gap_s"),
+    )
+
+
+@register(
+    "users_rank_shift",
+    sql="""
+    WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    tagged AS (
+        SELECT e.user_id, e.value,
+               CASE WHEN epoch_us(e.ts) - b.lo < (b.hi - b.lo) // 2
+                    THEN 0 ELSE 1 END AS half
+        FROM events e, bounds b
+        WHERE e.event_type = 'purchase'
+    ),
+    per AS (
+        SELECT user_id, half,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev_units
+        FROM tagged GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT user_id, half, rev_units,
+               row_number() OVER (PARTITION BY half
+                                  ORDER BY rev_units DESC, user_id) AS rnk
+        FROM per
+    )
+    SELECT a.user_id,
+           a.rnk AS rank_first_half,
+           b.rnk AS rank_second_half,
+           CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain
+    FROM ranked a JOIN ranked b
+      ON a.user_id = b.user_id AND a.half = 0 AND b.half = 1
+    ORDER BY rank_gain DESC, a.user_id
+    LIMIT 15
+    """,
+    doc="Leaderboard rank-shift ('top movers'): users whose purchase-"
+    "revenue rank improved most from the first to the second half of the "
+    "observed period (midpoint split on exact integer microseconds via a "
+    "broadcast 1-row bounds aggregate — no driver-side collect). Revenue "
+    "compares as exact centi-units; ranks are total-ordered "
+    "(units desc, user_id) so the rank join and the final top-15 are "
+    "deterministic under ties. Shape: one scan, one (user, half) "
+    "aggregate shuffle, two half-sized rank windows, self-join on the "
+    "post-agg frame.",
+    tags=("stats", "behavior", "window"),
+)
+def users_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("hi"),
+    )
+    tagged = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(
+                F.unix_micros(F.col("ts").cast("timestamp")) - F.col("lo")
+                < F.expr("(hi - lo) div 2"),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("half"),
+            decimal_units(F.col("value"), 100).alias("units"),
+        )
+    )
+    per = tagged.groupBy("user_id", "half").agg(
+        F.sum("units").alias("rev_units")
+    )
+    w = Window.partitionBy("half").orderBy(
+        F.desc("rev_units"), F.asc("user_id")
+    )
+    ranked = per.select(
+        "user_id", "half", F.row_number().over(w).alias("rnk")
+    )
+    a = ranked.filter(F.col("half") == 0).select(
+        "user_id", F.col("rnk").alias("rank_first_half")
+    )
+    b = ranked.filter(F.col("half") == 1).select(
+        F.col("user_id").alias("uid2"), F.col("rnk").alias("rank_second_half")
+    )
+    return (
+        a.join(b, a["user_id"] == b["uid2"])
+        .select(
+            "user_id",
+            "rank_first_half",
+            "rank_second_half",
+            (F.col("rank_first_half") - F.col("rank_second_half"))
+            .cast("bigint")
+            .alias("rank_gain"),
+        )
+        .orderBy(F.desc("rank_gain"), "user_id")
+        .limit(15)
+    )
