@@ -550,3 +550,121 @@ def users_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_gain"), "user_id")
         .limit(15)
     )
+
+
+@register(
+    "events_time_to_convert",
+    sql="""
+    WITH u AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    ann AS (
+        SELECT user_id, event_type, us,
+               min(CASE WHEN event_type = 'click' THEN us END)
+                   OVER (PARTITION BY user_id) AS fc
+        FROM u
+    ),
+    conv AS (
+        SELECT user_id, min(us) AS cv, min(fc) AS fc
+        FROM ann
+        WHERE event_type = 'purchase' AND us > fc
+        GROUP BY user_id
+    ),
+    clk AS (
+        SELECT count(DISTINCT user_id) AS n_clickers
+        FROM u WHERE event_type = 'click'
+    ),
+    d AS (
+        SELECT cv - fc AS d_us,
+               row_number() OVER (ORDER BY cv - fc) AS rn,
+               count(*) OVER () AS n,
+               sum(cv - fc) OVER () AS s
+        FROM conv
+    )
+    SELECT CAST(max(d.n) AS BIGINT) AS n_converted,
+           ROUND(max(d.n) * 1.0 / max(clk.n_clickers), 6)
+               AS conversion_rate,
+           ROUND(max(d.s) * 1.0 / max(d.n) / 1000000, 3) AS mean_s,
+           ROUND(max(CASE WHEN d.rn = (d.n + 1) // 2 THEN d.d_us END)
+                 / 1000000.0, 3) AS p50_s,
+           ROUND(max(CASE WHEN d.rn = (9 * d.n + 9) // 10 THEN d.d_us END)
+                 / 1000000.0, 3) AS p90_s
+    FROM d CROSS JOIN clk
+    """,
+    doc="Click→purchase conversion-latency profile: for each user, the "
+    "delay from their FIRST click to the first purchase strictly after "
+    "it; reported as one row of (converted count, conversion rate over "
+    "all clickers, mean, exact p50/p90 seconds) — the funnel-latency "
+    "companion to `events_funnel_conversion` (which counts stages but "
+    "not dwell time). Single user-keyed shuffle: the first-click window "
+    "and the per-user min-purchase groupBy share the same hash "
+    "partitioning (no second exchange); the quantile rank runs on the "
+    "~|converted-users| aggregate. Delays are exact integer "
+    "microseconds; quantiles are rank selections (lower median / "
+    "ceil(0.9n)); the clicker denominator rides a broadcast 1-row "
+    "aggregate, not a driver collect.",
+    tags=("stats", "behavior", "funnel", "window"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.select("user_id", "event_type", us.alias("us"))
+    wu = Window.partitionBy("user_id")
+    ann = u.withColumn(
+        "fc",
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).over(wu),
+    )
+    conv = (
+        ann.filter(
+            (F.col("event_type") == "purchase") & (F.col("us") > F.col("fc"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("cv"), F.min("fc").alias("fc"))
+    )
+    clk = (
+        u.filter(F.col("event_type") == "click")
+        .agg(F.countDistinct("user_id").alias("n_clickers"))
+    )
+    wg = Window.partitionBy()
+    d = conv.select(
+        (F.col("cv") - F.col("fc")).alias("d_us")
+    ).select(
+        "d_us",
+        F.row_number().over(Window.orderBy("d_us")).alias("rn"),
+        F.count("*").over(wg).alias("n"),
+        F.sum("d_us").over(wg).alias("s"),
+    )
+    return (
+        d.crossJoin(F.broadcast(clk))
+        .agg(
+            F.max("n").cast("bigint").alias("n_converted"),
+            F.round(
+                F.max("n") * 1.0 / F.max("n_clickers"), 6
+            ).alias("conversion_rate"),
+            F.round(
+                F.max("s") * 1.0 / F.max("n") / 1000000, 3
+            ).alias("mean_s"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rn")
+                        == F.floor((F.col("n") + 1) / 2).cast("long"),
+                        F.col("d_us"),
+                    )
+                )
+                / 1000000.0,
+                3,
+            ).alias("p50_s"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rn")
+                        == F.floor((9 * F.col("n") + 9) / 10).cast("long"),
+                        F.col("d_us"),
+                    )
+                )
+                / 1000000.0,
+                3,
+            ).alias("p90_s"),
+        )
+    )
