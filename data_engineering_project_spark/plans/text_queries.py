@@ -694,3 +694,61 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll_nats"),
         )
     )
+
+
+#: power-of-two context buckets for inference batching (CASE ladder, not
+#: log2: Spark's LOG2 lowers to ln(x)/ln(2), which lands on 2.999... for
+#: exact powers — a CEIL on that misbuckets every boundary doc).
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+@register(
+    "docs_length_buckets",
+    sql=f"""
+    WITH t AS (
+        SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents
+    ),
+    b AS (
+        SELECT n,
+               CASE {" ".join(f"WHEN n <= {b} THEN {b}" for b in LENGTH_BUCKETS)}
+                    ELSE 8192 END AS bucket
+        FROM t
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(floor((bucket * count(*) - sum(n)) * 1000000.0
+                      / (bucket * count(*)) + 0.5) AS BIGINT)
+               AS padding_waste_ppm
+    FROM b GROUP BY bucket
+    """,
+    doc="Context-length bucketing for batch inference/training: documents "
+    "grouped into power-of-two token-length buckets (the batching scheme "
+    "that bounds padding waste when sequences are padded to a per-batch "
+    "cap), with per-bucket counts and the padding-waste fraction in ppm. "
+    "The bucket boundary is a CASE ladder over pinned constants, NOT "
+    "ceil(log2(n)) — Spark lowers LOG2 to ln-ratio doubles where exact "
+    "powers of two come out as 2.999…, so the log formulation misbuckets "
+    "every boundary document (and differently per engine). One shuffle "
+    "of ≤|buckets| cells; waste derives from exact integer token sums.",
+    tags=("text", "serving", "tokens"),
+)
+def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = T.token_count(F.col("text"))
+    bucket = F.lit(8192)
+    for b in reversed(LENGTH_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    g = d.select(bucket.cast("bigint").alias("bucket"), n.alias("n"))
+    return g.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.floor(
+            (F.col("bucket") * F.count("*") - F.sum("n"))
+            * 1000000.0
+            / (F.col("bucket") * F.count("*"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("padding_waste_ppm"),
+    )
