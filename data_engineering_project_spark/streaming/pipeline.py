@@ -1193,3 +1193,74 @@ def read_mg_topk(
         )
         .orderBy(F.desc("est_lower"), F.asc(key_col))
     )
+
+
+def pit_enrichment_stream(
+    events: DataFrame,
+    *,
+    user_col: str = "interaction_id",
+    time_col: str = "batch_ts",
+    value_col: str = "page_url",
+    fact_pred_col: str = "is_fact",
+):
+    """Streaming point-in-time enrichment — the streaming twin of the batch
+    ``events_pit_enrichment`` (cdc_queries.py): per-key state is the last
+    known dimension value; fact rows are emitted annotated with the value
+    effective AT their arrival position.
+
+    Input rows carry ``fact_pred_col`` (boolean): false = a dimension
+    change (updates state, emits nothing), true = a fact (emits
+    ``(key, time, state_value)``). Within a batch, rows apply in global
+    ``time_col`` order after a single chunk concat (the ADVICE-r3 funnel
+    lesson — per-chunk ordering wrongly interleaves facts and changes for
+    users spanning chunks), so a change and a later fact in the SAME
+    micro-batch enrich correctly — the dominant case the naive
+    join-against-yesterday's-snapshot design gets wrong. Facts before any
+    change emit NULL (no leakage of future values). Cross-batch
+    stragglers share the documented streaming approximation (bound with a
+    watermark upstream).
+
+    State is one value per key — O(|active keys|), the minimal footprint
+    for any PIT server; contrast the batch twin, which resolves the same
+    lookups with a single LOCF window and zero state.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, {time_col} timestamp, state_value string"
+    )
+    state_schema = "last_value string"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(time_col)
+        last = state.get[0] if state.exists else None
+        out_keys, out_ts, out_vals = [], [], []
+        for _, row in batch.iterrows():
+            if bool(row[fact_pred_col]):
+                out_keys.append(row[user_col])
+                out_ts.append(row[time_col])
+                out_vals.append(last)
+            else:
+                last = None if pd.isna(row[value_col]) else str(row[value_col])
+        state.update((last,))
+        if out_keys:
+            yield pd.DataFrame(
+                {
+                    user_col: out_keys,
+                    time_col: out_ts,
+                    "state_value": out_vals,
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -979,3 +979,70 @@ def test_streaming_mg_compaction_keeps_bounds(spark, dirs):
     true = {1: 8, 2: 5, 3: 2}
     for r in read_mg_topk(spark, dirs["target"], k=2).collect():
         assert r["est_lower"] <= true[r["user_id"]] <= r["est_upper"]
+
+
+def test_streaming_pit_enrichment_orders_and_recovers(spark, dirs):
+    """Streaming PIT lookup: (1) a change and a later fact in the SAME
+    micro-batch enrich correctly even when the fact's file lists first
+    (global time_col ordering, not file or chunk order); (2) the last
+    known value survives the checkpoint across availableNow runs; (3) a
+    fact with no prior change emits NULL, never a future value."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        pit_enrichment_stream,
+        read_event_stream,
+    )
+
+    def run_once():
+        events = read_event_stream(spark, dirs["in"], SCHEMA).withColumn(
+            "is_fact", F.col("event_type") == F.lit("clicks")
+        )
+        out = pit_enrichment_stream(events)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(dirs["target"])
+
+        q = (
+            out.writeStream.outputMode("update")
+            .option("checkpointLocation", dirs["ckpt"])
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: fact at 10:00 (no prior change -> NULL), change at 11:00,
+    # fact at 12:00 (file name sorts BEFORE the change file -> ordering
+    # must come from batch_ts, not listing order)
+    pq.write_table(
+        pa.table({"interaction_id": [7], "page_url": ["ignored/f0"]}),
+        f"{dirs['in']}/clicks_processed_dk_20220526100000000_1-1_1.parquet",
+    )
+    pq.write_table(
+        pa.table({"interaction_id": [7], "page_url": ["state/A"]}),
+        f"{dirs['in']}/impressions_processed_dk_20220526110000000_1-1_1.parquet",
+    )
+    pq.write_table(
+        pa.table({"interaction_id": [7], "page_url": ["ignored/f1"]}),
+        f"{dirs['in']}/clicks_processed_dk_20220526120000000_1-1_1.parquet",
+    )
+    run_once()
+    got = {
+        r["batch_ts"].strftime("%H"): r["state_value"]
+        for r in spark.read.parquet(dirs["target"]).collect()
+    }
+    assert got == {"10": None, "12": "state/A"}
+
+    # batch 2 (separate run): a fact with no new change must see the
+    # checkpointed "state/A"
+    pq.write_table(
+        pa.table({"interaction_id": [7], "page_url": ["ignored/f2"]}),
+        f"{dirs['in']}/clicks_processed_dk_20220526130000000_1-1_1.parquet",
+    )
+    run_once()
+    got2 = {
+        r["batch_ts"].strftime("%H"): r["state_value"]
+        for r in spark.read.parquet(dirs["target"]).collect()
+    }
+    assert got2["13"] == "state/A"
