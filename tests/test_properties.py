@@ -193,3 +193,85 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
         for r in expected_df.itertuples()
     }
     assert got == expected
+
+
+# --- round-4b: skyline and BFS vs brute-force references -------------------
+
+POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),   # size
+        st.integers(min_value=1, max_value=8),   # price units (small domain
+    ),                                           # forces ties + duplicates)
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(points=POINTS)
+@settings(**_SETTINGS)
+def test_skyline_matches_bruteforce(spark, points):
+    import data_engineering_project_spark.plans.relational_queries as R
+
+    df = spark.createDataFrame(
+        [
+            (i, f"p{i}", sz, float(pr))
+            for i, (sz, pr) in enumerate(points)
+        ],
+        "p_partkey long, p_name string, p_size int, p_retailprice double",
+    )
+    orig = R.load_table
+    try:
+        R.load_table = lambda spark, sf, name: df
+        got = sorted(
+            r["p_partkey"]
+            for r in R.parts_pareto_frontier(spark, "unused").collect()
+        )
+    finally:
+        R.load_table = orig
+
+    def dominated(i):
+        szi, pri = points[i]
+        return any(
+            prj <= pri and szj >= szi and (prj < pri or szj > szi)
+            for j, (szj, prj) in enumerate(points)
+            if j != i
+        )
+
+    want = sorted(i for i in range(len(points)) if not dominated(i))
+    assert got == want
+
+
+EDGE_LISTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(edges=EDGE_LISTS, rounds=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_bfs_matches_bruteforce(spark, edges, rounds):
+    from data_engineering_project_spark.operators.graph import bfs_hops
+
+    eset = sorted(set(edges))
+    edf = spark.createDataFrame(eset, "src long, dst long")
+    src_node = eset[0][0]
+    sdf = spark.createDataFrame([(src_node,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edf, sdf, rounds=rounds).collect()
+    }
+
+    want = {src_node: 0}
+    frontier = {src_node}
+    for k in range(1, rounds + 1):
+        nxt = {d for (s, d) in eset if s in want and want[s] == k - 1}
+        new = {d for d in nxt if d not in want}
+        for d in new:
+            want[d] = k
+        if not new:
+            break
+    assert got == want
