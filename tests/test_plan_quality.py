@@ -507,3 +507,40 @@ def test_pit_enrichment_is_single_shuffle_no_join(plans):
     plan = plans("events_pit_enrichment")
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_interarrival_single_scan_two_keyed_windows(plans):
+    plan = plans("events_interarrival_stats")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_time_to_convert_shares_user_partitioning(plans):
+    # first-click window + per-user min groupBy reuse one hash exchange on
+    # user_id; only the tiny converted-users frame sorts globally
+    plan = plans("events_time_to_convert")
+    assert plan.count("FileScan") <= 2  # events + broadcast clicker count
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rank_shift_aggregates_before_rank_windows(plans):
+    # rank windows must run on the (user, half) aggregate, and the bounds
+    # frame arrives broadcast — no driver collect, no raw-data sort
+    plan = plans("users_rank_shift")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_length_buckets_is_one_combined_shuffle(plans):
+    plan = plans("docs_length_buckets")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_deciles_preaggregate_orders_before_join(plans):
+    # the revenue side must reduce orders per customer BEFORE joining the
+    # binned customers (HashAggregate below the join on the orders branch)
+    plan = plans("customers_balance_deciles")
+    join_at = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("Join")
+    below = plan[join_at:]
+    assert "HashAggregate" in below
