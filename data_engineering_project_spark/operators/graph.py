@@ -186,3 +186,65 @@ def bfs_hops(
         dist = dist.localCheckpoint(eager=(i == rounds - 1))
     edges_p.unpersist()
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection), made
+    deterministic: every node starts labeled with its own id; each round
+    every node adopts the label that is most frequent among its in-
+    neighbors, ties broken by the SMALLEST label; nodes with no
+    in-edges keep their current label. All state is integer labels and
+    integer counts with a total (count desc, label asc) order, so the
+    unrolled computation is bit-reproducible and oracle-checkable —
+    the async/random-order variants in common use are not.
+
+    Scale shape: same scaffold as ``pagerank_quantized`` — the edge list
+    is hash-partitioned on ``src`` and persisted once; each round joins
+    the |nodes|-sized label table to it, counts (dst, label) pairs, and
+    picks the per-dst winner with a keyed window (partitioned by dst —
+    parallel, no global sort). Lineage truncated per round.
+    """
+    if not {"src", "dst"} <= set(edges.columns):
+        raise ValueError("edges must have 'src' and 'dst' columns")
+    from pyspark.sql import Window
+
+    edges_p = edges.repartition("src").sortWithinPartitions("src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nodes = (
+        edges_p.select(F.col("src").alias("node"))
+        .union(edges_p.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for i in range(rounds):
+        neigh = (
+            edges_p.join(labels, edges_p["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winner = (
+            neigh.select(
+                "node", "label", F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias(
+                    "label"
+                ),
+            )
+        )
+        labels = labels.localCheckpoint(eager=(i == rounds - 1))
+    edges_p.unpersist()
+    nodes.unpersist()
+    return labels

@@ -193,3 +193,110 @@ def graph_bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("entity_id"),
         "hops",
     )
+
+
+def _lpa_round(prev: str, cur: str) -> str:
+    """One unrolled synchronous LPA round with the deterministic
+    (count desc, label asc) winner rule."""
+    return f"""
+    {cur} AS (
+        SELECT l.node,
+               coalesce(w.new_label, l.label) AS label
+        FROM {prev} l
+        LEFT JOIN (
+            SELECT node, label AS new_label FROM (
+                SELECT e.dst AS node, p.label,
+                       row_number() OVER (
+                           PARTITION BY e.dst
+                           ORDER BY count(*) DESC, p.label ASC
+                       ) AS rn
+                FROM edges e JOIN {prev} p ON e.src = p.node
+                GROUP BY e.dst, p.label
+            ) WHERE rn = 1
+        ) w ON w.node = l.node
+    )"""
+
+
+_LPA_ROUNDS = 3
+
+_LPA_SQL = f"""
+    WITH base AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ),
+    l0 AS (
+        SELECT node, node AS label FROM (
+            SELECT DISTINCT src AS node FROM edges
+            UNION
+            SELECT DISTINCT dst FROM edges
+        )
+    ),
+    {",".join(_lpa_round(f"l{i}", f"l{i + 1}") for i in range(_LPA_ROUNDS))},
+    sizes AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS community_size
+        FROM l{_LPA_ROUNDS} GROUP BY label
+    )
+    SELECT CASE WHEN l.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           l.node // 2 AS entity_id,
+           l.label AS community,
+           s.community_size
+    FROM l{_LPA_ROUNDS} l JOIN sizes s ON s.label = l.label
+"""
+
+
+@register(
+    "graph_lpa_communities",
+    sql=_LPA_SQL,
+    doc="Community detection by synchronous label propagation over the "
+    "undirected customer ⇄ supplier trade graph (3 rounds): every node "
+    "adopts its in-neighbors' most frequent label, ties to the SMALLEST "
+    "label, isolated-in-degree nodes keep theirs — the determinism "
+    "restatement that makes an oracle possible at all (textbook "
+    "async/random-order LPA is run-dependent). Labels are integer node "
+    "ids and the winner rule is a total order, so the DuckDB oracle "
+    "unrolls the rounds and hash-matches exactly (the "
+    "PageRank/BFS precedent). Each round: one join against the "
+    "once-partitioned cached edges, a (dst,label) count whose shuffle "
+    "is bounded by |edges|, and a keyed window — no global sort. "
+    "Community sizes join back from the final round's label table. "
+    "operators/graph.py:label_propagation.",
+    tags=("graph", "iterative", "community"),
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_id"),
+        F.col("label").alias("community"),
+        "community_size",
+    )

@@ -80,3 +80,43 @@ def test_mg_summaries_bounds_hold_under_tiny_capacity(spark):
     for k, t in true.items():
         lo = est.get(k, 0)
         assert lo <= t <= lo + dec
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    from data_engineering_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # node 3 hears labels {1, 2} once each -> tie -> smallest (1) wins;
+    # node 9 has no in-edges -> keeps its own label
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (9, 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=1).collect()
+    }
+    assert got[3] == 1
+    assert got[9] == 9
+    assert got[1] == 9  # single in-neighbor 9's label
+
+
+def test_lpa_converges_on_two_cliques(spark):
+    from data_engineering_project_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a != b]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3]) + clique([10, 11, 12]) , "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    # each clique collapses to one community; the two stay distinct
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+    assert got[1] != got[10]
