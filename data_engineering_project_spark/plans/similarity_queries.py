@@ -443,3 +443,60 @@ def emb_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "emb_norm_outliers",
+    sql="""
+    WITH norms AS (
+        SELECT vec_id, label,
+               list_sum(list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)
+                        * CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                               AS BIGINT)))
+                   AS norm_u2
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(sqrt(CAST(norm_u2 AS DOUBLE)) / 1000000.0, 6) AS l2_norm
+    FROM norms
+    ORDER BY norm_u2 DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Embedding-norm outlier screen: the 10 largest L2 norms — the "
+    "vector-sanity probe that catches unnormalized/corrupted embeddings "
+    "before they poison cosine search (a giant-norm vector dominates "
+    "dot products). Components quantize to integer micro-units before "
+    "the squared sum, so the norm ranking is exact and order-"
+    "independent — float array folds associate differently between "
+    "Spark's aggregate() and DuckDB's list_sum, and float×int "
+    "promotion differs too, so components widen to double (exact) "
+    "BEFORE scaling; sqrt/ROUND apply only to the final display "
+    "value. Map-only scan + TakeOrdered — no shuffle of vector "
+    "payloads.",
+    tags=("similarity", "quality", "profile"),
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    norm_u2 = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda v: F.floor(
+                v.cast("double") * 1000000 + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, u: acc + u * u,
+    )
+    return (
+        e.select("vec_id", "label", norm_u2.alias("norm_u2"))
+        .orderBy(F.desc("norm_u2"), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.sqrt(F.col("norm_u2").cast("double")) / 1000000.0, 6)
+            .alias("l2_norm"),
+        )
+    )

@@ -757,3 +757,50 @@ def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("padding_waste_ppm"),
     )
+
+
+@register(
+    "docs_dup_rate_by_source",
+    sql="""
+    WITH fp AS (
+        SELECT source, md5(lower(trim(text))) AS f FROM documents
+    ),
+    counts AS (
+        SELECT f, count(*) AS n FROM fp GROUP BY f
+    )
+    SELECT fp.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_duplicated,
+           CAST(floor(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) * 1000000.0
+                      / count(*) + 0.5) AS BIGINT) AS dup_rate_ppm
+    FROM fp JOIN counts c ON c.f = fp.f
+    GROUP BY fp.source
+    """,
+    doc="Duplication-rate scorecard per source — the pipeline health "
+    "metric that decides which feeds need dedup attention: fraction of "
+    "each source's documents whose normalized fingerprint appears more "
+    "than once ANYWHERE in the corpus (cross-source duplication counts "
+    "against both sources — that is the point). Two shuffles on the "
+    "32-byte digest (global count, then the source rollup after an "
+    "equi-join back); rates in exact ppm via the portable floor round.",
+    tags=("dedup", "profile", "quality"),
+)
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("source", T.fingerprint(F.col("text")).alias("f"))
+    counts = fp.groupBy("f").agg(F.count("*").alias("n"))
+    dup = (F.col("n") > 1).cast("int")
+    return (
+        fp.join(counts, "f")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_duplicated"),
+            F.floor(
+                F.sum(dup) * 1000000.0 / F.count("*") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dup_rate_ppm"),
+        )
+    )
