@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def quantize_vec(vec: Column, scale: int) -> Column:
@@ -105,3 +106,103 @@ def kmeans_assignments(
         }
 
     return _assign(pts, centroids).select("vec_id", "cluster")
+
+
+def power_iteration_top_component(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """Top principal direction of X·Xᵀ by power iteration, quantized so the
+    unrolled computation is bit-reproducible and oracle-checkable — the
+    PageRank integer-arithmetic discipline applied to linear algebra.
+
+    Per round (v held in 2^20 "unit" scale, components in 1e5 units):
+      s_r  = floor( Σ_j U_rj·V_j / 2^20 )          row projections
+      w_j  = Σ_r s_r·U_rj                           back-projection
+      w2_j = (w_j + 2^62) div 2^32 − 2^30           exact scale-down*
+      v'_j = floor( w2_j·2^20 / ‖w2‖ + 0.5 )        renormalize
+
+    (*) the +2^62 offset makes the dividend positive so truncating
+    division IS floor division in every engine — signed integer division
+    truncates toward zero in Spark but not necessarily elsewhere. All
+    double intermediates stay below 2^53 (exact); divisions by powers of
+    two are exact in doubles; sqrt/floor on identical doubles are
+    bit-identical across engines.
+
+    Scale shape: the quantized (row, dim, unit) triples are computed once
+    and persisted (the loop invariant); each round is a broadcast join
+    against the 64-row direction vector, one row-keyed and one dim-keyed
+    aggregation (both map-side combined), and a tiny renormalization.
+    Magnitude budget documented inline holds to ~10⁷ rows at 64 dims;
+    beyond that raise the w scale-down.
+
+    Returns ``(dim, v_unit)`` — the direction in 2^20-unit scale,
+    one row per dimension (1-based).
+    """
+    M = 1 << 20
+    OFF = 1 << 62
+    DIV = 1 << 32
+
+    flat = emb.select(
+        F.col(id_col).alias("rid"),
+        F.posexplode(
+            F.transform(
+                vec_col,
+                lambda x: F.floor(
+                    x.cast("double") * 100000 + F.lit(0.5)
+                ).cast("long"),
+            )
+        ).alias("pos0", "uv"),
+    ).select("rid", (F.col("pos0") + 1).alias("pos"), "uv")
+    flat = flat.persist(StorageLevel.MEMORY_AND_DISK)
+
+    v = (
+        flat.select("pos")
+        .distinct()
+        .select("pos", F.lit(M).cast("long").alias("vv"))
+    )
+    for i in range(rounds):
+        s = (
+            flat.join(F.broadcast(v), "pos")
+            .groupBy("rid")
+            .agg(
+                F.floor(
+                    F.sum(F.col("uv") * F.col("vv")) / float(M)
+                )
+                .cast("long")
+                .alias("s2")
+            )
+        )
+        w = (
+            flat.join(s, "rid")
+            .groupBy("pos")
+            .agg(F.sum(F.col("s2") * F.col("uv")).alias("w"))
+        )
+        w2 = w.select(
+            "pos",
+            (
+                F.expr(f"(w + {OFF}L) div {DIV}L") - F.lit(OFF // DIV)
+            ).alias("w2"),
+        )
+        nrm = w2.agg(
+            F.sqrt(
+                F.sum(F.col("w2") * F.col("w2")).cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            w2.crossJoin(F.broadcast(nrm))
+            .select(
+                "pos",
+                F.floor(
+                    (F.col("w2") * M) / F.col("nrm") + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("vv"),
+            )
+        )
+        v = v.localCheckpoint(eager=(i == rounds - 1))
+    flat.unpersist()
+    return v.select(F.col("pos").alias("dim"), F.col("vv").alias("v_unit"))

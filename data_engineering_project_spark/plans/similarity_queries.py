@@ -500,3 +500,84 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l2_norm"),
         )
     )
+
+
+def _pi_round(prev: str, k: int) -> str:
+    """One unrolled power-iteration round (see
+    operators/clustering.py:power_iteration_top_component for the
+    scale/offset discipline)."""
+    return f"""
+    s{k} AS (
+        SELECT f.vec_id,
+               CAST(floor(sum(f.uv * v.vv) / 1048576.0) AS BIGINT) AS s2
+        FROM flat f JOIN {prev} v ON v.pos = f.pos
+        GROUP BY f.vec_id
+    ),
+    w{k} AS (
+        SELECT f.pos, sum(s.s2 * f.uv) AS w
+        FROM flat f JOIN s{k} s ON s.vec_id = f.vec_id
+        GROUP BY f.pos
+    ),
+    w2_{k} AS (
+        SELECT pos,
+               (w + 4611686018427387904) // 4294967296 - 1073741824 AS w2
+        FROM w{k}
+    ),
+    n{k} AS (
+        SELECT sqrt(CAST(sum(w2 * w2) AS DOUBLE)) AS nrm FROM w2_{k}
+    ),
+    v{k} AS (
+        SELECT pos,
+               CAST(floor(w2 * 1048576 / n.nrm + 0.5) AS BIGINT) AS vv
+        FROM w2_{k}, n{k} n
+    )"""
+
+
+_PI_ROUNDS = 3
+
+_PI_SQL = f"""
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 100000 + 0.5)
+                             AS BIGINT)) AS u
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, CAST(g.i AS INTEGER) AS pos,
+               u[CAST(g.i AS INTEGER)] AS uv
+        FROM u, LATERAL unnest(generate_series(1, len(u))) AS g(i)
+    ),
+    v0 AS (
+        SELECT DISTINCT pos, CAST(1048576 AS BIGINT) AS vv FROM flat
+    ),
+    {",".join(_pi_round(f"v{i}", i + 1) for i in range(_PI_ROUNDS))}
+    SELECT pos AS dim, vv AS v_unit FROM v{_PI_ROUNDS}
+"""
+
+
+@register(
+    "emb_pca_top_component",
+    sql=_PI_SQL,
+    doc="Distributed PCA: the corpus's top principal direction by 3 "
+    "rounds of power iteration on X·Xᵀ — the dimensionality/whitening "
+    "primitive behind embedding compression and drift monitoring. The "
+    "iteration is integer-quantized (components in 1e-5 units, the "
+    "direction in 2^20 units) with power-of-two scale-downs and a "
+    "+2^62 offset that makes truncating division floor division in "
+    "every engine, so the unrolled DuckDB oracle hash-matches the "
+    "3-round computation exactly — the PageRank discipline applied to "
+    "linear algebra (operators/clustering.py:"
+    "power_iteration_top_component, magnitude budget documented "
+    "there). Per round: one broadcast join against the 64-row "
+    "direction, two map-side-combined aggregations; the quantized "
+    "triples persist once as the loop invariant.",
+    tags=("similarity", "iterative", "pca"),
+)
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.clustering import (
+        power_iteration_top_component,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_component(e, rounds=_PI_ROUNDS)

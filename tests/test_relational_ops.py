@@ -120,3 +120,28 @@ def test_lpa_converges_on_two_cliques(spark):
     assert len({got[1], got[2], got[3]}) == 1
     assert len({got[10], got[11], got[12]}) == 1
     assert got[1] != got[10]
+
+
+def test_pca_power_iteration_finds_dominant_direction(spark):
+    from data_engineering_project_spark.operators.clustering import (
+        power_iteration_top_component,
+    )
+
+    # 40 vectors clustered along e1 with small e2 jitter -> the top
+    # component must be overwhelmingly dim 1
+    rows = []
+    for i in range(40):
+        v = [0.0] * 8
+        v[0] = 1.0 if i % 2 == 0 else -1.0
+        v[1] = 0.05 * ((i % 5) - 2)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["dim"]: r["v_unit"]
+        for r in power_iteration_top_component(df, rounds=3).collect()
+    }
+    mag = {d: abs(u) for d, u in got.items()}
+    assert max(mag, key=mag.get) == 1
+    # dominant dim carries ~the whole unit norm (2^20)
+    assert mag[1] > 0.99 * (1 << 20)
+    assert all(mag[d] < 0.1 * (1 << 20) for d in mag if d != 1)
