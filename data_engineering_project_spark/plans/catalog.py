@@ -115,7 +115,9 @@ def _ensure_loaded() -> None:
         dedup_queries,
         extended_queries,
         graph_queries,
+        inference_queries,
         profile_queries,
+        pruning_queries,
         quality_queries,
         relational_queries,
         search_queries,

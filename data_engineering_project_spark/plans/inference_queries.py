@@ -1,0 +1,435 @@
+"""Statistical-inference / econometric profiling queries.
+
+Round-4 additions beyond the reference (SURVEY.md §2.11): group-wise OLS
+trend fitting, a chi-square independence test, market-concentration (HHI),
+Zipf's-law fit over the document corpus, and readability scoring. The
+reference's analytics ceiling is groupBy-count (src/Task1/
+data_processing.py:268-291); these are the shapes an analytics team layers
+on top of the same tables.
+
+All queries follow the repo determinism invariants (ROADMAP "Known-good
+invariants"):
+
+- float measures snap to exact integer units BEFORE any cross-row sum
+  (``decimal_units``) — Spark's partial-agg merge order is
+  nondeterministic, so raw double sums are not reproducible;
+- transcendental per-row terms (ln) floor-quantize to integer micro-nats
+  first, then sum integers (the PMI/entropy precedent);
+- integer products that could exceed 2**63 at high SF route through
+  DECIMAL(38,0) on the Spark side and HUGEINT on the DuckDB side — both
+  exact — and cast to double only inside the final closed-form expression,
+  so the doubles are bit-identical before the defensive ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.functions.scalars import decimal_units
+from data_engineering_project_spark.operators import text as T
+from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.sources.tables import load_table
+
+#: o_totalprice carries 3 decimal places in the synthetic data → exact
+#: integer milli-units (the ROADMAP decimal-width rule).
+MILLI = 1000
+
+#: DECIMAL(38,0) literal used for overflow-proof integer sufficient
+#: statistics (HUGEINT on the DuckDB side).
+DEC38 = "decimal(38,0)"
+
+
+@register(
+    "nation_monthly_ols_trend",
+    sql=f"""
+    WITH pts AS (
+        SELECT c.c_nationkey,
+               (EXTRACT(year FROM o.o_orderdate) - 1992) * 12
+                   + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
+               CAST(floor(o.o_totalprice * {MILLI} + 0.5) AS BIGINT) AS units
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    monthly AS (
+        SELECT c_nationkey, x, CAST(sum(units) AS HUGEINT) AS y
+        FROM pts GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT c_nationkey,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(y) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        FROM monthly GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           CAST(s.n AS BIGINT) AS n_months,
+           ROUND(CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+                 / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+                 / {MILLI}, 6) AS slope_per_month,
+           ROUND((CAST(s.sy AS DOUBLE)
+                  - CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+                    / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+                    * CAST(s.sx AS DOUBLE))
+                 / CAST(s.n AS DOUBLE) / {MILLI}, 6) AS intercept
+    FROM stats s JOIN nation n ON n.n_nationkey = s.c_nationkey
+    WHERE s.n >= 2 AND s.n * s.sxx > s.sx * s.sx
+    ORDER BY nation
+    """,
+    doc="Per-nation OLS trend of monthly order revenue against a month "
+    "index — group-wise linear regression from exact integer sufficient "
+    "statistics (n, Σx, Σy, Σxy, Σx² of milli-units), the same "
+    "moment-based device as `lineitem_corr_matrix`. Built-in "
+    "regr_slope/regr_intercept would NOT hash-match across engines "
+    "(float accumulation order), so the closed form runs on integers "
+    "until the final division. Plan shape: one shuffle join "
+    "(orders⋈customer on custkey), two-level agg collapsing to "
+    "~|nation×month| rows, then a broadcast nation-name join — the "
+    "regression itself costs nothing beyond the revenue rollup a "
+    "warehouse already runs.",
+    tags=("stats", "regression", "join"),
+)
+def nation_monthly_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pts = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("x"),
+        decimal_units(F.col("o_totalprice"), MILLI).alias("units"),
+    )
+    monthly = pts.groupBy("c_nationkey", "x").agg(
+        F.sum("units").cast(DEC38).alias("y")
+    )
+    xd = F.col("x").cast(DEC38)
+    stats = monthly.groupBy("c_nationkey").agg(
+        F.count("*").cast(DEC38).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return (
+        stats.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        )
+        .join(F.broadcast(n), stats.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").cast("bigint").alias("n_months"),
+            F.round(slope / MILLI, 6).alias("slope_per_month"),
+            F.round(intercept / MILLI, 6).alias("intercept"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "events_chi2_type_dow",
+    sql="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                     + 4) % 7 AS INTEGER) AS dow,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, dow, o,
+               sum(o) OVER (PARTITION BY event_type) AS rt,
+               sum(o) OVER (PARTITION BY dow) AS ct,
+               sum(o) OVER () AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT CAST(floor(
+                   (o - CAST(rt AS DOUBLE) * ct / n)
+                   * (o - CAST(rt AS DOUBLE) * ct / n)
+                   / (CAST(rt AS DOUBLE) * ct / n) * 1000000 + 0.5
+               ) AS BIGINT) AS t_micro,
+               event_type, dow
+        FROM m
+    )
+    SELECT CAST((SELECT count(DISTINCT event_type) FROM cells) AS BIGINT)
+               AS n_types,
+           CAST((SELECT count(DISTINCT dow) FROM cells) AS BIGINT) AS n_dows,
+           CAST(((SELECT count(DISTINCT event_type) FROM cells) - 1)
+                * ((SELECT count(DISTINCT dow) FROM cells) - 1) AS BIGINT)
+               AS dof,
+           ROUND(sum(t_micro) / 1000000.0, 4) AS chi2
+    FROM terms
+    """,
+    doc="Chi-square independence test between event_type and day-of-week — "
+    "the categorical-dependence complement to `events_type_dow_pmi` "
+    "(which scores individual cells; this scores the whole table). Each "
+    "cell's (O−E)²/E term is a deterministic double from exact integer "
+    "marginals (E = rt·ct/N), floor-quantized to integer micro-units "
+    "BEFORE the cross-cell sum (the entropy/PMI precedent). The entire "
+    "statistic computes on the tiny |types|×7 post-aggregation grid: one "
+    "raw-data shuffle, then window sums over ≤ ~50 rows.",
+    tags=("stats", "inference", "profile"),
+)
+def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        ((F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 4) % 7)
+        .cast("int")
+        .alias("dow"),
+    ).agg(F.count("*").alias("o"))
+    m = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    t_micro = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    return m.agg(
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        F.count_distinct("dow").cast("bigint").alias("n_dows"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.round(F.sum(t_micro) / 1000000.0, 4).alias("chi2"),
+    )
+
+
+@register(
+    "supplier_nation_hhi",
+    sql=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS HUGEINT) AS units
+        FROM lineitem GROUP BY 1
+    ),
+    by_nation AS (
+        SELECT s.s_nationkey,
+               count(*) AS n_suppliers,
+               sum(r.units) AS total,
+               sum(r.units * r.units) AS sumsq
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           CAST(b.n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(CAST(b.sumsq AS DOUBLE)
+                 / (CAST(b.total AS DOUBLE) * CAST(b.total AS DOUBLE)),
+                 6) AS hhi
+    FROM by_nation b JOIN nation n ON n.n_nationkey = b.s_nationkey
+    ORDER BY nation
+    """,
+    doc="Herfindahl–Hirschman market-concentration index of supplier "
+    "revenue within each nation: HHI = Σᵢ shareᵢ² = Σ unitsᵢ² / (Σ units)² "
+    "— the algebraic identity avoids materializing per-supplier shares "
+    "(no second pass, no window over the revenue totals). Revenue snaps "
+    "to integer cents; squares route through DECIMAL(38,0)/HUGEINT "
+    "(cents² overflows 2**63 near SF 100), divided as doubles only in "
+    "the final expression. Plan: lineitem aggregates by suppkey FIRST "
+    "(map-side combine shrinks the shuffle to |suppliers| rows), then a "
+    "broadcast-able supplier join and a ~25-row nation rollup.",
+    tags=("stats", "aggregate", "join"),
+)
+def supplier_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(decimal_units(F.col("l_extendedprice"), 100))
+        .cast(DEC38)
+        .alias("units")
+    )
+    by_nation = (
+        rev.join(s, rev.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("units").alias("total"),
+            F.sum(F.col("units") * F.col("units")).alias("sumsq"),
+        )
+    )
+    return (
+        by_nation.join(F.broadcast(n), by_nation.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round(
+                F.col("sumsq").cast("double")
+                / (F.col("total").cast("double") * F.col("total").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "docs_zipf_slope",
+    sql="""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS f FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT term, f,
+               row_number() OVER (ORDER BY f DESC, term) AS r
+        FROM tf
+    ),
+    pts AS (
+        SELECT CAST(floor(ln(r) * 1000000 + 0.5) AS BIGINT) AS lr,
+               CAST(floor(ln(f) * 1000000 + 0.5) AS BIGINT) AS lf
+        FROM ranked WHERE r <= 200
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(lr) AS HUGEINT) AS sx,
+               CAST(sum(lf) AS HUGEINT) AS sy,
+               sum(CAST(lr AS HUGEINT) * CAST(lf AS HUGEINT)) AS sxy,
+               sum(CAST(lr AS HUGEINT) * CAST(lr AS HUGEINT)) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM stats
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary: OLS slope of ln(freq) "
+    "on ln(rank) across the top-200 terms (natural text ≈ −1; synthetic "
+    "or templated corpora drift toward 0 — a cheap corpus-health probe "
+    "next to `docs_length_drift_psi`). Ranks are a deterministic "
+    "row_number over (freq DESC, term); each ln() floor-quantizes to "
+    "integer micro-nats per TERM before the 200-row sufficient-statistic "
+    "sums (HUGEINT/DECIMAL38 — micro-nat products sit near 2**63). The "
+    "one heavy operation is the term-frequency groupBy the TF-IDF query "
+    "already pays; the regression itself runs on 200 rows.",
+    tags=("text", "stats", "regression"),
+)
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = tf.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.desc("f"), F.asc("term"))),
+    ).filter(F.col("r") <= 200)
+    pts = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("lr"),
+        F.floor(F.log(F.col("f").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("lf"),
+    )
+    lr = F.col("lr").cast(DEC38)
+    lf = F.col("lf").cast(DEC38)
+    stats = pts.agg(
+        F.count("*").cast(DEC38).alias("n"),
+        F.sum(lr).alias("sx"),
+        F.sum(lf).alias("sy"),
+        F.sum(lr * lf).alias("sxy"),
+        F.sum(lr * lr).alias("sxx"),
+    )
+    return stats.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "docs_readability_scores",
+    sql="""
+    WITH c AS (
+        SELECT lang,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS w,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS sw,
+               CAST(sum(s) AS BIGINT) AS ss,
+               CAST(sum(y) AS BIGINT) AS sy
+        FROM c GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           ROUND(CAST(sw AS DOUBLE) / ss, 4) AS words_per_sentence,
+           ROUND(CAST(sy AS DOUBLE) / sw, 4) AS syllables_per_word,
+           ROUND(206.835 - 1.015 * (CAST(sw AS DOUBLE) / ss)
+                 - 84.6 * (CAST(sy AS DOUBLE) / sw), 4) AS flesch_score
+    FROM agg ORDER BY lang
+    """,
+    doc="Flesch reading-ease per language: words/sentence and "
+    "syllables/word from regex counts (sentences = runs of [.!?], "
+    "syllables ≈ vowel-group runs — the standard dictionary-free "
+    "heuristic), aggregated as exact integer sums so the corpus-level "
+    "ratios are bit-identical across engines. Extends the "
+    "`docs_quality_scores` family with the readability axis every "
+    "training-data quality pipeline filters on. All counts are one "
+    "projection — no explode, no shuffle beyond the ~|langs| rollup.",
+    tags=("text", "quality", "profile"),
+)
+def docs_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(
+        "lang",
+        F.size(T.tokens(F.col("text"))).alias("w"),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+        ).alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")).alias(
+            "y"
+        ),
+    )
+    agg = c.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    wps = F.col("sw").cast("double") / F.col("ss")
+    spw = F.col("sy").cast("double") / F.col("sw")
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(wps, 4).alias("words_per_sentence"),
+        F.round(spw, 4).alias("syllables_per_word"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_score"),
+    ).orderBy("lang")

@@ -440,3 +440,54 @@ def events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("rn") == 1, 1)).cast("bigint").alias("n_kept"),
         F.count(F.when(F.col("rn") > 1, 1)).cast("bigint").alias("n_removed"),
     )
+
+
+@register(
+    "events_sliding_2h_windows",
+    sql=f"""
+    WITH assigned AS (
+        SELECT u.off AS off,
+               date_trunc('hour', ts) - to_hours(u.off) AS window_start,
+               event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS units
+        FROM events, (SELECT unnest(generate_series(0, 1)) AS off) u
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(units) / 100.0, 2) AS total_value
+    FROM assigned GROUP BY window_start, event_type
+    """,
+    doc="Sliding event-time windows (size 2 h, slide 1 h) via "
+    "F.window(ts, '2 hours', '1 hour') — the overlapping-window analog of "
+    "`events_hourly_tumbling` (each event lands in exactly size/slide = 2 "
+    "windows; Spark expands the assignment map-side, no self-join). The "
+    "oracle restates the expansion explicitly: every event contributes to "
+    "the windows starting at floor_hour(ts) and floor_hour(ts)−1 h. Value "
+    "sums snap to integer cents before aggregation (determinism "
+    "invariant). Shuffle: one hash partitioning on (window, type) — "
+    "identical cost shape to the tumbling query, ×2 rows from the "
+    "overlap, which is the honest price of sliding windows at any scale.",
+    tags=("timeseries", "window", "streaming-analog"),
+)
+def events_sliding_2h_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(decimal_units(F.col("value"), 100)) / 100.0, 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
