@@ -336,10 +336,15 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("f"))
     )
-    ranked = tf.withColumn(
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition heads
+    # merged on the driver, no global sort of the vocabulary), THEN rank the
+    # 200 survivors in one tiny window; ranking the full vocab with a global
+    # row_number would single-partition-sort millions of terms at 100 TB
+    top = tf.orderBy(F.desc("f"), F.asc("term")).limit(200)
+    ranked = top.withColumn(
         "r",
         F.row_number().over(Window.orderBy(F.desc("f"), F.asc("term"))),
-    ).filter(F.col("r") <= 200)
+    )
     pts = ranked.select(
         F.floor(F.log(F.col("r").cast("double")) * 1000000 + F.lit(0.5))
         .cast("bigint")

@@ -206,10 +206,17 @@ def events_bloom_prune_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "curation", "pruning"),
 )
 def events_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
-    min_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
-    thresholds = counts.crossJoin(F.broadcast(min_cnt)).select(
+    # the min over |types| rows is a window on the tiny aggregate (no
+    # crossJoin, no second scan of the raw table); persist the thresholds
+    # frame because it feeds BOTH the broadcast keep-filter and the final
+    # report join — unpersisted, each use would re-run the counting scan
+    thresholds = counts.withColumn(
+        "min_cnt", F.min("cnt").over(Window.partitionBy())
+    ).select(
         "event_type",
         "cnt",
         # integral `div`, not `/` (which is double division in Spark):
@@ -219,6 +226,7 @@ def events_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(CAST({N_BUCKETS} AS BIGINT) * min_cnt) div cnt)"
         ).alias("thr"),
     )
+    thresholds = thresholds.persist()
     kept = (
         ev.join(F.broadcast(thresholds), "event_type")
         .filter(hash_bucket(F.col("event_id"), salt="balance-v1") < F.col("thr"))
@@ -232,7 +240,7 @@ def events_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_id_checksum"),
     )
     return (
-        thresholds.join(kept_agg, "event_type", "left")
+        thresholds.join(F.broadcast(kept_agg), "event_type", "left")
         .select(
             "event_type",
             F.col("cnt").cast("bigint").alias("n_total"),

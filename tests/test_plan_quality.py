@@ -544,3 +544,65 @@ def test_deciles_preaggregate_orders_before_join(plans):
     join_at = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("Join")
     below = plan[join_at:]
     assert "HashAggregate" in below
+
+
+def test_bloom_probe_join_is_broadcast(plans):
+    # the bloom set-bit table is O(m) rows regardless of member cardinality
+    # — it must reach the probe side as a broadcast, never a shuffle join
+    plan = plans("events_bloom_prune_witness")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_balanced_downsample_filters_without_row_shuffle(plans):
+    # per-type thresholds broadcast back onto the raw scan; the events rows
+    # themselves are never hash-exchanged before the keep-filter, and the
+    # raw table is scanned at most twice (count pass + filter pass — the
+    # cached thresholds frame stops per-use recomputation)
+    plan = plans("events_balanced_downsample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # thresholds are cached: every FileScan beyond the kept-filter pass sits
+    # inside the InMemoryRelation DEFINITION (displayed per use, executed
+    # once), so the raw table is physically read twice — count + filter
+    assert "InMemoryTableScan" in plan
+    assert plan.count("FileScan") <= 3
+
+
+def test_sliding_windows_expand_map_side(plans):
+    # F.window(size=2h, slide=1h) assigns each row to its 2 windows in the
+    # projection (Expand), so the only exchange is the (window,type) agg —
+    # no self-join, one scan
+    plan = plans("events_sliding_2h_windows")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ols_trend_joins_nation_broadcast(plans):
+    # the regression runs on the ~|nation x month| aggregate; the 25-row
+    # nation-name join must be broadcast
+    plan = plans("nation_monthly_ols_trend")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chi2_computes_on_cell_grid(plans):
+    # one raw-data scan; marginals and the statistic are window sums over
+    # the tiny |types| x 7 grid
+    plan = plans("events_chi2_type_dow")
+    assert plan.count("FileScan") == 1
+
+
+def test_hhi_aggregates_by_supplier_before_join(plans):
+    # lineitem collapses to |suppliers| rows (map-side combine) before any
+    # join; nation lookup is broadcast
+    plan = plans("supplier_nation_hhi")
+    assert "Exchange hashpartitioning(l_suppkey" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zipf_ranks_topk_not_full_vocabulary(plans):
+    # top-200 terms come from a distributed TakeOrdered, so the global
+    # row_number window only ever sees 200 rows — never the whole vocab
+    plan = plans("docs_zipf_slope")
+    assert "TakeOrderedAndProject" in plan
