@@ -248,3 +248,42 @@ def label_propagation(
     edges_p.unpersist()
     nodes.unpersist()
     return labels
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
+    """Bounded k-core peeling: repeatedly drop nodes of degree < ``k`` and
+    restrict the edge set to surviving endpoints, for ``rounds`` rounds.
+
+    Parameters
+    ----------
+    edges:
+        ``src: long`` / ``dst: long`` undirected edge list with BOTH
+        directions materialized and deduplicated, so ``groupBy(src)`` is
+        the degree.
+
+    Returns ``(src, deg)`` — the nodes still alive after the final round
+    with their residual degrees. Everything is integer counts and set
+    restriction — order-independent, so the bounded computation unrolls
+    into exact SQL (the BFS/LPA precedent). Convergence: a fixpoint is
+    reached when a round removes nothing; bounded rounds are the
+    deterministic contract (true core = run until no change, detectable
+    by comparing consecutive survivor counts).
+
+    Scale notes: unlike PageRank/BFS the edge set SHRINKS every round, so
+    there is no loop-invariant frame to pin — each round costs one degree
+    aggregation plus two semi-joins, all hash-partitioned on the node key,
+    over a monotonically smaller table. Lineage is truncated per round via
+    ``localCheckpoint`` (the iterative-plan-doubling fix shared by every
+    loop in this module).
+    """
+    if not {"src", "dst"} <= set(edges.columns):
+        raise ValueError("edges must have 'src' and 'dst' columns")
+    alive = edges
+    for i in range(rounds):
+        deg = alive.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        alive = alive.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+        alive = alive.localCheckpoint(eager=(i == rounds - 1))
+    return alive.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))

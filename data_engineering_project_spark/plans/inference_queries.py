@@ -438,3 +438,77 @@ def docs_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(spw, 4).alias("syllables_per_word"),
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_score"),
     ).orderBy("lang")
+
+
+@register(
+    "events_user_gini",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY 1
+    ),
+    grouped AS (
+        SELECT c, CAST(count(*) AS HUGEINT) AS m FROM per_user GROUP BY c
+    ),
+    cum AS (
+        SELECT c, m,
+               COALESCE(sum(m) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS b
+        FROM grouped
+    ),
+    s AS (
+        SELECT sum(m) AS n,
+               sum(CAST(c AS HUGEINT) * m) AS t,
+               sum(CAST(c AS HUGEINT) * (m * b * 2 + m * (m + 1))) AS s2
+        FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(t AS BIGINT) AS total_events,
+           ROUND(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM s
+    """,
+    doc="Gini coefficient of per-user event-count concentration — the "
+    "skew diagnostic that tells you whether a handful of hot keys carry "
+    "the table (feeds the salting decision that "
+    "`events_salted_type_stats` demonstrates). Computed from GROUPED "
+    "frequencies: ranking n users directly would global-sort |users| "
+    "rows, but the count-of-counts table is tiny (|distinct activity "
+    "levels|), and the tied-rank sum Σ c·(2mB + m(m+1)) over it is "
+    "algebraically identical to Σ rankᵢ·xᵢ over the sorted users (ranks "
+    "within a tie block sum in closed form). G = 2Σrx/(nT) − (n+1)/n. All "
+    "sufficient statistics are exact HUGEINT/DECIMAL38 integers; one "
+    "float division at the end. Two shuffles total (user count, "
+    "count-of-counts), both map-side-combined.",
+    tags=("stats", "profile", "skew"),
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    grouped = per_user.groupBy("c").agg(F.count("*").cast(DEC38).alias("m"))
+    w = (
+        Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grouped.select(
+        "c",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0).cast(DEC38)).alias("b"),
+    )
+    cd = F.col("c").cast(DEC38)
+    s = cum.agg(
+        F.sum("m").alias("n"),
+        F.sum(cd * F.col("m")).alias("t"),
+        F.sum(
+            cd * (F.col("m") * F.col("b") * 2 + F.col("m") * (F.col("m") + 1))
+        ).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    td = F.col("t").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("t").cast("bigint").alias("total_events"),
+        F.round(
+            F.col("s2").cast("double") / (nd * td) - (nd + 1) / nd, 6
+        ).alias("gini"),
+    )

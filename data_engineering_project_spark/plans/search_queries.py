@@ -394,3 +394,98 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_SAMPLE_K)
         .select("doc_id", "n_chars", F.round("k", 6).alias("es_key"))
     )
+
+
+#: RRF fusion: two single-term relevance rankings fused with the standard
+#: reciprocal-rank constant 60; per-term candidate pools capped at 100.
+_RRF_TERMS = ("scan", "merge")
+_RRF_K = 60
+_RRF_POOL = 100
+_RRF_TOP = 10
+
+
+def _rrf_rank_cte(term: str, name: str) -> str:
+    return f"""
+    {name} AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY tf DESC, doc_id) AS r
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x = '{term}')) AS tf
+            FROM documents
+            ORDER BY tf DESC, doc_id LIMIT {_RRF_POOL}
+        )
+    )"""
+
+
+@register(
+    "docs_rrf_fusion",
+    sql=(
+        "WITH "
+        + ",".join(
+            _rrf_rank_cte(t, f"rank{i}") for i, t in enumerate(_RRF_TERMS)
+        )
+        + f""",
+    fused AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               COALESCE(1000000 // ({_RRF_K} + a.r), 0)
+               + COALESCE(1000000 // ({_RRF_K} + b.r), 0) AS rrf_micro
+        FROM rank0 a FULL OUTER JOIN rank1 b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOP}
+    """
+    ),
+    doc="Reciprocal-rank fusion of two keyword relevance rankings "
+    f"(terms {_RRF_TERMS!r}, k={_RRF_K}): score = Σ 1/(k + rank), the "
+    "standard training-free ensemble for merging heterogeneous retrieval "
+    "lists (BM25 + dense, multiple query rewrites). Each per-term ranking "
+    "pools its top-100 via distributed TakeOrdered — never a global sort "
+    "of all matching docs — then ranks 100 rows in a trivial window; the "
+    "fusion join touches ≤ 200 rows. The reciprocal scores are integer "
+    "micro-units via integer division (1e6 div (k+r)), so the fused "
+    "ordering is bit-identical across engines — float RRF scores would "
+    "tie-break differently under IEEE rounding. Per-doc term frequency "
+    "is an array-expression filter inside whole-stage codegen, no explode.",
+    tags=("search", "ranking", "fusion"),
+)
+def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ranked = []
+    for term in _RRF_TERMS:
+        tf = d.select(
+            "doc_id",
+            F.size(F.filter(toks, lambda x: x == F.lit(term))).alias("tf"),
+        )
+        pool = tf.orderBy(F.desc("tf"), F.asc("doc_id")).limit(_RRF_POOL)
+        ranked.append(
+            pool.withColumn(
+                "r",
+                F.row_number().over(
+                    Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+                ),
+            ).select("doc_id", "r")
+        )
+    a, b = ranked
+    fused = (
+        a.withColumnRenamed("r", "ra")
+        .join(b.withColumnRenamed("r", "rb"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"CAST(1000000 div ({_RRF_K} + ra) AS BIGINT)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"CAST(1000000 div ({_RRF_K} + rb) AS BIGINT)"),
+                    F.lit(0),
+                )
+            ).alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(_RRF_TOP)

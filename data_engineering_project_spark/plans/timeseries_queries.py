@@ -491,3 +491,87 @@ def events_sliding_2h_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+#: truncated-EWM geometry: trailing 10 calendar days, weight 2^(9-lag) —
+#: power-of-two weights keep every product exact in integer arithmetic.
+_EWM_LAGS = 10
+
+
+@register(
+    "events_ewm_daily",
+    sql=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS units
+        FROM events GROUP BY 1
+    ),
+    lags AS (
+        SELECT unnest(generate_series(0, {_EWM_LAGS - 1})) AS lag
+    ),
+    pairs AS (
+        SELECT a.day,
+               s.units * (1 << ({_EWM_LAGS - 1} - l.lag)) AS wunits,
+               (1 << ({_EWM_LAGS - 1} - l.lag)) AS w
+        FROM daily a
+        JOIN lags l ON TRUE
+        JOIN daily s ON s.day = a.day - CAST(l.lag AS INTEGER)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_days_present,
+           ROUND(sum(wunits) * 1.0 / sum(w) / 100.0, 4) AS ewm_value
+    FROM pairs GROUP BY day
+    """,
+    doc="Exponentially-weighted trailing mean of the daily total value, "
+    "truncated to the last 10 calendar days with power-of-two weights "
+    "2^(9−lag) — the smoothing primitive behind drift dashboards, made "
+    "bit-reproducible: integer cent-units times integer weights summed as "
+    "integers, one float division at the end. (The textbook recursive EWMA "
+    "is order-DEPENDENT float accumulation — unreproducible across "
+    "partitionings and engines; truncation at 10 lags bounds the weight "
+    "error at 2^-10 while making the computation a pure calendar "
+    "self-join.) Calendar pairing (day − lag), not positional LAG, so "
+    "missing days renormalize instead of silently shifting. Everything "
+    "after the one raw-data shuffle runs on the ~|days|-row aggregate "
+    "with broadcast joins — same scaffold as `events_daily_acf`.",
+    tags=("timeseries", "stats", "window"),
+)
+def events_ewm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(decimal_units(F.col("value"), 100)).alias("units")
+    )
+    # both pair sides read the same ~|days|-row aggregate; persist it or
+    # Catalyst re-runs the raw scan+groupBy for each side (ACF precedent)
+    daily = daily.persist()
+    lags = spark.range(_EWM_LAGS).select(
+        F.col("id").cast("int").alias("lag"),
+        # shiftleft's python wrapper takes a literal bit count; the SQL
+        # function form accepts the per-row expression
+        F.expr(
+            f"CAST(shiftleft(1, {_EWM_LAGS - 1} - CAST(id AS INT)) AS BIGINT)"
+        ).alias("w"),
+    )
+    a = daily.select(F.col("day").alias("day_t"))
+    s = daily.select(F.col("day").alias("day_s"), "units")
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(s),
+        F.col("day_s") == F.date_sub(F.col("day_t"), F.col("lag")),
+    )
+    return (
+        pairs.groupBy("day_t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days_present"),
+            F.round(
+                F.sum(F.col("units") * F.col("w"))
+                / F.sum("w")
+                / 100.0,
+                4,
+            ).alias("ewm_value"),
+        )
+        .select(
+            F.date_format("day_t", "yyyy-MM-dd").alias("day"),
+            "n_days_present",
+            "ewm_value",
+        )
+    )

@@ -606,3 +606,33 @@ def test_zipf_ranks_topk_not_full_vocabulary(plans):
     # row_number window only ever sees 200 rows — never the whole vocab
     plan = plans("docs_zipf_slope")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kcore_edges_shrink_with_checkpoint_per_round(plans):
+    # bounded peeling truncates lineage per round — the final plan must not
+    # contain the unrolled join tower (localCheckpoint leaves scan nodes)
+    plan = plans("graph_kcore_trade")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_ewm_pairs_join_is_broadcast_on_cached_daily(plans):
+    # the 10-lag pairing runs on the cached ~|days|-row aggregate with
+    # broadcast joins; the raw events are scanned once (cache definition)
+    plan = plans("events_ewm_daily")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_rrf_pools_via_distributed_topk(plans):
+    # each term ranking pools top-100 via TakeOrdered — the row_number
+    # window never sees more than the pooled candidates
+    plan = plans("docs_rrf_fusion")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gini_runs_on_count_of_counts(plans):
+    # two keyed exchanges (user count, count-of-counts); the unpartitioned
+    # cumulative window runs on the tiny grouped-frequency frame
+    plan = plans("events_user_gini")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
