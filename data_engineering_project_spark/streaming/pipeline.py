@@ -1264,3 +1264,119 @@ def pit_enrichment_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    size: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "batch_ts",
+) -> DataFrame:
+    """Streaming sliding-window counts — the streaming twin of the batch
+    ``events_sliding_2h_windows`` catalog query. ``F.window(size, slide)``
+    assigns each event to its size/slide overlapping windows map-side (an
+    Expand, no self-join); the watermark finalizes a window once event
+    time passes ``window.end + watermark``, so append mode emits each
+    window exactly once and state stays bounded by (windows in flight ×
+    keys). Overlap multiplies STATE by size/slide, not the shuffle of raw
+    rows — the same honest ×2 the batch twin documents."""
+    return (
+        events.filter(F.col(time_col).isNotNull())
+        .withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, size, slide).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key_col),
+            "n_events",
+        )
+    )
+
+
+def upsert_bloom_bits(
+    target_dir: str,
+    *,
+    key_col: str = "interaction_id",
+    m: int = 8192,
+    k: int = 3,
+) -> Callable:
+    """foreachBatch writer maintaining a Bloom-filter set-bit table over
+    every key ever seen — the streaming twin of the batch
+    ``events_bloom_prune_witness`` build. State is the DISTINCT bit
+    positions (≤ m rows forever, regardless of key cardinality): the
+    summary a long-running pipeline keeps so that a later join/backfill
+    can prune probe rows against ALL history without re-reading it.
+
+    Unlike the CMS/Misra-Gries counter sketches, Bloom insertion is a set
+    UNION — idempotent under crash re-delivery by construction — so this
+    writer needs NO batch_id exactly-once protocol: replaying a batch
+    re-ORs bits that are already set. (That contrast is the point of
+    keeping both writers in this module: monotone-set state is free,
+    counter state needs the replace-by-batch-id dance.)
+    """
+    from data_engineering_project_spark.operators.sketch import (
+        bloom_positions,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            batch_df.select(
+                F.explode(
+                    bloom_positions(F.col(key_col), m=m, k=k)
+                ).alias("pos")
+            )
+            .distinct()
+        )
+        current = _recover_and_read(spark, target_dir)
+        if current is not None:
+            merged = current.unionByName(new).distinct()
+        else:
+            merged = new
+        _atomic_swap_write(merged, target_dir)
+
+    return _write
+
+
+def read_bloom_contains(
+    spark: SparkSession,
+    target_dir: str,
+    candidates: DataFrame,
+    key_col: str = "interaction_id",
+    *,
+    m: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Probe the persisted streaming Bloom state: a candidate "might be a
+    member" iff ALL ``k`` of its positions are set. No false negatives
+    (members always pass); false-positive rate is governed by m/k vs the
+    inserted cardinality. The set-bit table broadcasts — the probe is a
+    map-side semi-join, the exact shuffle-pruning pattern the batch query
+    documents."""
+    from data_engineering_project_spark.operators.sketch import (
+        bloom_positions,
+    )
+
+    bits = spark.read.parquet(target_dir)
+    probe = candidates.select(
+        key_col,
+        F.explode(bloom_positions(F.col(key_col), m=m, k=k)).alias("pos"),
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return candidates.join(
+        hits.filter(F.col("n_hits") == k).select(
+            key_col, F.lit(True).alias("might_contain")
+        ),
+        key_col,
+        "left",
+    ).select(
+        key_col, F.coalesce("might_contain", F.lit(False)).alias("might_contain")
+    )

@@ -1046,3 +1046,74 @@ def test_streaming_pit_enrichment_orders_and_recovers(spark, dirs):
         for r in spark.read.parquet(dirs["target"]).collect()
     }
     assert got2["13"] == "state/A"
+
+
+def test_streaming_bloom_bits_idempotent_and_probe(spark, dirs):
+    """Streaming Bloom maintenance: the set-bit table unions across batches
+    and is naturally idempotent under crash re-delivery (set OR — no
+    batch_id protocol needed, unlike the CMS/MG counter writers). Probes:
+    every inserted member passes (no false negatives); a disjoint id range
+    mostly fails (the 8192-bit filter is sparse at this cardinality)."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_bloom_contains,
+        upsert_bloom_bits,
+    )
+
+    def _batch(ids):
+        return spark.createDataFrame([(i,) for i in ids], "interaction_id long")
+
+    write = upsert_bloom_bits(dirs["target"])
+    write(_batch(range(0, 100)), 0)
+    bits_after_first = spark.read.parquet(dirs["target"]).count()
+    write(_batch(range(0, 100)), 0)  # crash re-delivery: pure re-OR
+    assert spark.read.parquet(dirs["target"]).count() == bits_after_first
+    write(_batch(range(100, 200)), 1)
+
+    members = read_bloom_contains(
+        spark, dirs["target"], _batch(range(0, 200))
+    )
+    assert members.filter("might_contain").count() == 200  # no false negatives
+
+    strangers = read_bloom_contains(
+        spark, dirs["target"], _batch(range(10_000, 10_500))
+    )
+    fp = strangers.filter("might_contain").count()
+    # 600 set bits of 8192 → per-probe fp ≈ (600/8192)^3 ≈ 4e-4
+    assert fp <= 5
+
+
+def test_streaming_sliding_windows_emit_overlap(spark, dirs):
+    """Sliding 2h/1h streaming windows: an event at 11:32 must appear in
+    BOTH the 10:00–12:00 and 11:00–13:00 windows, with counts finalized
+    exactly once in append mode."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_event_stream,
+        sliding_counts_stream,
+    )
+
+    _write_events(
+        f"{dirs['in']}/impressions_processed_dk_20220526113212045_1-4_1.parquet",
+        4,
+    )
+    # a second, much later file advances the watermark past the first hour
+    _write_events(
+        f"{dirs['in']}/impressions_processed_dk_20220526180000000_5-6_1.parquet",
+        2,
+    )
+    events = read_event_stream(spark, dirs["in"], SCHEMA)
+    out = sliding_counts_stream(events)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", dirs["target"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(dirs["target"]).collect()
+    }
+    assert got[("2022-05-26 10:00:00", "impressions")] == 4
+    assert got[("2022-05-26 11:00:00", "impressions")] == 4
