@@ -83,6 +83,28 @@ def make_parser() -> argparse.ArgumentParser:
         choices=["testing", "development", "production"],
     )
     sch.add_argument("--next", type=int, default=5, dest="n_next")
+
+    # ad-hoc analytics surface over the registered table catalog
+    sq = sub.add_parser(
+        "sql",
+        help="run an ad-hoc SQL statement over the registered tables "
+        "(region/nation/.../events/documents/embeddings as temp views)",
+    )
+    sq.add_argument("statement", help="ANSI SQL text")
+    sq.add_argument("--sf-dir", required=True, help="parquet table directory")
+    sq.add_argument("--master", default="local[*]")
+    sq.add_argument("--limit", type=int, default=20, metavar="N")
+
+    qr = sub.add_parser(
+        "query", help="run a named catalog query (see `query --list`)"
+    )
+    qr.add_argument("name", nargs="?", default=None)
+    qr.add_argument("--sf-dir", default=None, help="parquet table directory")
+    qr.add_argument("--master", default="local[*]")
+    qr.add_argument("--limit", type=int, default=20, metavar="N")
+    qr.add_argument(
+        "--list", action="store_true", help="list catalog query names"
+    )
     return parser
 
 
@@ -92,6 +114,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode in ("verify-setup", "healthcheck", "schedule"):
         return _run_ops(args)
 
+    if args.mode == "query" and args.list:
+        from data_engineering_project_spark.plans.catalog import queries
+
+        for name in sorted(queries()):
+            print(name)
+        return 0
+
     from pyspark.sql import SparkSession
 
     from data_engineering_project_spark.session import get_spark
@@ -99,7 +128,30 @@ def main(argv: list[str] | None = None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name=f"dep-spark-{args.mode}", master=args.master)
     try:
-        if args.mode == "load":
+        if args.mode == "sql":
+            from data_engineering_project_spark.sources.tables import (
+                load_tables,
+            )
+
+            load_tables(spark, args.sf_dir)
+            spark.sql(args.statement).show(args.limit, truncate=False)
+        elif args.mode == "query":
+            from data_engineering_project_spark.plans.catalog import queries
+
+            qs = queries()
+            if args.name is None or args.name not in qs:
+                print(
+                    f"unknown query {args.name!r}; use `query --list`",
+                    file=sys.stderr,
+                )
+                return 2
+            if args.sf_dir is None:
+                print("--sf-dir is required to run a query", file=sys.stderr)
+                return 2
+            qs[args.name](spark, args.sf_dir).show(
+                args.limit, truncate=False
+            )
+        elif args.mode == "load":
             _run_load(spark, args)
         elif args.mode == "batch":
             from data_engineering_project_spark.pipeline import run_daily_report

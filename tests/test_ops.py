@@ -210,3 +210,36 @@ def test_cli_healthcheck_exit_codes(tmp_path, capsys):
     assert main(["healthcheck", "--output-dir", str(out)]) == 1
     (out / "task1_output_2022-05-26.csv").write_text("date,hour\n2022-05-26,0\n")
     assert main(["healthcheck", "--output-dir", str(out)]) == 0
+
+
+def test_cli_query_list_and_unknown(capsys):
+    from data_engineering_project_spark.cli import main
+
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) > 150
+
+    assert main(["query", "no_such_query", "--sf-dir", "/tmp"]) == 2
+
+
+def test_cli_sql_and_query_over_tables(spark, sf_dir, capsys):
+    """The ad-hoc SQL surface and the named-catalog runner both execute
+    against the registered temp-view catalog (the reference's only SQL
+    usage is a smoke round-trip, verify_setup.py:288-289 — here SQL is a
+    first-class entry point)."""
+    from data_engineering_project_spark.cli import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT count(*) AS n FROM nation",
+            "--sf-dir",
+            sf_dir,
+        ]
+    )
+    assert rc == 0
+    assert "25" in capsys.readouterr().out
+
+    rc = main(["query", "event_type_counts", "--sf-dir", sf_dir, "--limit", "3"])
+    assert rc == 0
+    assert "event_type" in capsys.readouterr().out

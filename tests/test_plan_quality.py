@@ -562,11 +562,13 @@ def test_balanced_downsample_filters_without_row_shuffle(plans):
     plan = plans("events_balanced_downsample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # thresholds are cached: every FileScan beyond the kept-filter pass sits
-    # inside the InMemoryRelation DEFINITION (displayed per use, executed
-    # once), so the raw table is physically read twice — count + filter
-    assert "InMemoryTableScan" in plan
-    assert plan.count("FileScan") <= 3
+    # thresholds are cached and BOTH uses (broadcast keep-filter, final
+    # report join) read the cache — the raw table is physically read twice
+    # (count pass inside the cache definition + filter pass). Any FileScan
+    # beyond those two sits inside the InMemoryRelation DEFINITION string,
+    # which the plan printer repeats per use, so count cache READS, not
+    # scan strings.
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_sliding_windows_expand_map_side(plans):
