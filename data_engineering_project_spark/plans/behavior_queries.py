@@ -584,3 +584,48 @@ def events_type_dow_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pmi_micro_nats"),
     )
+
+
+@register(
+    "events_type_daily_mode",
+    sql="""
+    WITH counts AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT day, event_type, n,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM counts
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           event_type AS mode_type,
+           CAST(n AS BIGINT) AS n_events
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Per-day modal event type (argmax with a DETERMINISTIC tie-break: "
+    "highest count, then lexicographically first type). Spark's built-in "
+    "`mode()` aggregate picks an arbitrary value among ties — a hidden "
+    "nondeterminism that flips hash checks and production diffs alike — "
+    "so the mode is a rank-1 selection over the tiny (day × type) count "
+    "grid instead. One raw-data shuffle; the ranking window partitions by "
+    "day over ≤ |types| rows each, so no global sort at any scale.",
+    tags=("behavior", "agg", "argmax"),
+)
+def events_type_daily_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    ranked = counts.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("event_type").alias("mode_type"),
+        F.col("n").cast("bigint").alias("n_events"),
+    )

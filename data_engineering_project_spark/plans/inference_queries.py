@@ -512,3 +512,93 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s2").cast("double") / (nd * td) - (nd + 1) / nd, 6
         ).alias("gini"),
     )
+
+
+@register(
+    "brand_price_welch_t",
+    sql="""
+    WITH u AS (
+        SELECT p_brand,
+               CAST(floor(p_retailprice * 100 + 0.5) AS HUGEINT) AS cents
+        FROM part WHERE p_brand IN ('BRAND_1', 'BRAND_2')
+    ),
+    m AS (
+        SELECT p_brand,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(cents) AS s,
+               sum(cents * cents) AS ss
+        FROM u GROUP BY 1
+    ),
+    w AS (
+        SELECT a.n AS na, a.s AS sa, a.ss AS ssa,
+               b.n AS nb, b.s AS sb, b.ss AS ssb
+        FROM m a JOIN m b
+          ON a.p_brand = 'BRAND_1' AND b.p_brand = 'BRAND_2'
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0,
+                 6) AS mean_diff,
+           ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / sqrt(
+                     (CAST(na * ssa - sa * sa AS DOUBLE)
+                      / CAST(na AS DOUBLE) / CAST(na - 1 AS DOUBLE))
+                     / CAST(na AS DOUBLE)
+                     + (CAST(nb * ssb - sb * sb AS DOUBLE)
+                        / CAST(nb AS DOUBLE) / CAST(nb - 1 AS DOUBLE))
+                     / CAST(nb AS DOUBLE)
+                 ), 6) AS welch_t
+    FROM w
+    """,
+    doc="Welch's unequal-variance t statistic comparing mean retail price "
+    "between two brands — the means-based sibling of the two-proportion "
+    "z-test (`events_ab_conversion_z`), closing the basic A/B toolkit. "
+    "Sufficient statistics (n, Σx, Σx² in integer cents) aggregate in ONE "
+    "pass over the filtered scan; sample variances and the t statistic "
+    "derive closed-form from exact HUGEINT/DECIMAL38 integers, so the "
+    "doubles are bit-identical across engines before ROUND. The brand "
+    "filter pushes into the parquet scan; the final join is two 1-row "
+    "aggregates.",
+    tags=("stats", "inference", "ab-test"),
+)
+def brand_price_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    u = p.filter(F.col("p_brand").isin("BRAND_1", "BRAND_2")).select(
+        "p_brand", decimal_units(F.col("p_retailprice"), 100).alias("cents")
+    )
+    cd = F.col("cents").cast(DEC38)
+    m = u.groupBy("p_brand").agg(
+        F.count("*").cast(DEC38).alias("n"),
+        F.sum(cd).alias("s"),
+        F.sum(cd * cd).alias("ss"),
+    )
+    a = m.filter(F.col("p_brand") == "BRAND_1").select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = m.filter(F.col("p_brand") == "BRAND_2").select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    w = a.crossJoin(b)
+    mean_a = F.col("sa").cast("double") / F.col("na").cast("double")
+    mean_b = F.col("sb").cast("double") / F.col("nb").cast("double")
+    var_a = (
+        (F.col("na") * F.col("ssa") - F.col("sa") * F.col("sa")).cast("double")
+        / F.col("na").cast("double")
+        / (F.col("na") - 1).cast("double")
+    )
+    var_b = (
+        (F.col("nb") * F.col("ssb") - F.col("sb") * F.col("sb")).cast("double")
+        / F.col("nb").cast("double")
+        / (F.col("nb") - 1).cast("double")
+    )
+    t = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("na").cast("double") + var_b / F.col("nb").cast("double")
+    )
+    return w.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round((mean_a - mean_b) / 100.0, 6).alias("mean_diff"),
+        F.round(t, 6).alias("welch_t"),
+    )

@@ -581,3 +581,101 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return power_iteration_top_component(e, rounds=_PI_ROUNDS)
+
+
+#: Matryoshka comparison: prefix length for the truncated ranking.
+_MRL_DIM = 16
+_MRL_K = 10
+
+
+def _cos_sql(vec: str, qvec: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({vec}, {qvec}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform({vec}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform({qvec}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+@register(
+    "emb_matryoshka_overlap",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    full_rank AS (
+        SELECT e.vec_id
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY {_cos_sql("e.embedding", "q.qe")} DESC, e.vec_id
+        LIMIT {_MRL_K}
+    ),
+    pref_rank AS (
+        SELECT e.vec_id
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY {_cos_sql(f"e.embedding[1:{_MRL_DIM}]", f"q.qe[1:{_MRL_DIM}]")}
+                 DESC, e.vec_id
+        LIMIT {_MRL_K}
+    )
+    SELECT CAST({_MRL_K} AS BIGINT) AS k,
+           CAST({_MRL_DIM} AS BIGINT) AS prefix_dim,
+           CAST((SELECT count(*) FROM full_rank f
+                 WHERE f.vec_id IN (SELECT vec_id FROM pref_rank))
+                AS BIGINT) AS n_overlap,
+           CAST((SELECT min(vec_id) FROM full_rank) AS BIGINT)
+               AS sample_full_id,
+           CAST((SELECT min(vec_id) FROM pref_rank) AS BIGINT)
+               AS sample_pref_id
+    """,
+    doc="Matryoshka-truncation quality probe: top-10 neighbours of the "
+    f"query by FULL {EMB_DIM}-dim cosine vs top-10 by the first "
+    f"{_MRL_DIM} dimensions only, reporting overlap@10 — the measurement "
+    "that decides whether a cheap prefix index (MRL embeddings, "
+    "dimension-sliced storage) can serve first-stage retrieval with "
+    "full-dim re-ranking on the short list. Both rankings are map-only "
+    "scoring scans + distributed TakeOrdered (no shuffle of the corpus); "
+    "at 100 TB the prefix scan reads a quarter of the vector bytes — "
+    "with dimension-chunked storage, only the prefix columns. Cosine is "
+    "the deterministic left-fold expression shared with emb_cosine_topk; "
+    "ties break on vec_id, so both engines select identical sets.",
+    tags=("similarity", "ann", "matryoshka"),
+)
+def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    corpus = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def top_ids(vec_expr, qvec_expr):
+        return (
+            corpus.select(
+                "vec_id", S.cosine(vec_expr, qvec_expr).alias("c")
+            )
+            .orderBy(F.desc("c"), F.asc("vec_id"))
+            .limit(_MRL_K)
+            .select("vec_id")
+        )
+
+    full_rank = top_ids(F.col("embedding"), F.col("qe"))
+    pref_rank = top_ids(
+        F.slice(F.col("embedding"), 1, _MRL_DIM),
+        F.slice(F.col("qe"), 1, _MRL_DIM),
+    )
+    overlap = full_rank.join(pref_rank, "vec_id", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_overlap")
+    )
+    samples = full_rank.agg(
+        F.min("vec_id").cast("bigint").alias("sample_full_id")
+    ).crossJoin(
+        pref_rank.agg(F.min("vec_id").cast("bigint").alias("sample_pref_id"))
+    )
+    return (
+        overlap.crossJoin(samples)
+        .select(
+            F.lit(_MRL_K).cast("bigint").alias("k"),
+            F.lit(_MRL_DIM).cast("bigint").alias("prefix_dim"),
+            "n_overlap",
+            "sample_full_id",
+            "sample_pref_id",
+        )
+    )
