@@ -105,12 +105,21 @@ class CommitConflictError(RuntimeError):
     """Another writer committed the same version first; retry on new base."""
 
 
+class SchemaEvolutionError(ValueError):
+    """The appended frame's schema is not an additive evolution of the
+    table's committed schema (missing column or changed type)."""
+
+
 @dataclass
 class Manifest:
     version: int
     parent: int | None
     operation: str
     files: list[dict] = field(default_factory=list)  # path/rows/stats
+    #: StructType.json() of the version's logical schema (None only for
+    #: manifests written before schema tracking; readers fall back to
+    #: parquet mergeSchema)
+    schema: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -119,6 +128,7 @@ class Manifest:
                 "parent": self.parent,
                 "operation": self.operation,
                 "files": self.files,
+                "schema": self.schema,
             },
             indent=1,
         )
@@ -153,6 +163,7 @@ def read_manifest(table: str, version: int | None = None) -> Manifest:
         parent=raw["parent"],
         operation=raw["operation"],
         files=raw["files"],
+        schema=raw.get("schema"),
     )
 
 
@@ -225,31 +236,86 @@ def write_table(
     lease = _begin_lease(table)
     try:
         base = current_version(table)
+        prior_files: list[dict] = []
+        schema = df.schema
+        if base is not None and mode == "append":
+            prior_m = read_manifest(table, base)
+            prior_files = prior_m.files
+            schema = _evolve_schema(prior_m, df.schema)
         entries = _write_snapshot_files(df, table, stats_cols)
-        prior = read_manifest(table, base).files if (base is not None and mode == "append") else []
         return _commit(
             table,
             Manifest(
                 version=0 if base is None else base + 1,
                 parent=base,
                 operation=mode,
-                files=prior + entries,
+                files=prior_files + entries,
+                schema=schema.json(),
             ),
         )
     finally:
         _end_lease(lease)
 
 
+def _evolve_schema(prior: Manifest, new_schema):
+    """Additive schema evolution (Delta/Iceberg append semantics): every
+    committed column must appear in the appended frame with the IDENTICAL
+    type; extra columns in the frame widen the table schema — old files
+    simply lack the column and read back as null. Anything else (missing
+    column, changed type) is a loud :class:`SchemaEvolutionError`, never a
+    silent cast or drop."""
+    from pyspark.sql import types as T
+
+    if prior.schema is None:
+        return new_schema  # pre-evolution table: adopt the frame's schema
+    old = T.StructType.fromJson(json.loads(prior.schema))
+    new_fields = {f.name: f for f in new_schema.fields}
+    for f in old.fields:
+        got = new_fields.get(f.name)
+        if got is None:
+            raise SchemaEvolutionError(
+                f"append is missing committed column {f.name!r}"
+            )
+        if got.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r} changed type "
+                f"{f.dataType.simpleString()} -> {got.dataType.simpleString()}"
+            )
+    old_names = {f.name for f in old.fields}
+    added = [f for f in new_schema.fields if f.name not in old_names]
+    return T.StructType(old.fields + added)
+
+
 def read_table(
     spark: SparkSession, table: str, *, version: int | None = None
 ) -> DataFrame:
     """Read a committed snapshot (newest by default; any retained version
-    for time travel). Empty file list → empty frame with no rows read."""
+    for time travel). Empty file list → empty frame with no rows read.
+
+    Schema evolution: files written before a column was added simply lack
+    it — ``mergeSchema`` unions the physical schemas (missing → null) and
+    the result is projected onto the MANIFEST schema, so column order and
+    the presence of just-added all-null columns are stable regardless of
+    which physical files survive compaction."""
     m = read_manifest(table, version)
     paths = [os.path.join(table, f["path"]) for f in m.files]
     if not paths:
         raise ValueError(f"version {m.version} of {table!r} holds no files")
-    return spark.read.parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if m.schema is not None:
+        from pyspark.sql import types as T
+
+        want = T.StructType.fromJson(json.loads(m.schema))
+        have = {f.name for f in df.schema.fields}
+        df = df.select(
+            *[
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in want.fields
+            ]
+        )
+    return df
 
 
 def prune_files(m: Manifest, col: str, lo, hi) -> list[dict]:
@@ -357,7 +423,11 @@ def _merge_upsert_leased(
         .drop("_file")
         .join(keys, list(key_cols), "left_anti")
     )
-    rewritten = survivors.unionByName(updates)
+    # additive schema evolution applies to MERGE like to append: updates
+    # may add columns (survivors fill null); missing/retyped columns fail
+    evolved = _evolve_schema(m, updates.schema)
+    rewritten = survivors.unionByName(updates, allowMissingColumns=True)
+    rewritten = rewritten.select(*[f.name for f in evolved.fields])
     entries = _write_snapshot_files(rewritten, table, stats_cols)
     return _commit(
         table,
@@ -366,6 +436,7 @@ def _merge_upsert_leased(
             parent=base,
             operation="merge",
             files=kept + entries,
+            schema=evolved.json(),
         ),
     )
 

@@ -275,3 +275,74 @@ def test_bfs_matches_bruteforce(spark, edges, rounds):
         if not new:
             break
     assert got == want
+
+
+EDGE_PAIRS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=EDGE_PAIRS, k=st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_kcore_matches_bruteforce_peeling(spark, edges, k):
+    from data_engineering_project_spark.operators.graph import kcore_peel
+
+    # undirected, deduplicated, both directions (the operator's contract)
+    und = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    rounds = 4
+    edf = spark.createDataFrame(und, "src long, dst long")
+    got = {
+        r["src"]: r["deg"] for r in kcore_peel(edf, k=k, rounds=rounds).collect()
+    }
+
+    alive = set(und)
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for s, _d in alive:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        alive = {(s, d) for s, d in alive if s in keep and d in keep}
+    want: dict[int, int] = {}
+    for s, _d in alive:
+        want[s] = want.get(s, 0) + 1
+    assert got == want
+
+
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=10_000), max_size=40),
+    probes=st.sets(st.integers(min_value=0, max_value=10_000), max_size=40),
+)
+@settings(**_SETTINGS)
+def test_bloom_positions_never_false_negative(spark, members, probes):
+    """Any true member's k positions are all set by construction, for ANY
+    member/probe mix — the hard Bloom guarantee the witness query and the
+    streaming writer both rely on."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.operators.sketch import bloom_positions
+
+    if not members:
+        return
+    m, kk = 512, 3  # small m → plenty of collisions → fp pressure
+    mdf = spark.createDataFrame([(x,) for x in sorted(members)], "key long")
+    bits = {
+        r["pos"]
+        for r in mdf.select(
+            F.explode(bloom_positions(F.col("key"), m=m, k=kk)).alias("pos")
+        ).collect()
+    }
+    pdf = spark.createDataFrame(
+        [(x,) for x in sorted(members | probes)], "key long"
+    )
+    rows = pdf.select(
+        "key", bloom_positions(F.col("key"), m=m, k=kk).alias("pos")
+    ).collect()
+    for r in rows:
+        passes = all(p in bits for p in r["pos"])
+        if r["key"] in members:
+            assert passes  # no false negatives, ever

@@ -251,3 +251,56 @@ def test_normal_writes_leave_no_lease_behind(spark, table):
     st.merge_upsert(spark, table, _rows(spark, [(1, "b")]), key_cols=("k",))
     ldir = os.path.join(table, "_leases")
     assert not os.path.isdir(ldir) or os.listdir(ldir) == []
+
+
+# --- schema evolution (round 4) ---------------------------------------------
+
+
+def test_append_adds_column_old_rows_read_null(spark, table):
+    """Additive evolution: an append may introduce new columns; files
+    committed before the column existed read back with null there, and
+    column order follows the table (manifest) schema, not file layout."""
+    st.write_table(_rows(spark, [(1, "a"), (2, "b")]), table)
+    widened = spark.createDataFrame(
+        [(3, "c", 30)], "k int, v string, score int"
+    )
+    st.write_table(widened, table, mode="append")
+
+    got = {r.k: (r.v, r.score) for r in st.read_table(spark, table).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+    assert [f.name for f in st.read_table(spark, table).schema.fields] == [
+        "k",
+        "v",
+        "score",
+    ]
+    # time travel to v0 shows the ORIGINAL two-column schema
+    v0 = st.read_table(spark, table, version=0)
+    assert [f.name for f in v0.schema.fields] == ["k", "v"]
+
+
+def test_append_rejects_missing_and_retyped_columns(spark, table):
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    with pytest.raises(st.SchemaEvolutionError, match="missing"):
+        st.write_table(
+            spark.createDataFrame([(2,)], "k int"), table, mode="append"
+        )
+    with pytest.raises(st.SchemaEvolutionError, match="changed type"):
+        st.write_table(
+            spark.createDataFrame([(2, 5)], "k int, v int"),
+            table,
+            mode="append",
+        )
+    # failure must not have committed anything
+    assert st.current_version(table) == 0
+
+
+def test_merge_upsert_carries_added_column(spark, table):
+    """MERGE with a widened updates frame: untouched survivors fill null
+    for the new column; the evolved schema is committed."""
+    st.write_table(_rows(spark, [(1, "a"), (2, "b")]), table)
+    updates = spark.createDataFrame(
+        [(2, "B", 99)], "k int, v string, score int"
+    )
+    st.merge_upsert(spark, table, updates, ["k"])
+    got = {r.k: (r.v, r.score) for r in st.read_table(spark, table).collect()}
+    assert got == {1: ("a", None), 2: ("B", 99)}
