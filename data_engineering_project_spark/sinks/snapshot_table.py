@@ -376,6 +376,96 @@ def merge_upsert(
         _end_lease(lease)
 
 
+def _normalize_touched(
+    table: str, m: Manifest, touched_uris: list[str], op: str
+) -> set[str]:
+    """Map the Spark-side ``_metadata.file_path`` URIs back onto
+    manifest-relative paths. realpath on BOTH sides: a symlinked table path
+    (e.g. macOS /var -> /private/var tmp dirs) would otherwise make relpath
+    yield garbage, so a touched file would be both kept by reference AND
+    rewritten — silent duplicates. Any URI that resolves outside the
+    manifest is a loud error, never a duplicating commit."""
+    table_abs = os.path.realpath(table)
+    touched_files = {
+        os.path.relpath(
+            os.path.realpath(p.split(":", 1)[-1] if ":" in p else p), table_abs
+        )
+        for p in touched_uris
+    }
+    unmatched = touched_files - {f["path"] for f in m.files}
+    if unmatched:
+        raise RuntimeError(
+            f"{op}: touched file(s) {sorted(unmatched)!r} resolve outside "
+            f"the manifest of {table!r} v{m.version} — path normalization "
+            "bug; refusing to commit a duplicating snapshot"
+        )
+    return touched_files
+
+
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    *,
+    stats_cols: Sequence[str] = (),
+) -> Manifest:
+    """Copy-on-write DELETE: remove every row matching ``predicate``
+    (a Column or SQL string) as a new table version.
+
+    Execution mirrors :func:`merge_upsert`'s file pruning: only data files
+    that actually CONTAIN a matching row are rewritten (with their
+    non-matching rows); every other file carries over by reference, and a
+    file left empty by the delete simply drops out of the manifest. Cost
+    ∝ touched files, not table size — with ``stats_cols`` maintained, a
+    range delete touches only the files whose footer [min,max] intersects
+    the predicate, the same math as ``read_pruned``. Time travel keeps the
+    deleted rows readable at prior versions until ``vacuum`` expires them
+    (the Delta/Iceberg contract)."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    lease = _begin_lease(table)
+    try:
+        base = current_version(table)
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {table!r}")
+        m = read_manifest(table, base)
+        current = read_table(spark, table, version=base).withColumn(
+            "_file", F.col("_metadata.file_path")
+        )
+        touched_uris = [
+            p
+            for (p,) in current.filter(pred)
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        touched_files = _normalize_touched(table, m, touched_uris, "delete_where")
+        kept = [f for f in m.files if f["path"] not in touched_files]
+        # NULL predicate rows are NOT deleted (SQL DELETE semantics): keep
+        # a row unless the predicate is definitively true
+        survivors = (
+            current.filter(F.col("_file").isin(touched_uris))
+            .filter(F.coalesce(~pred, F.lit(True)))
+            .drop("_file")
+        )
+        entries = [
+            e
+            for e in _write_snapshot_files(survivors, table, stats_cols)
+            if e["rows"] > 0
+        ]
+        return _commit(
+            table,
+            Manifest(
+                version=base + 1,
+                parent=base,
+                operation="delete",
+                files=kept + entries,
+                schema=m.schema,
+            ),
+        )
+    finally:
+        _end_lease(lease)
+
+
 def _merge_upsert_leased(
     spark: SparkSession,
     table: str,
@@ -397,26 +487,7 @@ def _merge_upsert_leased(
     touched_uris = [
         p for (p,) in touched_rows.select("_file").distinct().collect()
     ]
-    # realpath on BOTH sides: a symlinked table path (e.g. macOS /var ->
-    # /private/var tmp dirs) would otherwise make relpath yield garbage, so
-    # a touched file would be both kept by reference AND rewritten —
-    # silent duplicates. The sanity check below turns any remaining
-    # normalization mismatch into a loud error instead.
-    table_abs = os.path.realpath(table)
-    touched_files = {
-        os.path.relpath(
-            os.path.realpath(p.split(":", 1)[-1] if ":" in p else p), table_abs
-        )
-        for p in touched_uris
-    }
-    manifest_paths = {f["path"] for f in m.files}
-    unmatched = touched_files - manifest_paths
-    if unmatched:
-        raise RuntimeError(
-            f"merge_upsert: touched file(s) {sorted(unmatched)!r} resolve "
-            f"outside the manifest of {table!r} v{base} — path "
-            "normalization bug; refusing to commit a duplicating snapshot"
-        )
+    touched_files = _normalize_touched(table, m, touched_uris, "merge_upsert")
     kept = [f for f in m.files if f["path"] not in touched_files]
     survivors = (
         current.filter(F.col("_file").isin(touched_uris))

@@ -304,3 +304,45 @@ def test_merge_upsert_carries_added_column(spark, table):
     st.merge_upsert(spark, table, updates, ["k"])
     got = {r.k: (r.v, r.score) for r in st.read_table(spark, table).collect()}
     assert got == {1: ("a", None), 2: ("B", 99)}
+
+
+def test_delete_where_rewrites_only_touched_files(spark, table):
+    """COW DELETE: files without a matching row carry over by reference
+    (same physical path), a file left empty drops from the manifest, and
+    prior versions still read the deleted rows (time travel)."""
+    st.write_table(_rows(spark, [(1, "a"), (2, "b")]).repartition(1), table)
+    st.write_table(
+        _rows(spark, [(3, "c"), (4, "d")]).repartition(1), table, mode="append"
+    )
+    before = {f["path"] for f in st.read_manifest(table).files}
+
+    st.delete_where(spark, table, F.col("k") == 3)
+
+    after = st.read_manifest(table)
+    assert after.operation == "delete"
+    # the file holding (1,2) is untouched — carried by identical path
+    assert len({f["path"] for f in after.files} & before) == 1
+    got = {r.k for r in st.read_table(spark, table).collect()}
+    assert got == {1, 2, 4}
+    # time travel still shows the deleted row
+    assert {r.k for r in st.read_table(spark, table, version=1).collect()} == {
+        1,
+        2,
+        3,
+        4,
+    }
+
+    # deleting every remaining row of a file drops it from the manifest
+    st.delete_where(spark, table, "k = 4")
+    assert {r.k for r in st.read_table(spark, table).collect()} == {1, 2}
+    assert len(st.read_manifest(table).files) == 1
+
+
+def test_delete_where_null_predicate_rows_survive(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "x")], "k int, v string"
+    )
+    st.write_table(df.repartition(1), table)
+    st.delete_where(spark, table, F.col("v") == "x")
+    got = {(r.k, r.v) for r in st.read_table(spark, table).collect()}
+    assert got == {(1, "a"), (2, None)}  # NULL-predicate row kept
