@@ -81,6 +81,13 @@ HEADLINE = (
     "suppliers_cooccurrence",
     "parts_pareto_frontier",
     "events_pit_enrichment",
+    # ninth wave (round 4): shrinking-iteration graph peel, broadcast
+    # membership sketch, two-pass data-derived sampling, truncated-vs-full
+    # vector ranking
+    "graph_kcore_trade",
+    "events_bloom_prune_witness",
+    "events_balanced_downsample",
+    "emb_matryoshka_overlap",
 )
 
 
