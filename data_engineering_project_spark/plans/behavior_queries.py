@@ -629,3 +629,68 @@ def events_type_daily_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("mode_type"),
         F.col("n").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "orders_cohort_revenue_triangle",
+    sql="""
+    WITH o AS (
+        SELECT o_custkey,
+               (EXTRACT(year FROM o_orderdate) - 1992) * 12
+                   + EXTRACT(month FROM o_orderdate) - 1 AS m,
+               CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT) AS units
+        FROM orders
+    ),
+    w AS (
+        SELECT o_custkey, m, units,
+               min(m) OVER (PARTITION BY o_custkey) AS m0
+        FROM o
+    )
+    SELECT CAST(1992 + m0 // 12 AS INTEGER) AS cohort_year,
+           CAST(1 + m0 % 12 AS INTEGER) AS cohort_month,
+           CAST(m - m0 AS INTEGER) AS age_months,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           ROUND(sum(units) / 1000.0, 3) AS revenue
+    FROM w GROUP BY m0, age_months
+    """,
+    doc="Cohort revenue triangle over orders: customers grouped by their "
+    "FIRST order month, revenue and active-customer counts laid out by "
+    "cohort age — the LTV/retention matrix every growth team maintains, "
+    "built on the relational tables instead of the event stream "
+    "(complements `events_cohort_retention`). The cohort assignment is a "
+    "min-window partitioned by customer — ONE hash shuffle shared with "
+    "nothing else; the triangle aggregation then runs on the "
+    "|cohort×age| grid. Revenue snaps to integer milli-units before "
+    "summing (o_totalprice carries 3 decimals — the ROADMAP width rule).",
+    tags=("behavior", "cohort", "window"),
+)
+def orders_cohort_revenue_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    from data_engineering_project_spark.functions.scalars import decimal_units
+
+    base = o.select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("m"),
+        decimal_units(F.col("o_totalprice"), 1000).alias("units"),
+    )
+    w = base.withColumn(
+        "m0", F.min("m").over(Window.partitionBy("o_custkey"))
+    )
+    return (
+        w.groupBy("m0", (F.col("m") - F.col("m0")).alias("age_months"))
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_active"),
+            F.round(F.sum("units") / 1000.0, 3).alias("revenue"),
+        )
+        .select(
+            (F.lit(1992) + F.expr("m0 div 12")).cast("int").alias("cohort_year"),
+            (F.lit(1) + F.col("m0") % 12).cast("int").alias("cohort_month"),
+            F.col("age_months").cast("int"),
+            "n_active",
+            "revenue",
+        )
+    )

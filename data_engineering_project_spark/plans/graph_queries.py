@@ -387,3 +387,66 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("src div 2").alias("entity_id"),
         "deg",
     )
+
+
+@register(
+    "graph_degree_distribution",
+    sql="""
+    WITH base AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           CAST(length(bin(CAST(d AS BIGINT))) - 1 AS INTEGER) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY node_type, log2_bucket
+    """,
+    doc="Degree distribution of the trade graph in power-of-two buckets "
+    "(bucket k holds degrees in [2^k, 2^(k+1))) — the first diagnostic "
+    "run on any link corpus: a heavy tail here is what decides salting, "
+    "AQE skew handling, and whether PageRank's contribution shuffle needs "
+    "a hot-key path. Bucketing uses the BINARY-STRING length of the "
+    "degree, not floor(log2(d)) — integer-exact and engine-portable, "
+    "where float log2 could straddle a bucket boundary by one ulp between "
+    "engines. One degree aggregation, then a ~|buckets| rollup.",
+    tags=("graph", "profile", "skew"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    return (
+        deg.groupBy(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            (F.length(F.bin(F.col("d").cast("bigint"))) - 1)
+            .cast("int")
+            .alias("log2_bucket"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("d").cast("bigint").alias("min_degree"),
+            F.max("d").cast("bigint").alias("max_degree"),
+        )
+    )
