@@ -583,3 +583,69 @@ def vacuum(
         if os.path.exists(p):
             os.remove(p)
     return removed
+
+
+def optimize(
+    spark: SparkSession,
+    table: str,
+    *,
+    target_files: int = 1,
+    min_files_to_compact: int = 2,
+    stats_cols: Sequence[str] = (),
+    zorder_cols: Sequence[str] | None = None,
+) -> Manifest | None:
+    """Compaction as a COMMIT (Delta OPTIMIZE semantics): rewrite the
+    current version's many small files into ``target_files`` larger ones —
+    bit-identical data, new version, old versions still time-travel until
+    ``vacuum``. Returns None (no commit) when the table already has fewer
+    than ``min_files_to_compact`` files; running OPTIMIZE twice must not
+    churn versions.
+
+    ``zorder_cols`` additionally clusters the rewrite on the Z-order of
+    those columns (sinks/layout.py device), so the compacted files carry
+    TIGHT footer min/max on every clustered column — compaction and
+    clustering are one pass, which is exactly how a nightly table-service
+    job runs it at 100 TB: read manifest (O(#files) driver work), one
+    distributed rewrite, one atomic manifest swap. Streaming writers keep
+    committing meanwhile; their commit wins or this one does (optimistic
+    concurrency), never both.
+    """
+    lease = _begin_lease(table)
+    try:
+        base = current_version(table)
+        if base is None:
+            raise FileNotFoundError(f"no committed version in {table!r}")
+        m = read_manifest(table, base)
+        if len(m.files) < min_files_to_compact:
+            return None
+        df = read_table(spark, table, version=base)
+        if zorder_cols:
+            from data_engineering_project_spark.sinks.layout import (
+                zorder_write,
+            )
+
+            snap = uuid.uuid4().hex[:12]
+            out_dir = os.path.join(table, _DATA_DIR, snap)
+            zorder_write(df, out_dir, list(zorder_cols), target_files)
+            entries = [
+                _file_entry(table, os.path.join(_DATA_DIR, snap, n), stats_cols)
+                for n in sorted(os.listdir(out_dir))
+                if n.endswith(".parquet")
+            ]
+        else:
+            entries = _write_snapshot_files(
+                df.coalesce(max(1, target_files)), table, stats_cols
+            )
+        entries = [e for e in entries if e["rows"] > 0]
+        return _commit(
+            table,
+            Manifest(
+                version=base + 1,
+                parent=base,
+                operation="optimize",
+                files=entries,
+                schema=m.schema,
+            ),
+        )
+    finally:
+        _end_lease(lease)

@@ -346,3 +346,51 @@ def test_delete_where_null_predicate_rows_survive(spark, table):
     st.delete_where(spark, table, F.col("v") == "x")
     got = {(r.k, r.v) for r in st.read_table(spark, table).collect()}
     assert got == {(1, "a"), (2, None)}  # NULL-predicate row kept
+
+
+def test_optimize_compacts_files_and_preserves_data(spark, table):
+    """OPTIMIZE: many small files → few, as a committed version; data is
+    identical, prior versions still time-travel, and a second OPTIMIZE on
+    an already-compact table is a no-op (no version churn)."""
+    for i in range(4):
+        st.write_table(
+            _rows(spark, [(i * 10 + j, f"v{i}") for j in range(5)]).repartition(2),
+            table,
+            mode="append" if i else "append",
+        )
+    v = st.current_version(table)
+    n_files_before = len(st.read_manifest(table).files)
+    assert n_files_before >= 4
+    before = sorted((r.k, r.v) for r in st.read_table(spark, table).collect())
+
+    m = st.optimize(spark, table, target_files=1, stats_cols=["k"])
+    assert m is not None and m.operation == "optimize"
+    assert len(st.read_manifest(table).files) == 1
+    after = sorted((r.k, r.v) for r in st.read_table(spark, table).collect())
+    assert after == before
+    # time travel to the pre-compaction version still reads the old files
+    assert (
+        sorted((r.k, r.v) for r in st.read_table(spark, table, version=v).collect())
+        == before
+    )
+    # idempotence: already compact → no new version
+    assert st.optimize(spark, table, target_files=1) is None
+    assert st.current_version(table) == v + 1
+
+
+def test_optimize_zorder_tightens_file_stats(spark, table):
+    """OPTIMIZE with zorder_cols: the compacted files' footer min/max on
+    the clustered column are disjoint-ish segments, so stats pruning after
+    compaction opens fewer files than before."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000), f"r{i}") for i in range(400)]
+    st.write_table(_rows(spark, rows).repartition(8), table)
+    st.optimize(
+        spark, table, target_files=4, stats_cols=["k"], zorder_cols=["k"]
+    )
+    m = st.read_manifest(table)
+    assert len(m.files) == 4
+    pruned = st.prune_files(m, "k", 0, 99)
+    assert 0 < len(pruned) < len(m.files)  # stats actually skip files
