@@ -762,3 +762,78 @@ def customers_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("avg_revenue_per_customer"),
     )
+
+
+@register(
+    "events_daily_kl_divergence",
+    sql="""
+    WITH cells AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT day, event_type, c,
+               sum(c) OVER (PARTITION BY day) AS nd,
+               sum(c) OVER (PARTITION BY event_type) AS ct,
+               sum(c) OVER () AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT day, nd,
+               CAST(floor(c * ln(CAST(c AS DOUBLE) * n / (CAST(nd AS DOUBLE) * ct))
+                          * 1000000 + 0.5) AS BIGINT) AS t_micro
+        FROM m
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(max(nd) AS BIGINT) AS n_events,
+           ROUND(sum(t_micro) / 1000000.0 / max(nd), 6) AS kl_nats
+    FROM terms GROUP BY day
+    """,
+    doc="Per-day KL divergence of the event-type mix from the overall mix "
+    "— KL(p_day ‖ p_global) in nats, the drift monitor that flags a day "
+    "whose traffic composition shifted (deploy, outage, bot wave). "
+    "Identity: KL = (1/n_d)·Σ_t c_dt·ln(c_dt·N/(n_d·c_t)) keeps every "
+    "factor an exact integer marginal (window sums over the tiny "
+    "day×type grid); each cell's transcendental term floor-quantizes to "
+    "integer micro-nats BEFORE the cross-cell sum (the entropy/PMI "
+    "device). Zero-count cells contribute nothing (absent from the "
+    "grid), matching the 0·ln0 = 0 convention. One raw-data shuffle.",
+    tags=("stats", "profile", "drift"),
+)
+def events_daily_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    m = cells.select(
+        "day",
+        "c",
+        F.sum("c").over(Window.partitionBy("day")).alias("nd"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("ct"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    t_micro = F.floor(
+        F.col("c")
+        * F.log(
+            F.col("c").cast("double")
+            * F.col("n")
+            / (F.col("nd").cast("double") * F.col("ct"))
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        m.select("day", "nd", t_micro.alias("t_micro"))
+        .groupBy("day")
+        .agg(
+            F.max("nd").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum("t_micro") / 1000000.0 / F.max("nd"), 6
+            ).alias("kl_nats"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "kl_nats",
+        )
+    )

@@ -804,3 +804,74 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_rate_ppm"),
         )
     )
+
+
+@register(
+    "docs_vocab_growth_curve",
+    sql="""
+    WITH bounds AS (SELECT max(doc_id) AS mx FROM documents),
+    tok AS (
+        SELECT doc_id,
+               LEAST(9, (doc_id * 10) // ((SELECT mx FROM bounds) + 1))
+                   AS b,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tokens_per_bucket AS (
+        SELECT b, count(*) AS toks FROM tok GROUP BY b
+    ),
+    first_seen AS (
+        SELECT term, min(b) AS b0 FROM tok GROUP BY term
+    ),
+    new_terms_per_bucket AS (
+        SELECT b0 AS b, count(*) AS new_terms FROM first_seen GROUP BY b0
+    )
+    SELECT t.b AS bucket,
+           CAST(sum(t.toks) OVER (ORDER BY t.b) AS BIGINT) AS cum_tokens,
+           CAST(sum(COALESCE(n.new_terms, 0)) OVER (ORDER BY t.b) AS BIGINT)
+               AS cum_vocab
+    FROM tokens_per_bucket t
+    LEFT JOIN new_terms_per_bucket n ON n.b = t.b
+    """,
+    doc="Vocabulary-growth (Heaps'-law) curve: cumulative distinct terms "
+    "vs cumulative tokens across 10 deterministic doc_id deciles — the "
+    "corpus-health diagnostic that detects templated or synthetic text "
+    "(vocab saturating far below Heaps' V≈K·Tᵝ growth). The distributed "
+    "trick: prefix-distinct counts need NO prefix re-scans — each term's "
+    "FIRST bucket (min over one shuffle) is where it increments the "
+    "vocabulary, so the whole curve is two aggregates over one "
+    "tokenization pass plus a 10-row cumulative window. Bucketing is "
+    "integer doc_id range division (exact in both engines).",
+    tags=("text", "profile", "curation"),
+)
+def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    tok = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(9), F.expr("(doc_id * 10) div (mx + 1)")
+            ).alias("b"),
+            F.explode(T.tokens(F.col("text"))).alias("term"),
+        )
+    )
+    tokens_per_bucket = tok.groupBy("b").agg(F.count("*").alias("toks"))
+    first_seen = tok.groupBy("term").agg(F.min("b").alias("b0"))
+    new_terms = first_seen.groupBy(F.col("b0").alias("b")).agg(
+        F.count("*").alias("new_terms")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens_per_bucket.join(new_terms, "b", "left")
+        .select(
+            F.col("b").alias("bucket"),
+            F.sum("toks").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("new_terms", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )
