@@ -1023,6 +1023,7 @@ def stream_stream_attribution(
     within: str = "1 hour",
     watermark: str = "2 hours",
     time_col: str = "batch_ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with event-time bounds: each right-side
     event (click) matched to same-batch-hour left events (impressions)
@@ -1040,6 +1041,15 @@ def stream_stream_attribution(
     date serves as the equi-key here — production schemas key on the
     correlation id (user_id, campaign_id), which also shards the join
     state.
+
+    ``how='left_outer'`` additionally emits each UNMATCHED impression
+    (null click columns) — but only once the right-side watermark proves
+    no in-window click can still arrive, so "unattributed" rows are
+    final, never retracted. The null emission happens on a LATER
+    micro-batch than the impression's own (state must outlive the
+    window); a drained availableNow run may therefore need a subsequent
+    tick to flush the tail — the exactly-once test drives two runs for
+    exactly this reason.
     """
     base = events.filter(F.col(time_col).isNotNull())
     left = (
@@ -1063,7 +1073,7 @@ def stream_stream_attribution(
         (F.to_date("l_ts") == F.to_date("r_ts"))
         & (F.col("l_ts") <= F.col("r_ts"))
         & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {within}")),
-        "inner",
+        how,
     )
 
 

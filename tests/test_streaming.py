@@ -1117,3 +1117,50 @@ def test_streaming_sliding_windows_emit_overlap(spark, dirs):
     }
     assert got[("2022-05-26 10:00:00", "impressions")] == 4
     assert got[("2022-05-26 11:00:00", "impressions")] == 4
+
+
+def test_stream_stream_left_outer_emits_final_unattributed(spark, dirs):
+    """Left-outer stream-stream join: the 09:00 impressions (no click in
+    window) must eventually surface with NULL click columns — but only
+    after the right watermark proves no in-window click can arrive, on a
+    later tick (streaming outer joins finalize from state, not from the
+    row's own batch)."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_stream_attribution,
+    )
+
+    def run_once():
+        events = read_event_stream(spark, dirs["in"], SCHEMA)
+        joined = stream_stream_attribution(
+            events, within="1 hour", watermark="30 minutes", how="left_outer"
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", dirs["target"])
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526090000000_1-2_1.parquet", 2)
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526110000000_3-4_1.parquet", 2)
+    _write_events(f"{dirs['in']}/clicks_processed_dk_20220526114500000_7-8_1.parquet", 2)
+    run_once()
+    # a much later file pushes both watermarks far past every window
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220526230000000_9-9_1.parquet", 1)
+    run_once()
+    _write_events(f"{dirs['in']}/impressions_processed_dk_20220527120000000_10-10_1.parquet", 1)
+    run_once()
+
+    rows = spark.read.parquet(dirs["target"]).collect()
+    matched = [r for r in rows if r.r_ts is not None]
+    unmatched = [r for r in rows if r.r_ts is None]
+    # 2 impressions@11:00 x 2 clicks = 4 matches
+    assert len(matched) == 4
+    # the two 09:00 impressions are final non-attributions; each emitted once
+    assert sum(1 for r in unmatched if r.l_ts.hour == 9) == 2
+    hours = sorted(r.l_ts.hour for r in unmatched)
+    assert hours.count(9) == 2
