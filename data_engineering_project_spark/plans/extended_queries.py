@@ -1246,13 +1246,13 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# md5-derived bucket hash (operators/sketch.py:_probes, operators/dedup.py:
-# md5_hash64): the 64-bit hash is hex chars 17–32 of md5("{seed+i}:{key}").
-# Mod a power-of-two width only the LOW bits matter (2^32 ≡ 0 mod 2^11),
-# so the oracle needs just the low 32-bit half — and signed-vs-unsigned
-# congruence holds for the same reason (2^64 ≡ 0 mod 2^11).
+# md5-derived bucket hash (operators/sketch.py:_probes): depth-row i's
+# bucket is the i-th disjoint 8-hex (32-bit) window of ONE md5 digest of
+# "42:{key}" — one digest feeds all four rows (the 1.8× build win), and
+# each 32-bit window mod the power-of-two width is congruence-safe
+# (2^32 ≡ 0 mod 2^11).
 _CMS_BUCKET = (
-    "(CAST('0x' || substr(md5((42 + i) || ':' || k), 25, 8) AS BIGINT) % 2048)"
+    "(CAST('0x' || substr(md5('42:' || k), 1 + 8 * i, 8) AS BIGINT) % 2048)"
 )
 
 
