@@ -219,3 +219,67 @@ def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.explode(checks).alias("e"), F.col("n_rows")
     ).select("e.expectation", "e.passed", "n_rows")
+
+
+@register(
+    "events_benford_first_digit",
+    sql="""
+    WITH units AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS u
+        FROM events WHERE value > 0
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS INTEGER) AS d
+        FROM units WHERE u > 0
+    ),
+    obs AS (
+        SELECT d, count(*) AS n,
+               sum(count(*)) OVER () AS total
+        FROM digits GROUP BY d
+    )
+    SELECT d AS digit,
+           CAST(n AS BIGINT) AS n_obs,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_frac,
+           ROUND(log10(1 + 1.0 / d), 6) AS benford_frac,
+           CAST(floor(
+               (CAST(n AS DOUBLE) / total - log10(1 + 1.0 / d))
+               * (CAST(n AS DOUBLE) / total - log10(1 + 1.0 / d))
+               / log10(1 + 1.0 / d) * total * 1000000 + 0.5
+           ) AS BIGINT) AS chi2_term_micro
+    FROM obs ORDER BY d
+    """,
+    doc="Benford's-law first-digit conformance of event values — the "
+    "classic forged-or-synthetic-numbers screen (real multiplicative "
+    "data leads with 1 ~30% of the time; fabricated or uniformly "
+    "generated values don't). First digits come from the integer-cent "
+    "string (no float log10 on the extraction path); observed fractions, "
+    "the Benford expectation log10(1+1/d), and each digit's (O−E)²/E "
+    "chi-square contribution (micro-quantized, summable by the caller) "
+    "are deterministic doubles from exact integer counts. One "
+    "map-side-combined shuffle over 9 digit groups.",
+    tags=("quality", "stats", "profile"),
+)
+def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.filter(F.col("value") > 0).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("u")
+    )
+    digits = units.filter(F.col("u") > 0).select(
+        F.substring(F.col("u").cast("string"), 1, 1).cast("int").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    obs = obs.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    frac = F.col("n").cast("double") / F.col("total")
+    bf = F.log10(1 + 1.0 / F.col("d"))
+    chi_term = F.floor(
+        (frac - bf) * (frac - bf) / bf * F.col("total") * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    return obs.select(
+        F.col("d").alias("digit"),
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(frac, 6).alias("obs_frac"),
+        F.round(bf, 6).alias("benford_frac"),
+        chi_term.alias("chi2_term_micro"),
+    ).orderBy("digit")

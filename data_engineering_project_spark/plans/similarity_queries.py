@@ -679,3 +679,93 @@ def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_pref_id",
         )
     )
+
+
+@register(
+    "emb_centroid_silhouette",
+    sql=f"""
+    WITH expl AS (
+        SELECT label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) u
+    ),
+    cent AS (SELECT label, pos, avg(v) AS c FROM expl GROUP BY label, pos),
+    cvec AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv
+             FROM cent GROUP BY label),
+    scored AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               {_cos_sql("e.embedding", "c.cv")} AS cos
+        FROM embeddings e CROSS JOIN cvec c
+    ),
+    per_vec AS (
+        SELECT vec_id, label,
+               max(CASE WHEN clabel = label THEN cos END) AS own_cos,
+               max(CASE WHEN clabel <> label THEN cos END) AS best_other_cos
+        FROM scored GROUP BY vec_id, label
+    ),
+    s AS (
+        SELECT label,
+               CAST(floor(
+                   ((1 - best_other_cos) - (1 - own_cos))
+                   / greatest(1 - own_cos, 1 - best_other_cos)
+                   * 1000000 + 0.5) AS BIGINT) AS s_micro
+        FROM per_vec
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           ROUND(sum(s_micro) / 1000000.0 / count(*), 6) AS mean_silhouette
+    FROM s GROUP BY label ORDER BY label
+    """,
+    doc="Simplified (centroid-based) silhouette score per label over "
+    "cosine distance: a = distance to the OWN label centroid, b = "
+    "distance to the nearest OTHER centroid, s = (b−a)/max(a,b) — the "
+    "standard clustering-quality metric, in the O(N·k) centroid form "
+    "that scales (full silhouette is O(N²) pairwise and dead at 100 TB). "
+    "Centroids are the same posexplode/two-level-agg build as "
+    "emb_ivf_topk; every embedding scores against the broadcast k-row "
+    "centroid table map-side. Each row's s floor-quantizes to integer "
+    "micro-units BEFORE the per-label mean (cross-row double summation "
+    "is merge-order-dependent — the repo's standard device), so the "
+    "oracle hash-matches exactly.",
+    tags=("similarity", "clustering", "quality"),
+)
+def emb_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v0")
+    ).select("label", "pos", F.col("v0").cast("double").alias("v"))
+    cent = expl.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    ).select(F.col("label").alias("clabel"), "cv")
+    scored = e.crossJoin(F.broadcast(cvec)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        S.cosine(F.col("embedding"), F.col("cv")).alias("cos"),
+    )
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos"))).alias(
+            "own_cos"
+        ),
+        F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos"))).alias(
+            "best_other_cos"
+        ),
+    )
+    a = 1 - F.col("own_cos")
+    b = 1 - F.col("best_other_cos")
+    s_micro = F.floor(
+        (b - a) / F.greatest(a, b) * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        per_vec.select("label", s_micro.alias("s_micro"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.sum("s_micro") / 1000000.0 / F.count("*"), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("label")
+    )
