@@ -38,11 +38,21 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature: for seed i, min over shingles of md5(i || shingle).
+    """MinHash signature as a single EXPRESSION: for seed i, min over
+    shingles of md5(i || shingle).
 
     min() over hex-string md5 is a valid uniform min-hash (lexicographic
     order on a uniformly distributed digest). Jaccard(a, b) ≈ fraction of
     signature positions that agree.
+
+    PERFORMANCE WARNING: as one n_hashes-element array expression this
+    nests n_hashes transform/array_min towers; past codegen's method-size
+    limits the whole projection silently drops to INTERPRETED evaluation —
+    measured ~130 ms/doc (≈100× the codegen cost) on 300-char docs at
+    n_hashes=16. Use :func:`minhash_signatures` (the explode + min-agg
+    DataFrame form, bit-identical output) for anything beyond a handful of
+    rows; this expression form survives for single-seed probes like the
+    signature-profile query.
     """
     # factory keeps each transform lambda UNARY: a 2-param lambda (even with
     # a default) makes pyspark pass the array index as the second arg,
@@ -54,6 +64,64 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
         )
 
     return F.array(*[min_for_seed(i) for i in range(n_hashes)])
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+    spread: bool = True,
+) -> DataFrame:
+    """``(id, sig: array<string>)`` MinHash signatures for a corpus —
+    bit-identical to :func:`minhash_signature` but built as explode +
+    ``n_hashes`` min-aggregates, which stays inside whole-stage codegen at
+    any signature width (the expression form drops to interpreted
+    evaluation — see its warning).
+
+    Docs whose shingle set is EMPTY (only blank text) vanish from the
+    output; their expression-form signature is all-null, which every
+    downstream use (banding, verification) already treats as
+    non-matching, so the end results agree.
+
+    ``spread=True`` (default) hash-repartitions on ``id_col`` before the
+    CPU-heavy hashing, then the min-agg reuses that exchange (no second
+    shuffle): right for small-file/skewed inputs where the scan gives too
+    few partitions to spread the md5 work (the local-bench shape, and any
+    corpus of a few big files). Pass ``spread=False`` on inputs with
+    ample scan parallelism and very LARGE texts — then partial
+    aggregation ships ≤ n_hashes digests per doc per partition instead of
+    re-shuffling the raw text.
+    """
+    sh = shingles(F.col(text_col), shingle_k)
+    if spread:
+        # EXPLICIT partition count: a bare repartition(col) exchange gets
+        # AQE-coalesced back to ~1 partition because the BYTES are tiny —
+        # but the cost here is md5 CPU per row, which byte-based coalescing
+        # cannot see. An explicit count is honored by AQE.
+        n = docs.sparkSession.sparkContext.defaultParallelism
+        src = docs.repartition(n, F.col(id_col))
+    else:
+        src = docs
+    exploded = src.select(
+        F.col(id_col), F.explode(sh).alias("_shingle")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_shingle")))).alias(
+            f"_h{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig"),
+        )
+    )
 
 
 def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
@@ -99,13 +167,24 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // n_bands
     sh = shingles(F.col(text_col), shingle_k)
-    # narrow banded frame: two columns through the explode and the self-join
-    banded = docs.select(
+    # signatures via the codegen-safe explode+min-agg form, then a narrow
+    # banded frame: two columns through the explode and the self-join
+    banded = minhash_signatures(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        shingle_k=shingle_k,
+    ).select(
         F.col(id_col),
         F.explode(
-            band_keys(minhash_signature(sh, n_hashes), n_bands, rows_per_band)
+            band_keys(F.col("sig"), n_bands, rows_per_band)
         ).alias("band_key"),
     )
+    # both sides of the bucket self-join read this frame — persist the
+    # narrow (id, band_key) result or the whole signature computation
+    # (the expensive md5 pass) runs twice
+    banded = banded.persist()
     # self-join on disjoint column names: alias-qualified self-joins on the
     # same lineage resolve ambiguously in Spark — rename BEFORE joining
     left = banded.select(F.col(id_col).alias("id_a"), "band_key")
@@ -116,8 +195,21 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # shingle sets re-enter only for the verified candidates, keyed by id
-    sh_by_id = docs.select(F.col(id_col).alias("_sh_id"), sh.alias("_sh"))
+    # shingle sets re-enter only for the verified candidates, keyed by id —
+    # and are COMPUTED only for candidate docs: prune the corpus with a
+    # semi-join on the (tiny) candidate id set before the shingle
+    # expression runs, so verification cost is O(candidates), not O(corpus)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .union(cand.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    pruned = docs.join(
+        F.broadcast(cand_ids),
+        docs[id_col] == cand_ids["_cid"],
+        "left_semi",
+    )
+    sh_by_id = pruned.select(F.col(id_col).alias("_sh_id"), sh.alias("_sh"))
     verified = (
         cand.join(sh_by_id, cand["id_a"] == sh_by_id["_sh_id"])
         .select("id_a", "id_b", F.col("_sh").alias("sh_a"))
@@ -149,11 +241,16 @@ def minhash_band_index(
     corpus. The index is ~n_bands rows per document, two narrow columns.
     """
     rows_per_band = n_hashes // n_bands
-    sh = shingles(F.col(text_col), shingle_k)
-    return docs.select(
+    return minhash_signatures(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        shingle_k=shingle_k,
+    ).select(
         F.col(id_col),
         F.explode(
-            band_keys(minhash_signature(sh, n_hashes), n_bands, rows_per_band)
+            band_keys(F.col("sig"), n_bands, rows_per_band)
         ).alias("band_key"),
     )
 
