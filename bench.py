@@ -88,6 +88,9 @@ HEADLINE = (
     "events_bloom_prune_witness",
     "events_balanced_downsample",
     "emb_matryoshka_overlap",
+    # tenth wave (round 4): the flagship text-dedup pipeline, after the
+    # codegen-cliff fix (expression-form signatures evaluated interpreted)
+    "docs_minhash_pairs",
 )
 
 

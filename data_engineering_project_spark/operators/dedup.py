@@ -337,7 +337,13 @@ def jaccard_prefix_pairs(
     for exact verification — same narrow-payload discipline as
     minhash_lsh_pairs.
     """
-    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
+    # explicit-count spread before the tokenization/explode (AQE's
+    # byte-based coalescing would single-thread the CPU-heavy stages of a
+    # small-bytes corpus — same fix as minhash_signatures)
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(n_par, F.col(id_col)).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("tk")
+    )
     base = base.select(id_col, F.array_distinct("tk").alias("ts"))
     tok = base.select(id_col, F.explode("ts").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
@@ -356,6 +362,10 @@ def jaccard_prefix_pairs(
         n.alias("sz"),
         F.explode(F.slice("ordered_toks", 1, prefix_len)).alias("tok"),
     )
+    # the prefix self-join's OUTPUT is the expensive part (per-bucket
+    # quadratic candidate generation); pin its parallelism explicitly or
+    # AQE coalesces the small-bytes inputs to ~1 task
+    pref = pref.repartition(n_par, "tok")
     left = pref.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok")
     right = pref.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok")
     # PPJoin length filter: J(x,y) >= t forces t*|x| <= |y| <= |x|/t, so
@@ -434,3 +444,47 @@ def simhash64(text: Column) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spread: bool = True,
+) -> DataFrame:
+    """``(id, fp)`` 64-bit SimHash fingerprints for a corpus — bit-identical
+    to :func:`simhash64` but built as explode + 64 sum-aggregates, for the
+    same two reasons as :func:`minhash_signatures`: the 64-tower expression
+    form falls out of whole-stage codegen into interpreted evaluation, and
+    the per-token hashing needs an explicit-count repartition so AQE's
+    byte-based coalescing can't single-thread it.
+
+    Docs with NO tokens (blank text) vanish from the output (the
+    expression form gives them fingerprint 0); callers needing them must
+    left-join back. The synthetic corpus has none.
+    """
+    if spread:
+        n = docs.sparkSession.sparkContext.defaultParallelism
+        src = docs.repartition(n, F.col(id_col))
+    else:
+        src = docs
+    tok = src.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t"),
+    )
+    h = md5_hash64(F.col("_t"))
+    one = F.lit(1).cast("long")
+    sums = [
+        F.sum(
+            F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp + F.when(
+            F.col(f"_b{i}") > 0, F.shiftleft(one, i)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), fp.alias("fp"))

@@ -245,6 +245,12 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # explicit-count repartition: the per-doc word/bigram expressions are
+    # CPU-heavy on tiny bytes, so the scan's (often single) partition —
+    # and AQE's byte-based coalescing — would single-thread them
+    d = d.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     words = d.select("doc_id", "lang", F.explode(C.tokens(F.col("text"))).alias("w"))
     word_counts = words.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
     doc_words = word_counts.groupBy("doc_id", "lang").agg(

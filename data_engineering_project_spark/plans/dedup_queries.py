@@ -225,9 +225,9 @@ _SIMHASH_BUCKET_TERMS = " + ".join(
 )
 def docs_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    fp = D.simhash64(F.col("text"))
+    fps = D.simhash_fingerprints(d)  # codegen-safe explode+agg form
     return (
-        d.select(F.shiftrightunsigned(fp, 48).alias("bucket"))
+        fps.select(F.shiftrightunsigned(F.col("fp"), 48).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
     )
