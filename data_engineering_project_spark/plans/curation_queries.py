@@ -74,6 +74,11 @@ DOMAIN_QUOTA = 10
 )
 def docs_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # explicit-count spread before the n-gram expressions (CPU-heavy on
+    # tiny bytes; see the ROADMAP AQE-coalescing rule)
+    d = d.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     ngrams = d.select(
         "doc_id",
         "source",

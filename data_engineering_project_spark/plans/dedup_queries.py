@@ -267,6 +267,12 @@ def docs_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 32).alias("prefix"),
         )
     )
+    # explicit-count repartition on the block key: the per-pair
+    # levenshtein CPU dwarfs the bytes, so AQE's coalescing would
+    # single-thread the blocked self-join (ROADMAP codegen-cliff/AQE rule)
+    d = d.repartition(
+        spark.sparkContext.defaultParallelism, F.col("lang"), F.col("lb")
+    )
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
     return (

@@ -359,6 +359,11 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked exact-cosine candidate pairs (shared by the near-pair
     listing and the duplicate-cluster queries)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # explicit-count repartition on the block key: in-block exact cosine is
+    # CPU-bound on tiny bytes — AQE coalescing would single-thread it
+    e = e.repartition(
+        spark.sparkContext.defaultParallelism, F.col("label")
+    )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("label"),

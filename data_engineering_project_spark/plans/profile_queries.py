@@ -68,6 +68,10 @@ def _profile_sql() -> str:
 )
 def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # the multi-countDistinct Expand multiplies rows x(cols+1) BEFORE the
+    # partial agg; spread it over all cores explicitly (the scan's few
+    # partitions otherwise bound the whole Expand+agg CPU)
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
