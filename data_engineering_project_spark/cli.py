@@ -105,6 +105,13 @@ def make_parser() -> argparse.ArgumentParser:
     qr.add_argument(
         "--list", action="store_true", help="list catalog query names"
     )
+    qr.add_argument(
+        "--save",
+        default=None,
+        metavar="TABLE_DIR",
+        help="commit the result to a snapshot-manifest table (new version; "
+        "ACID, time-travelable) instead of printing it",
+    )
     return parser
 
 
@@ -148,9 +155,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.sf_dir is None:
                 print("--sf-dir is required to run a query", file=sys.stderr)
                 return 2
-            qs[args.name](spark, args.sf_dir).show(
-                args.limit, truncate=False
-            )
+            result = qs[args.name](spark, args.sf_dir)
+            if args.save:
+                from data_engineering_project_spark.sinks.snapshot_table import (
+                    write_table,
+                )
+
+                manifest = write_table(result, args.save)
+                print(f"{args.save} v{manifest.version}")
+            else:
+                result.show(args.limit, truncate=False)
         elif args.mode == "load":
             _run_load(spark, args)
         elif args.mode == "batch":

@@ -243,3 +243,18 @@ def test_cli_sql_and_query_over_tables(spark, sf_dir, capsys):
     rc = main(["query", "event_type_counts", "--sf-dir", sf_dir, "--limit", "3"])
     assert rc == 0
     assert "event_type" in capsys.readouterr().out
+
+
+def test_cli_query_save_to_snapshot_table(spark, sf_dir, tmp_path, capsys):
+    from data_engineering_project_spark.cli import main
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    table = str(tmp_path / "qtbl")
+    rc = main(["query", "event_type_counts", "--sf-dir", sf_dir, "--save", table])
+    assert rc == 0
+    assert "v0" in capsys.readouterr().out
+    df = st.read_table(spark, table)
+    assert df.count() > 0 and "event_type" in df.columns
+    # a second save commits a NEW version (append semantics)
+    assert main(["query", "event_type_counts", "--sf-dir", sf_dir, "--save", table]) == 0
+    assert st.current_version(table) == 1
