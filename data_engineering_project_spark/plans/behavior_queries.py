@@ -694,3 +694,120 @@ def orders_cohort_revenue_triangle(spark: SparkSession, sf_dir: str) -> DataFram
             "revenue",
         )
     )
+
+
+@register(
+    "events_stickiness_dau_mau",
+    sql="""
+    WITH daily AS (
+        SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+               CAST(ts AS DATE) AS day,
+               count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+               count(DISTINCT user_id) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(d.month, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(d.dau) AS BIGINT) AS dau_day_sum,
+           CAST(max(m.mau) AS BIGINT) AS mau,
+           ROUND(sum(d.dau) * 1.0 / count(*) / max(m.mau), 6) AS stickiness
+    FROM daily d JOIN monthly m ON m.month = d.month
+    GROUP BY d.month
+    """,
+    doc="DAU/MAU stickiness per month — the engagement ratio every product "
+    "dashboard leads with (avg daily actives over monthly actives; 1.0 = "
+    "every monthly user shows up every day). Two distinct-count "
+    "aggregations (per day, per month) joined on the month; both are "
+    "single-shuffle exact countDistincts whose state at 100 TB would "
+    "switch to the HLL sketches this engine also ships "
+    "(`events_hll_daily_rollup` — same rollup algebra, mergeable state). "
+    "The ratio derives from exact integers; one defensive ROUND.",
+    tags=("behavior", "engagement", "agg"),
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("month", F.col("ts").cast("date")).alias("month"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    monthly = ev.groupBy(
+        F.date_trunc("month", F.col("ts").cast("date")).alias("month")
+    ).agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        daily.join(monthly, "month")
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("dau").cast("bigint").alias("dau_day_sum"),
+            F.max("mau").cast("bigint").alias("mau"),
+            F.round(
+                F.sum("dau") * 1.0 / F.count("*") / F.max("mau"), 6
+            ).alias("stickiness"),
+        )
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "n_days",
+            "dau_day_sum",
+            "mau",
+            "stickiness",
+        )
+    )
+
+
+@register(
+    "users_power_share",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT count(*) AS n_users, sum(c) AS total FROM per_user
+    ),
+    topk AS (
+        SELECT c
+        FROM per_user
+        ORDER BY c DESC, user_id
+        LIMIT (SELECT CAST(ceil(n_users / 100.0) AS BIGINT) FROM stats)
+    )
+    SELECT CAST(s.n_users AS BIGINT) AS n_users,
+           CAST((SELECT count(*) FROM topk) AS BIGINT) AS k,
+           CAST(s.total AS BIGINT) AS total_events,
+           CAST((SELECT sum(c) FROM topk) AS BIGINT) AS topk_events,
+           ROUND((SELECT sum(c) FROM topk) * 1.0 / s.total, 6) AS power_share
+    FROM stats s
+    """,
+    doc="Power-user concentration: share of all events produced by the top "
+    "1% most active users — the single-number skew headline next to the "
+    "full Gini curve (`events_user_gini`). k = ⌈n/100⌉ users are selected "
+    "by a deterministic (count DESC, user_id) order via distributed "
+    "TakeOrdered (no global sort of the user table); everything else is "
+    "exact integer sums off the same per-user aggregate.",
+    tags=("behavior", "skew", "profile"),
+)
+def users_power_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    per_user = per_user.persist()
+    stats = per_user.agg(
+        F.count("*").alias("n_users"), F.sum("c").alias("total")
+    )
+    n_users = stats.collect()[0]["n_users"]  # 1-row driver read, O(1)
+    k = -(-n_users // 100)
+    topk = per_user.orderBy(F.desc("c"), F.asc("user_id")).limit(int(k))
+    tk = topk.agg(F.sum("c").alias("topk_events"))
+    return (
+        stats.crossJoin(tk)
+        .select(
+            F.col("n_users").cast("bigint"),
+            F.lit(int(k)).cast("bigint").alias("k"),
+            F.col("total").cast("bigint").alias("total_events"),
+            F.col("topk_events").cast("bigint"),
+            F.round(F.col("topk_events") * 1.0 / F.col("total"), 6).alias(
+                "power_share"
+            ),
+        )
+    )

@@ -769,3 +769,37 @@ def emb_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# compose the two registered pipelines' own oracle SQL verbatim — the
+# recall metric must measure exactly the queries it claims to measure
+from data_engineering_project_spark.plans.catalog import QUERIES as _Q
+
+
+@register(
+    "emb_ivf_recall",
+    sql=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+           ROUND(count(*) / 10.0, 2) AS recall_at_10
+    FROM ({_Q["emb_cosine_topk"].sql}) e
+    JOIN ({_Q["emb_ivf_topk"].sql}) a USING (vec_id)
+    """,
+    doc="Recall@10 of the IVF ANN index against the exact brute-force "
+    "ranking — THE acceptance metric for any approximate-nearest-neighbor "
+    "deployment, computed in-engine by joining the two catalog pipelines' "
+    "top-10 lists (their oracle SQL is composed verbatim, so the driver "
+    "hash-checks the recall of exactly the queries it already checks "
+    "individually). nprobe=2 of 8 cells bounds the candidate scan to ~1/4 "
+    "of the corpus; this query states what that buys and what it costs.",
+    tags=("similarity", "ann", "evaluation"),
+)
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = emb_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = emb_ivf_topk(spark, sf_dir).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_overlap")
+    )
+    return overlap.select(
+        "n_overlap",
+        F.round(F.col("n_overlap") / 10.0, 2).alias("recall_at_10"),
+    )
