@@ -575,3 +575,73 @@ def events_ewm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewm_value",
         )
     )
+
+
+@register(
+    "events_seasonal_naive_backtest",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS units
+        FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT a.event_type,
+               abs(a.units - b.units) AS abs_err,
+               a.units AS actual
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.day = a.day - 7
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           ROUND(sum(abs_err) / 100.0 / count(*), 4) AS mae,
+           ROUND(sum(abs_err) * 1.0 / sum(actual), 6) AS wape
+    FROM paired GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Seasonal-naive forecast backtest: predict each day's per-type "
+    "total with the value from 7 days earlier, report MAE and WAPE — the "
+    "baseline every forecasting pipeline must beat, and the backtesting "
+    "harness shape (join actuals to lagged actuals on the CALENDAR, so "
+    "missing days produce no phantom pairs). All errors are exact integer "
+    "cent sums; the two ratios are single defensive ROUNDs. Everything "
+    "after the one raw-data shuffle runs on the ~|type×days| aggregate.",
+    tags=("timeseries", "forecast", "evaluation"),
+)
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(decimal_units(F.col("value"), 100)).alias("units"))
+    daily = daily.persist()
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("units").alias("actual")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("units").alias("lagged"),
+    )
+    paired = a.join(
+        b,
+        (F.col("et_b") == F.col("event_type"))
+        & (F.col("day_b") == F.date_sub(F.col("day_a"), 7)),
+    )
+    return (
+        paired.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_forecasts"),
+            F.round(
+                F.sum(F.abs(F.col("actual") - F.col("lagged")))
+                / 100.0
+                / F.count("*"),
+                4,
+            ).alias("mae"),
+            F.round(
+                F.sum(F.abs(F.col("actual") - F.col("lagged")))
+                * 1.0
+                / F.sum("actual"),
+                6,
+            ).alias("wape"),
+        )
+        .orderBy("event_type")
+    )
