@@ -602,3 +602,126 @@ def brand_price_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mean_a - mean_b) / 100.0, 6).alias("mean_diff"),
         F.round(t, 6).alias("welch_t"),
     )
+
+
+#: JSD vocabulary: the global top-K terms (smoothing-free — every selected
+#: term must appear in the global vocabulary; per-source zero counts are
+#: handled by the 0·ln0 = 0 convention term-wise).
+_JSD_TOP = 100
+
+
+@register(
+    "docs_cross_source_jsd",
+    sql=f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    top_terms AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS f FROM tok GROUP BY term
+            ORDER BY f DESC, term LIMIT {_JSD_TOP}
+        )
+    ),
+    cell AS (
+        SELECT t.source, t.term, count(*) AS c
+        FROM tok t JOIN top_terms USING (term)
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(c) AS n FROM cell GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b,
+               ta.n AS n_a, tb.n AS n_b
+        FROM (SELECT source FROM tot) a
+        JOIN (SELECT source FROM tot) b ON a.source < b.source
+        JOIN top_terms t ON TRUE
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+        LEFT JOIN cell ca ON ca.source = a.source AND ca.term = t.term
+        LEFT JOIN cell cb ON cb.source = b.source AND cb.term = t.term
+    ),
+    terms AS (
+        SELECT source_a, source_b,
+               CAST(floor((
+                   CASE WHEN c_a > 0 THEN 0.5 * (CAST(c_a AS DOUBLE) / n_a)
+                        * ln((CAST(c_a AS DOUBLE) / n_a)
+                             / (0.5 * CAST(c_a AS DOUBLE) / n_a
+                                + 0.5 * CAST(c_b AS DOUBLE) / n_b))
+                        ELSE 0 END
+                   + CASE WHEN c_b > 0 THEN 0.5 * (CAST(c_b AS DOUBLE) / n_b)
+                        * ln((CAST(c_b AS DOUBLE) / n_b)
+                             / (0.5 * CAST(c_a AS DOUBLE) / n_a
+                                + 0.5 * CAST(c_b AS DOUBLE) / n_b))
+                        ELSE 0 END
+               ) * 1000000000 + 0.5) AS BIGINT) AS t_nano
+        FROM pairs
+    )
+    SELECT source_a, source_b,
+           ROUND(sum(t_nano) / 1000000000.0, 6) AS jsd_nats
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Pairwise Jensen–Shannon divergence between per-source unigram "
+    "distributions over the global top-100 terms — the symmetric, bounded "
+    "corpus-mixture distance used to decide whether two sources are "
+    "interchangeable in a training mix (0 = identical, ln2 = disjoint). "
+    "Distributions come from exact integer counts on the tiny "
+    "|sources|×100 grid; each pair-term's transcendental contribution "
+    "floor-quantizes to integer NANO-nats before the cross-term sum (JSD "
+    "terms are tiny, so nano beats the usual micro resolution), making "
+    "the statistic bit-identical across engines. The only raw-data work "
+    "is one tokenization pass + the top-K TakeOrdered; everything "
+    "pairwise runs on broadcast-sized frames.",
+    tags=("text", "stats", "drift"),
+)
+def docs_cross_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count("*").alias("f"))
+    top_terms = (
+        tf.orderBy(F.desc("f"), F.asc("term")).limit(_JSD_TOP).select("term")
+    )
+    cell = (
+        tok.join(F.broadcast(top_terms), "term")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    cell = cell.persist()
+    tot = cell.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    b = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    grid = (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .crossJoin(F.broadcast(top_terms))
+    )
+    ca = cell.select(
+        F.col("source").alias("source_a"),
+        F.col("term"),
+        F.col("c").alias("c_a"),
+    )
+    cb = cell.select(
+        F.col("source").alias("source_b"),
+        F.col("term"),
+        F.col("c").alias("c_b"),
+    )
+    pairs = (
+        grid.join(ca, ["source_a", "term"], "left")
+        .join(cb, ["source_b", "term"], "left")
+        .fillna({"c_a": 0, "c_b": 0})
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a")
+    pb = F.col("c_b").cast("double") / F.col("n_b")
+    mid = 0.5 * pa + 0.5 * pb
+    term_val = F.when(F.col("c_a") > 0, 0.5 * pa * F.log(pa / mid)).otherwise(
+        0.0
+    ) + F.when(F.col("c_b") > 0, 0.5 * pb * F.log(pb / mid)).otherwise(0.0)
+    t_nano = F.floor(term_val * 1000000000 + F.lit(0.5)).cast("bigint")
+    return (
+        pairs.select("source_a", "source_b", t_nano.alias("t_nano"))
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.sum("t_nano") / 1000000000.0, 6).alias("jsd_nats"))
+        .orderBy("source_a", "source_b")
+    )
