@@ -15,6 +15,11 @@ def plans(spark, sf_dir):
     qs = entrymod.queries()
 
     def plan_of(name: str) -> str:
+        # Frames persisted by earlier-run queries (iterative operators
+        # materialize intermediates) substitute InMemoryRelation into any
+        # later plan with a matching subtree, changing FileScan/Exchange
+        # counts — plan assertions must run against a cache-clean session.
+        spark.catalog.clearCache()
         return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
     return plan_of
