@@ -450,3 +450,85 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").cast("bigint").alias("max_degree"),
         )
     )
+
+
+@register(
+    "graph_adamic_adar",
+    sql="""
+    WITH e AS (
+        SELECT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+        HAVING count(DISTINCT o_orderkey) >= 2
+    ),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY s),
+    w AS (
+        SELECT s, CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)
+                  AS w_unats
+        FROM deg WHERE d >= 2
+    ),
+    pairs AS (
+        SELECT a.c AS cust_a, b.c AS cust_b, w.w_unats
+        FROM e a JOIN e b ON a.s = b.s AND a.c < b.c
+        JOIN w ON w.s = a.s
+    )
+    SELECT cust_a, cust_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           ROUND(CAST(sum(w_unats) AS DOUBLE) / 1000000, 6) AS aa_score
+    FROM pairs
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+    doc="Adamic-Adar link prediction over the customer-supplier trade "
+    "graph — the neighbor-weighted common-contact score (score(u,v) = "
+    "Σ_{shared s} 1/ln(deg(s))): rare shared suppliers say more than "
+    "ubiquitous ones. The missing-link family next to "
+    "`suppliers_cooccurrence` (raw counts) and `parts_triangle_affinity` "
+    "(closed triangles). Scale shape: candidate pairs come from a "
+    "postings-style self-join on the shared supplier — cost Σ deg², NOT "
+    "|V|² — after a repeat-interaction prune (≥2 distinct orders per "
+    "edge) that removes one-off noise edges and, with it, the worst hub "
+    "fan-out; the 1/ln(deg) weight also makes the surviving hubs the "
+    "least informative, which is why the standard production variant of "
+    "this operator caps or drops hubs rather than enumerating their "
+    "pairs. Determinism: each supplier's weight floor-quantizes to "
+    "integer micro-units BEFORE the per-pair sum (integer addition is "
+    "order-independent; summing raw 1/ln doubles across a shuffle is "
+    "not), and the ≥3-common-neighbor floor keeps the output a stable, "
+    "meaningful candidate set.",
+    tags=("graph", "linkpred", "join"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.countDistinct("o_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") >= 2)
+        .select("c", "s")
+    )
+    deg = e.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+    w = deg.filter(F.col("d") >= 2).select(
+        "s",
+        F.floor(F.lit(1_000_000.0) / F.log(F.col("d").cast("double")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("w_unats"),
+    )
+    a = e.select(F.col("c").alias("cust_a"), "s")
+    b = e.select(F.col("c").alias("cust_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .join(F.broadcast(w), "s")
+    )
+    return (
+        pairs.groupBy("cust_a", "cust_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.round(F.sum("w_unats").cast("double") / 1_000_000, 6).alias(
+                "aa_score"
+            ),
+        )
+        .filter(F.col("n_common") >= 3)
+    )

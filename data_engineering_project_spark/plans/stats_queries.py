@@ -837,3 +837,145 @@ def events_daily_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_nats",
         )
     )
+
+
+@register(
+    "events_kaplan_meier",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(epoch_us(ts)) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+        FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events),
+    life AS (
+        SELECT CASE WHEN p.tp IS NOT NULL
+                    THEN CAST(floor((p.tp - p.t0) / 3600000000.0) AS BIGINT)
+                    ELSE CAST(floor((m.mxus - p.t0) / 3600000000.0) AS BIGINT)
+               END AS life_hours,
+               CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS death
+        FROM per_user p CROSS JOIN mx m
+    ),
+    grp AS (
+        SELECT life_hours,
+               CAST(sum(death) AS BIGINT) AS deaths,
+               CAST(sum(1 - death) AS BIGINT) AS censored
+        FROM life GROUP BY life_hours
+    ),
+    risk AS (
+        SELECT life_hours, deaths,
+               CAST(sum(deaths + censored) OVER () AS BIGINT)
+               - CAST(COALESCE(sum(deaths + censored) OVER (
+                     ORDER BY life_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_at_risk
+        FROM grp
+    ),
+    curve AS (
+        SELECT life_hours, deaths, n_at_risk,
+               CASE WHEN deaths < n_at_risk
+                    THEN CAST(floor(ln(1.0 - CAST(deaths AS DOUBLE)
+                                             / CAST(n_at_risk AS DOUBLE))
+                                    * 1000000 + 0.5) AS BIGINT)
+               END AS term_unats
+        FROM risk WHERE deaths > 0
+    )
+    SELECT life_hours, n_at_risk, deaths,
+           CASE WHEN deaths < n_at_risk
+                THEN ROUND(exp(CAST(sum(term_unats) OVER (
+                         ORDER BY life_hours
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) / 1000000), 6)
+                ELSE 0.0 END AS survival
+    FROM curve
+    """,
+    doc="Kaplan-Meier survival curve for time-to-first-purchase with "
+    "right-censoring — the survival-analysis operator class (churn/"
+    "conversion lifetimes; the reference's ceiling is groupBy-count). Each "
+    "user contributes one observation: death at floor((first purchase − "
+    "first event)/1h), or censoring at the corpus max timestamp if they "
+    "never purchase — so never-converters shrink the at-risk set instead "
+    "of being silently dropped (the bias a naive converted-only average "
+    "has, cf. `events_time_to_convert`). Shape: one groupBy(user) "
+    "aggregate, a 1-row broadcast max, a groupBy(hour) count-of-events "
+    "frame (|distinct hours| rows — tiny at any SF), and the cumulative "
+    "product over it as exp(Σ ln-terms). Determinism: durations are exact "
+    "integer micros → double division by 3.6e9 is exact below 2^53; each "
+    "ln(1 − d/n) term floor-quantizes to integer micro-nats BEFORE the "
+    "ordered cumulative sum (the entropy/PMI precedent — raw-double sums "
+    "are merge-order-dependent); ties in life_hours are impossible after "
+    "the groupBy. The d = n terminal bucket (everyone at risk dies) emits "
+    "survival 0.0 on both sides rather than routing ln(0) through "
+    "engine-specific -inf/NULL semantics.",
+    tags=("survival", "stats", "window"),
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+    )
+    mx = ev.agg(F.max(us).alias("mxus"))
+    life = per_user.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.floor((F.col("tp") - F.col("t0")) / F.lit(3_600_000_000.0)),
+        )
+        .otherwise(
+            F.floor((F.col("mxus") - F.col("t0")) / F.lit(3_600_000_000.0))
+        )
+        .cast("bigint")
+        .alias("life_hours"),
+        F.when(F.col("tp").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("death"),
+    )
+    grp = life.groupBy("life_hours").agg(
+        F.sum("death").cast("bigint").alias("deaths"),
+        F.sum(1 - F.col("death")).cast("bigint").alias("censored"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_prev = Window.orderBy("life_hours").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    removed = F.col("deaths") + F.col("censored")
+    risk = grp.select(
+        "life_hours",
+        "deaths",
+        (
+            F.sum(removed).over(w_all).cast("bigint")
+            - F.coalesce(F.sum(removed).over(w_prev), F.lit(0)).cast("bigint")
+        ).alias("n_at_risk"),
+    )
+    curve = risk.filter(F.col("deaths") > 0).withColumn(
+        "term_unats",
+        F.when(
+            F.col("deaths") < F.col("n_at_risk"),
+            F.floor(
+                F.log(
+                    1.0
+                    - F.col("deaths").cast("double")
+                    / F.col("n_at_risk").cast("double")
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ),
+    )
+    w_cum = Window.orderBy("life_hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return curve.select(
+        "life_hours",
+        "n_at_risk",
+        "deaths",
+        F.when(
+            F.col("deaths") < F.col("n_at_risk"),
+            F.round(
+                F.exp(F.sum("term_unats").over(w_cum).cast("double") / 1_000_000),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("survival"),
+    )
