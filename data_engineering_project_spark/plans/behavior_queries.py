@@ -811,3 +811,128 @@ def users_power_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_time_decay_attribution",
+    sql="""
+    WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               epoch_us(ts) AS p_us,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS c_ts, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+        SELECT p.p_id, p.cents, c.c_ts,
+               CAST(floor(pow(2.0, -((p.p_us - c.c_us) / 3600000000.0))
+                          * 1000000 + 0.5) AS BIGINT) AS w_ppm
+        FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR AND c.c_ts < p.p_ts
+    ),
+    credit AS (
+        SELECT p_id, cents, c_ts,
+               (w_ppm * 1000000) // sum(w_ppm) OVER (PARTITION BY p_id)
+                   AS credit_ppm
+        FROM touch WHERE w_ppm > 0
+    )
+    SELECT CAST(hour(c_ts) AS INTEGER) AS click_hour,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(sum(credit_ppm) AS DOUBLE) / 1000000, 6)
+               AS credited_purchases,
+           ROUND(CAST(sum(credit_ppm * cents) AS DOUBLE) / 100000000, 4)
+               AS attributed_value
+    FROM credit
+    GROUP BY click_hour
+    """,
+    doc="Multi-touch attribution with exponential time decay — the "
+    "credit-splitting operator class next to the last/any-touch interval "
+    "join (`purchase_click_attribution_1h`): every click in the 24 h "
+    "before a purchase earns weight 2^(-Δhours), each purchase's credit "
+    "is normalized to 1 across its touches, and credited conversions + "
+    "revenue roll up by click hour-of-day. Shape: the same "
+    "user_id-equi-key range join (per-key fan-out bounded by a user's own "
+    "events, no cross product), one window-partition sum per purchase, "
+    "one final groupBy — two shuffles on user-sized frames. Determinism "
+    "at each step: Δ is exact integer micros (÷3.6e9 exact in double "
+    "below 2^53); the transcendental 2^(-Δh) floor-quantizes to integer "
+    "ppm per touch BEFORE any cross-row sum; the per-purchase "
+    "normalization is pure integer division (w·1e6 // Σw), so credits "
+    "are exact ppm integers and every downstream sum is "
+    "order-independent integer addition; purchase values snap to cents. "
+    "Touches whose weight floors to 0 ppm (≳20 h stale under the 1-hour "
+    "half-life) carry no creditable mass and are dropped before "
+    "normalization — also the guard that keeps Σw > 0. Purchases with no "
+    "surviving touch drop out of the inner join (the funnel query family "
+    "covers untouched conversion counting).",
+    tags=("behavior", "attribution", "range", "window"),
+)
+def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        us("ts").alias("p_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        us("ts").alias("c_us"),
+    )
+    touch = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select(
+        "p_id",
+        "cents",
+        "c_ts",
+        F.floor(
+            F.pow(
+                F.lit(2.0),
+                -((F.col("p_us") - F.col("c_us")) / F.lit(3_600_000_000.0)),
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w_ppm"),
+    )
+    w_p = Window.partitionBy("p_id")
+    # a touch >~20 h out floor-quantizes to 0 ppm: no credit to assign, and
+    # a purchase whose touches are ALL stale would divide by Σw = 0
+    touch = touch.filter(F.col("w_ppm") > 0)
+    credit = touch.select(
+        "p_id",
+        "cents",
+        "c_ts",
+        F.expr("w_ppm * 1000000").cast("bigint").alias("w_scaled"),
+        F.sum("w_ppm").over(w_p).alias("sum_w"),
+    ).select(
+        "p_id",
+        "cents",
+        "c_ts",
+        F.expr("w_scaled div sum_w").alias("credit_ppm"),
+    )
+    return (
+        credit.groupBy(F.hour("c_ts").cast("int").alias("click_hour"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.round(F.sum("credit_ppm").cast("double") / 1_000_000, 6).alias(
+                "credited_purchases"
+            ),
+            F.round(
+                F.sum(F.col("credit_ppm") * F.col("cents")).cast("double")
+                / 100_000_000,
+                4,
+            ).alias("attributed_value"),
+        )
+    )
