@@ -508,6 +508,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ord") >= 2)
         .select("c", "s")
     )
+    # e feeds three consumers (degree count + both sides of the pair
+    # self-join); without a persist each one replays the orders⋈lineitem
+    # join — three full fact scans at 100 TB instead of one
+    e = e.persist()
     deg = e.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
     w = deg.filter(F.col("d") >= 2).select(
         "s",

@@ -916,8 +916,12 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.min(us).alias("t0"),
         F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+        F.max(us).alias("t_last"),
     )
-    mx = ev.agg(F.max(us).alias("mxus"))
+    # the censoring horizon max(ts) folds over the per-user maxima — one
+    # FileScan of the fact table total, not a second full pass
+    per_user = per_user.persist()
+    mx = per_user.agg(F.max("t_last").alias("mxus"))
     life = per_user.crossJoin(F.broadcast(mx)).select(
         F.when(
             F.col("tp").isNotNull(),

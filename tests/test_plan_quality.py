@@ -643,3 +643,31 @@ def test_gini_runs_on_count_of_counts(plans):
     plan = plans("events_user_gini")
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_kaplan_meier_scans_events_once(plans):
+    # the censoring horizon folds over the cached per-user aggregate: both
+    # consumers (global max + lifetime classification) read the
+    # InMemoryRelation, so the fact table is physically scanned once.
+    # (InMemoryRelation PRINTS its stored definition — a FileScan — inside
+    # each InMemoryTableScan node, so counting 'FileScan' strings
+    # overstates the physical scans; count the cache reads instead.)
+    plan = plans("events_kaplan_meier")
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_adamic_adar_pairs_from_postings_join(plans):
+    # candidate pairs come from the equi-join on the shared supplier (cost
+    # sum(deg^2)); the weight side broadcasts; no cartesian anywhere
+    plan = plans("graph_adamic_adar")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_decay_attribution_no_cross_product(plans):
+    # the 24h range join rides the user_id equi-key; per-key fan-out is a
+    # user's own events, never a cross product
+    plan = plans("events_time_decay_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
