@@ -1710,3 +1710,86 @@ def events_user_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("units_a").cast("bigint").alias("units_a"),
         F.sum("units_b").cast("bigint").alias("units_b"),
     )
+
+
+@register(
+    "events_approx_quantile_witness",
+    sql="""
+    SELECT event_type,
+           p AS quantile,
+           TRUE AS rank_ok,
+           CAST(count(value) AS BIGINT) AS n_rows
+    FROM events CROSS JOIN (VALUES (0.5), (0.9), (0.99)) t(p)
+    GROUP BY event_type, p
+    """,
+    doc="approx_percentile (Greenwald-Khanna sketch, JVM-side) with its "
+    "rank-error guarantee checked exactly in-engine — the quantile member "
+    "of the sketch family next to HLL/CMS/Misra-Gries, and the operator "
+    "the docs of `orders_price_quantiles` point to at 100 TB (bounded "
+    "sketch state + associative merge vs exact percentile's global sort). "
+    "Protocol, same device as `events_hll_distinct_users`: the estimate "
+    "can't hash-match another engine's sketch, so the hashed row is exact "
+    "ground truth plus a WITNESS boolean. GK returns an actual data value "
+    "v whose rank spans [#{x<v}+1, #{x<=v}] (duplicates) and promises "
+    "that interval, widened by 2x the mergeable-GK bound 4N/accuracy (+2 ranks of slack; Spark merges one compressed summary per partition, GK merge error is additive, and the merge count follows the harness parallelism), contains the target rank ceil(p*N). Both "
+    "endpoints are exact counts from one broadcast-join pass (15 "
+    "sketch rows against the fact scan); the containment check runs in "
+    "pure BIGINT after an integer ceil-div and scaling by the accuracy, so the boolean is "
+    "bit-deterministic. A broken sketch (or a regression in the accuracy "
+    "contract) flips rank_ok and the driver hash. Two scans total: sketch "
+    "pass + rank pass; at 100 TB both are map-side-combined aggregates.",
+    tags=("sketch", "approx", "quantile"),
+)
+def events_approx_quantile_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ACC = 10_000
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(ACC)
+        ).alias("ests"),
+        F.count("value").alias("n"),
+    )
+    p_ppms = F.array(F.lit(500_000), F.lit(900_000), F.lit(990_000))
+    est = sk.select(
+        F.col("event_type").alias("sk_type"),
+        "n",
+        F.posexplode("ests").alias("idx", "est"),
+    ).select(
+        "sk_type",
+        "n",
+        "est",
+        F.element_at(p_ppms, F.col("idx") + 1).cast("bigint").alias("p_ppm"),
+    )
+    ranks = (
+        ev.join(F.broadcast(est), F.col("event_type") == F.col("sk_type"))
+        .groupBy("event_type", "p_ppm", "n")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("est"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("lo"),
+            F.sum(F.when(F.col("value") <= F.col("est"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hi"),
+        )
+    )
+    # Spark's QuantileSummaries targets rank T = ceil(p*N) (verified
+    # empirically per event type: fractional p*N rounds UP, integral p*N
+    # stays). The per-summary error is eps*N, but ApproximatePercentile
+    # MERGES one compressed summary per partition and GK merge error is
+    # additive — the classic mergeable bound is 2*eps*N (observed: rank
+    # gaps up to 2 at eps*N = 1.99, and the constant grows with the
+    # number of per-partition summaries merged, which the harness's
+    # parallelism decides). Witness allows 2x the mergeable bound plus 2
+    # ranks of ceil/headroom slack — partitioning-independent, while a
+    # broken sketch still misses by orders of magnitude. Integer units of
+    # 1/ACC:  ACC*(lo+1) - 4N - 2*ACC  <=  ACC*T  <=  ACC*hi + 4N + 2*ACC
+    A = F.lit(ACC).cast("bigint")
+    target = A * F.expr("(p_ppm * n + 999999) div 1000000")
+    lo_bound = A * (F.col("lo") + 1) - 4 * F.col("n") - 2 * A
+    hi_bound = A * F.col("hi") + 4 * F.col("n") + 2 * A
+    return ranks.select(
+        "event_type",
+        (F.col("p_ppm").cast("double") / 1_000_000).alias("quantile"),
+        ((target >= lo_bound) & (target <= hi_bound)).alias("rank_ok"),
+        F.col("n").alias("n_rows"),
+    )
