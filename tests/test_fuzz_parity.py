@@ -1,0 +1,199 @@
+"""Seeded query-shape fuzzer: random (filter ∧ group-by ∧ aggregate)
+specs rendered twice — once as a Spark DataFrame plan, once as DuckDB SQL
+over the same parquet — and compared value-for-value.
+
+This is the sqllogictest-style corpus SURVEY.md §5 notes the reference
+lacks: the catalog pins ~190 hand-written shapes, the fuzzer sweeps the
+combinatorial space BETWEEN them (filter x key x aggregate cross
+products nobody thought to write). Determinism rules match the engine's
+invariants: only order-independent aggregates (count / countDistinct /
+min / max / integer-unit sums), no LIMIT (ties), seeded RNG so every run
+checks the identical corpus."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+# ---- per-table spec pools ---------------------------------------------
+
+TABLES = {
+    "events": {
+        "filters": [
+            # (spark_fn, sql_text)
+            (lambda d: d.filter(F.col("event_type") == "click"),
+             "event_type = 'click'"),
+            (lambda d: d.filter(F.col("event_type").isin("purchase", "signup")),
+             "event_type IN ('purchase', 'signup')"),
+            (lambda d: d.filter(F.col("value") > 50),
+             "value > 50"),
+            (lambda d: d.filter(F.col("value") <= 10),
+             "value <= 10"),
+            (lambda d: d.filter(F.hour("ts") < 12),
+             "hour(ts) < 12"),
+            (lambda d: d.filter(F.col("user_id") % 7 == 3),
+             "user_id % 7 = 3"),
+            (lambda d: d.filter(F.col("props").isNotNull()),
+             "props IS NOT NULL"),
+        ],
+        "keys": [
+            ("event_type", lambda: F.col("event_type"), "event_type"),
+            ("date", lambda: F.date_format("ts", "yyyy-MM-dd"),
+             "strftime(CAST(ts AS DATE), '%Y-%m-%d')"),
+            ("hod", lambda: F.hour("ts").cast("int"), "CAST(hour(ts) AS INTEGER)"),
+            ("ubucket", lambda: (F.col("user_id") % 5).cast("bigint"),
+             "CAST(user_id % 5 AS BIGINT)"),
+        ],
+        "aggs": [
+            ("n", lambda: F.count("*").cast("bigint"),
+             "CAST(count(*) AS BIGINT)"),
+            ("du", lambda: F.countDistinct("user_id").cast("bigint"),
+             "CAST(count(DISTINCT user_id) AS BIGINT)"),
+            ("vmin", lambda: F.min("value"), "min(value)"),
+            ("vmax", lambda: F.max("value"), "max(value)"),
+            ("vcents", lambda: F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5))).cast("bigint"),
+             "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"),
+        ],
+    },
+    "lineitem": {
+        "filters": [
+            (lambda d: d.filter(F.col("l_returnflag") == "R"),
+             "l_returnflag = 'R'"),
+            (lambda d: d.filter(F.col("l_quantity") >= 25),
+             "l_quantity >= 25"),
+            (lambda d: d.filter(F.col("l_discount") < 0.05),
+             "l_discount < 0.05"),
+            (lambda d: d.filter(F.col("l_shipdate") >= "1997-01-01"),
+             "l_shipdate >= DATE '1997-01-01'"),
+            (lambda d: d.filter(F.col("l_partkey") % 10 != 0),
+             "l_partkey % 10 <> 0"),
+        ],
+        "keys": [
+            ("l_returnflag", lambda: F.col("l_returnflag"), "l_returnflag"),
+            ("l_linestatus", lambda: F.col("l_linestatus"), "l_linestatus"),
+            ("ship_year", lambda: F.year("l_shipdate").cast("int"),
+             "CAST(year(l_shipdate) AS INTEGER)"),
+            # floor() explicitly: DuckDB ROUNDS double->int casts, Spark
+            # truncates — a bare CAST would diverge on x.5 buckets
+            ("qbucket", lambda: F.floor(F.col("l_quantity") / 10).cast("int"),
+             "CAST(floor(l_quantity / 10) AS INTEGER)"),
+        ],
+        "aggs": [
+            ("n", lambda: F.count("*").cast("bigint"),
+             "CAST(count(*) AS BIGINT)"),
+            ("parts", lambda: F.countDistinct("l_partkey").cast("bigint"),
+             "CAST(count(DISTINCT l_partkey) AS BIGINT)"),
+            ("qmin", lambda: F.min("l_quantity"), "min(l_quantity)"),
+            ("pmax", lambda: F.max("l_extendedprice"),
+             "max(l_extendedprice)"),
+            ("price_units", lambda: F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            ).cast("bigint"),
+             "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+             " AS BIGINT)"),
+        ],
+    },
+    "orders": {
+        "filters": [
+            (lambda d: d.filter(F.col("o_orderstatus") == "F"),
+             "o_orderstatus = 'F'"),
+            (lambda d: d.filter(F.col("o_totalprice") > 100_000),
+             "o_totalprice > 100000"),
+            (lambda d: d.filter(F.col("o_orderdate") < "1999-01-01"),
+             "o_orderdate < DATE '1999-01-01'"),
+            (lambda d: d.filter(F.col("o_custkey") % 3 == 1),
+             "o_custkey % 3 = 1"),
+        ],
+        "keys": [
+            ("o_orderpriority", lambda: F.col("o_orderpriority"), "o_orderpriority"),
+            ("o_orderstatus", lambda: F.col("o_orderstatus"), "o_orderstatus"),
+            ("order_year", lambda: F.year("o_orderdate").cast("int"),
+             "CAST(year(o_orderdate) AS INTEGER)"),
+        ],
+        "aggs": [
+            ("n", lambda: F.count("*").cast("bigint"),
+             "CAST(count(*) AS BIGINT)"),
+            ("custs", lambda: F.countDistinct("o_custkey").cast("bigint"),
+             "CAST(count(DISTINCT o_custkey) AS BIGINT)"),
+            ("tmax", lambda: F.max("o_totalprice"), "max(o_totalprice)"),
+            ("total_millis", lambda: F.sum(
+                F.floor(F.col("o_totalprice") * 1000 + F.lit(0.5))
+            ).cast("bigint"),
+             "CAST(sum(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT))"
+             " AS BIGINT)"),
+        ],
+    },
+}
+
+N_CASES = 40
+
+
+def _gen_cases():
+    rng = random.Random(20260814)
+    cases = []
+    for i in range(N_CASES):
+        table = rng.choice(sorted(TABLES))
+        pool = TABLES[table]
+        filters = rng.sample(pool["filters"], rng.randint(0, 2))
+        keys = rng.sample(pool["keys"], rng.randint(1, min(2, len(pool["keys"]))))
+        aggs = rng.sample(pool["aggs"], rng.randint(1, 3))
+        cases.append((i, table, filters, keys, aggs))
+    return cases
+
+
+CASES = _gen_cases()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "case", CASES, ids=[f"case{i}_{t}" for i, t, *_ in CASES]
+)
+def test_fuzzed_shape_matches_duckdb(spark, sf_dir, duck, case):
+    _, table, filters, keys, aggs = case
+
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for fn, _ in filters:
+        df = fn(df)
+    got_df = df.groupBy(
+        *[expr().alias(name) for name, expr, _ in keys]
+    ).agg(*[fn().alias(name) for name, fn, _ in aggs])
+    got_cols = got_df.columns
+    order = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+    got = sorted(
+        tuple(str(row[i]) for i in order) for row in got_df.collect()
+    )
+
+    where = (
+        " WHERE " + " AND ".join(sql for _, sql in filters)
+        if filters else ""
+    )
+    key_sql = ", ".join(f"{sql} AS {name}" for name, _, sql in keys)
+    agg_sql = ", ".join(f"{sql} AS {name}" for name, _, sql in aggs)
+    group_names = ", ".join(name for name, _, _ in keys)
+    q = (
+        f"SELECT {key_sql}, {agg_sql} FROM {table}{where} "
+        f"GROUP BY {group_names}"
+    )
+    res = duck.execute(q)
+    ocols = [d[0] for d in res.description]
+    oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    exp = sorted(
+        tuple(str(row[i]) for i in oorder) for row in res.fetchall()
+    )
+
+    assert sorted(got_cols) == sorted(ocols)
+    assert got == exp, f"case failed: {q}"
