@@ -91,6 +91,12 @@ HEADLINE = (
     # tenth wave (round 4): the flagship text-dedup pipeline, after the
     # codegen-cliff fix (expression-form signatures evaluated interpreted)
     "docs_minhash_pairs",
+    # eleventh wave (round 4c): survival curve (single-scan + cached
+    # per-user agg), postings-join link prediction, integer-ppm
+    # credit-splitting over a 24h range join
+    "events_kaplan_meier",
+    "graph_adamic_adar",
+    "events_time_decay_attribution",
 )
 
 
