@@ -197,3 +197,151 @@ def test_fuzzed_shape_matches_duckdb(spark, sf_dir, duck, case):
 
     assert sorted(got_cols) == sorted(ocols)
     assert got == exp, f"case failed: {q}"
+
+
+# ---- join-shape fuzz: star joins are where planner bugs live ----------
+
+JOINED = {
+    "lineitem_part": {
+        "spark": lambda spark, sf: spark.read.parquet(f"{sf}/lineitem.parquet")
+        .join(
+            F.broadcast(spark.read.parquet(f"{sf}/part.parquet")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        ),
+        "from": "lineitem l JOIN part p ON p.p_partkey = l.l_partkey",
+        "filters": [
+            (lambda d: d.filter(F.col("p_size").isin(10, 20)),
+             "p_size IN (10, 20)"),
+            (lambda d: d.filter(F.col("p_type") == "PROMO"),
+             "p_type = 'PROMO'"),
+            (lambda d: d.filter(F.col("l_quantity") < 30),
+             "l_quantity < 30"),
+            (lambda d: d.filter(F.col("l_shipdate") >= "1998-01-01"),
+             "l_shipdate >= DATE '1998-01-01'"),
+        ],
+        "keys": [
+            ("p_brand", lambda: F.col("p_brand"), "p_brand"),
+            ("p_type", lambda: F.col("p_type"), "p_type"),
+            ("rflag", lambda: F.col("l_returnflag"), "l_returnflag"),
+        ],
+        "aggs": [
+            ("n", lambda: F.count("*").cast("bigint"),
+             "CAST(count(*) AS BIGINT)"),
+            ("parts", lambda: F.countDistinct("p_partkey").cast("bigint"),
+             "CAST(count(DISTINCT p_partkey) AS BIGINT)"),
+            ("rev_units", lambda: F.sum(
+                F.floor(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")) * 10_000 + F.lit(0.5))
+            ).cast("bigint"),
+             "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)"
+             " * 10000 + 0.5) AS BIGINT)) AS BIGINT)"),
+            ("szmax", lambda: F.max("p_size"), "max(p_size)"),
+        ],
+    },
+    "orders_customer_nation": {
+        "spark": lambda spark, sf: spark.read.parquet(f"{sf}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf}/customer.parquet"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(spark.read.parquet(f"{sf}/nation.parquet")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        ),
+        "from": "orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+                "JOIN nation n ON n.n_nationkey = c.c_nationkey",
+        "filters": [
+            (lambda d: d.filter(F.col("c_acctbal") > 0), "c_acctbal > 0"),
+            (lambda d: d.filter(F.col("c_mktsegment") == "BUILDING"),
+             "c_mktsegment = 'BUILDING'"),
+            (lambda d: d.filter(F.col("o_orderdate") >= "1998-01-01"),
+             "o_orderdate >= DATE '1998-01-01'"),
+        ],
+        "keys": [
+            ("n_name", lambda: F.col("n_name"), "n_name"),
+            ("seg", lambda: F.col("c_mktsegment"), "c_mktsegment"),
+            ("order_year", lambda: F.year("o_orderdate").cast("int"),
+             "CAST(year(o_orderdate) AS INTEGER)"),
+        ],
+        "aggs": [
+            ("n", lambda: F.count("*").cast("bigint"),
+             "CAST(count(*) AS BIGINT)"),
+            ("custs", lambda: F.countDistinct("c_custkey").cast("bigint"),
+             "CAST(count(DISTINCT c_custkey) AS BIGINT)"),
+            ("price_millis", lambda: F.sum(
+                F.floor(F.col("o_totalprice") * 1000 + F.lit(0.5))
+            ).cast("bigint"),
+             "CAST(sum(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT))"
+             " AS BIGINT)"),
+        ],
+    },
+}
+
+N_JOIN_CASES = 20
+
+
+def _gen_join_cases():
+    rng = random.Random(814)
+    cases = []
+    for i in range(N_JOIN_CASES):
+        name = rng.choice(sorted(JOINED))
+        pool = JOINED[name]
+        filters = rng.sample(pool["filters"], rng.randint(0, 2))
+        keys = rng.sample(pool["keys"], rng.randint(1, 2))
+        aggs = rng.sample(pool["aggs"], rng.randint(1, 3))
+        cases.append((i, name, filters, keys, aggs))
+    return cases
+
+
+JOIN_CASES = _gen_join_cases()
+
+
+@pytest.fixture(scope="module")
+def duck_dims(sf_dir, duck):
+    for t in ("customer", "nation", "supplier", "part"):
+        duck.execute(
+            f"CREATE VIEW IF NOT EXISTS {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return duck
+
+
+@pytest.mark.parametrize(
+    "case", JOIN_CASES, ids=[f"join{i}_{t}" for i, t, *_ in JOIN_CASES]
+)
+def test_fuzzed_join_shape_matches_duckdb(spark, sf_dir, duck_dims, case):
+    _, name, filters, keys, aggs = case
+    pool = JOINED[name]
+
+    df = pool["spark"](spark, sf_dir)
+    for fn, _ in filters:
+        df = fn(df)
+    got_df = df.groupBy(
+        *[expr().alias(n) for n, expr, _ in keys]
+    ).agg(*[fn().alias(n) for n, fn, _ in aggs])
+    got_cols = got_df.columns
+    order = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+    got = sorted(
+        tuple(str(row[i]) for i in order) for row in got_df.collect()
+    )
+
+    where = (
+        " WHERE " + " AND ".join(sql for _, sql in filters)
+        if filters else ""
+    )
+    key_sql = ", ".join(f"{sql} AS {n}" for n, _, sql in keys)
+    agg_sql = ", ".join(f"{sql} AS {n}" for n, _, sql in aggs)
+    group_names = ", ".join(n for n, _, _ in keys)
+    q = (
+        f"SELECT {key_sql}, {agg_sql} FROM {pool['from']}{where} "
+        f"GROUP BY {group_names}"
+    )
+    res = duck_dims.execute(q)
+    ocols = [d[0] for d in res.description]
+    oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    exp = sorted(
+        tuple(str(row[i]) for i in oorder) for row in res.fetchall()
+    )
+
+    assert sorted(got_cols) == sorted(ocols)
+    assert got == exp, f"join case failed: {q}"
