@@ -84,6 +84,10 @@ def kmeans_assignments(
     init_rows = (
         pts.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(k).collect()
     )
+    if not init_rows:
+        # an empty corpus (routine for a day-partition at scale) yields an
+        # empty assignment, not a crash on the missing init sample
+        return pts.select("vec_id", F.lit(0).cast("int").alias("cluster"))
     centroids = {
         cid: [float(v) for v in row["q"]] for cid, row in enumerate(init_rows)
     }

@@ -195,12 +195,20 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v").alias("viewed"),
         F.count("c").alias("clicked_after_view"),
         F.count("p").alias("purchased_after_click"),
-        F.round(F.count("c").cast("double") / F.count("v"), 4).alias(
-            "view_to_click"
-        ),
-        F.round(F.count("p").cast("double") / F.count("c"), 4).alias(
-            "click_to_purchase"
-        ),
+        # guarded: an empty/viewless slice yields NULL rates, not an ANSI
+        # divide-by-zero (empty partitions are routine at scale)
+        F.round(
+            F.when(
+                F.count("v") > 0, F.count("c").cast("double") / F.count("v")
+            ),
+            4,
+        ).alias("view_to_click"),
+        F.round(
+            F.when(
+                F.count("c") > 0, F.count("p").cast("double") / F.count("c")
+            ),
+            4,
+        ).alias("click_to_purchase"),
     )
 
 

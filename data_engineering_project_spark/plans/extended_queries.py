@@ -1439,11 +1439,16 @@ def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.crossJoin(direct).select(
         "n_days",
         (F.col("union_est") == F.col("direct_est")).alias("union_equals_direct"),
-        (
+        # vacuously true on an empty slice (exact = 0): the witness guards
+        # the estimate's error, and an absent estimate has none
+        F.when(
+            F.col("exact_total_users") > 0,
             F.abs(F.col("union_est") - F.col("exact_total_users"))
             / F.col("exact_total_users")
-            <= 0.05
-        ).alias("union_within_5pct"),
+            <= 0.05,
+        )
+        .otherwise(F.lit(True))
+        .alias("union_within_5pct"),
         "exact_total_users",
     )
 
