@@ -725,3 +725,97 @@ def docs_cross_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("t_nano") / 1000000000.0, 6).alias("jsd_nats"))
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "events_did_purchase_rate",
+    sql="""
+    WITH s AS (
+        SELECT
+          CAST(sum(CASE WHEN user_id % 2 = 0
+                         AND ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS t_pre_n,
+          CAST(sum(CASE WHEN user_id % 2 = 0
+                         AND ts < TIMESTAMP '2024-01-16'
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS t_pre_p,
+          CAST(sum(CASE WHEN user_id % 2 = 0
+                         AND ts >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS t_post_n,
+          CAST(sum(CASE WHEN user_id % 2 = 0
+                         AND ts >= TIMESTAMP '2024-01-16'
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS t_post_p,
+          CAST(sum(CASE WHEN user_id % 2 = 1
+                         AND ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_pre_n,
+          CAST(sum(CASE WHEN user_id % 2 = 1
+                         AND ts < TIMESTAMP '2024-01-16'
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_pre_p,
+          CAST(sum(CASE WHEN user_id % 2 = 1
+                         AND ts >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_post_n,
+          CAST(sum(CASE WHEN user_id % 2 = 1
+                         AND ts >= TIMESTAMP '2024-01-16'
+                         AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c_post_p
+        FROM events
+    )
+    SELECT t_pre_n, t_pre_p, t_post_n, t_post_p,
+           c_pre_n, c_pre_p, c_post_n, c_post_p,
+           CASE WHEN t_pre_n > 0 AND t_post_n > 0
+                 AND c_pre_n > 0 AND c_post_n > 0
+                THEN ROUND(
+                  ((t_post_p * 1.0 / t_post_n) - (t_pre_p * 1.0 / t_pre_n))
+                  - ((c_post_p * 1.0 / c_post_n) - (c_pre_p * 1.0 / c_pre_n)),
+                  6)
+           END AS did_estimate
+    FROM s
+    """,
+    doc="Difference-in-differences — the causal-inference panel estimator "
+    "(the A/B z-test's observational cousin: when assignment isn't "
+    "randomized, difference out the group-level baseline and the "
+    "period-level shock). Cells: treatment proxy = even user_id, period "
+    "split at the month's midpoint, outcome = purchase share of events. "
+    "One scan, eight conditional integer aggregates (map-side combined, "
+    "one 1-row reduce — nothing about the shape changes at 100 TB); the "
+    "estimate is four exact-integer ratios composed in a parenthesization "
+    "mirrored token-for-token in the oracle, so the final double is "
+    "bit-identical. NULL (not a crash, not a fake 0) when any cell is "
+    "empty — the estimator is undefined without all four panels.",
+    tags=("causal", "stats", "agg"),
+)
+def events_did_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    treat = F.col("user_id") % 2 == 0
+    pre = F.col("ts") < "2024-01-16"
+    purch = F.col("event_type") == "purchase"
+
+    def cell(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    s = ev.agg(
+        cell(treat & pre, "t_pre_n"),
+        cell(treat & pre & purch, "t_pre_p"),
+        cell(treat & ~pre, "t_post_n"),
+        cell(treat & ~pre & purch, "t_post_p"),
+        cell(~treat & pre, "c_pre_n"),
+        cell(~treat & pre & purch, "c_pre_p"),
+        cell(~treat & ~pre, "c_post_n"),
+        cell(~treat & ~pre & purch, "c_post_p"),
+    )
+    rate = lambda p, n: F.col(p).cast("double") / F.col(n)
+    return s.select(
+        "t_pre_n", "t_pre_p", "t_post_n", "t_post_p",
+        "c_pre_n", "c_pre_p", "c_post_n", "c_post_p",
+        F.when(
+            (F.col("t_pre_n") > 0) & (F.col("t_post_n") > 0)
+            & (F.col("c_pre_n") > 0) & (F.col("c_post_n") > 0),
+            F.round(
+                (rate("t_post_p", "t_post_n") - rate("t_pre_p", "t_pre_n"))
+                - (rate("c_post_p", "c_post_n") - rate("c_pre_p", "c_pre_n")),
+                6,
+            ),
+        ).alias("did_estimate"),
+    )
