@@ -819,3 +819,304 @@ def events_did_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("did_estimate"),
     )
+
+
+@register(
+    "events_ks_two_sample",
+    sql="""
+    WITH s AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    cells AS (
+        SELECT cents,
+               CAST(sum(g) AS HUGEINT) AS c1,
+               CAST(count(*) - sum(g) AS HUGEINT) AS c2
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT sum(c1) OVER (ORDER BY cents) AS f1,
+               sum(c2) OVER (ORDER BY cents) AS f2,
+               sum(c1) OVER () AS n1,
+               sum(c2) OVER () AS n2
+        FROM cells
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_numer,
+           ROUND(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+                 / (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE)),
+                 6) AS ks_d
+    FROM cum
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov statistic comparing the "
+    "`value` distribution of purchase vs click events — the "
+    "distribution-shift detector behind data-drift monitors (the "
+    "nonparametric sibling of `docs_length_drift_psi`, which needs "
+    "pre-chosen bins; KS needs none). The empirical CDFs never "
+    "materialize per-row: values snap to integer cents, collapse to a "
+    "count-of-values table (bounded by the price grid, NOT by row count "
+    "— 17.8k cells at sf0.1 and saturating, the `events_user_gini` "
+    "grouped-frequency device), and the sup-distance runs as ONE "
+    "cumulative window over that table. D stays an exact integer "
+    "numerator |F1*n2 - F2*n1| (HUGEINT/DECIMAL38) until the final "
+    "division, so the statistic is bit-reproducible across engines and "
+    "partition counts. At cluster scale the ordered window over the "
+    "saturating cell table is a single-reducer step over ~1e5 rows — "
+    "negligible next to the map-side-combined cell build.",
+    tags=("stats", "inference", "drift"),
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        decimal_units(F.col("value"), 100).alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+    )
+    cells = s.groupBy("cents").agg(
+        F.sum("g").cast(DEC38).alias("c1"),
+        (F.count("*") - F.sum("g")).cast(DEC38).alias("c2"),
+    )
+    w = Window.orderBy("cents")
+    wall = Window.partitionBy()
+    cum = cells.select(
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    d = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.max(d).cast("bigint").alias("d_numer"),
+        F.round(
+            F.max(d).cast("double")
+            / (
+                F.max("n1").cast("double")
+                * F.max("n2").cast("double")
+            ),
+            6,
+        ).alias("ks_d"),
+    )
+
+
+@register(
+    "events_mannwhitney_u",
+    sql="""
+    WITH s AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    cells AS (
+        SELECT cents,
+               CAST(sum(g) AS HUGEINT) AS c1,
+               CAST(count(*) - sum(g) AS HUGEINT) AS c2,
+               CAST(count(*) AS HUGEINT) AS m
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT c1, c2, m,
+               COALESCE(sum(m) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS b
+        FROM cells
+    ),
+    agg AS (
+        SELECT sum(c1) AS n1,
+               sum(c2) AS n2,
+               sum(c1 * (2 * b + m + 1)) AS two_r1,
+               sum(m * m * m - m) AS ties
+        FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u1,
+           ROUND((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+                  - CAST(n1 * n2 AS DOUBLE))
+                 / (2 * sqrt(
+                     CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                     * (CAST(n1 + n2 + 1 AS DOUBLE)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(n1 + n2 AS DOUBLE)
+                             * CAST(n1 + n2 - 1 AS DOUBLE))))),
+                 6) AS mw_z
+    FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test (purchase vs click `value`) with "
+    "full tie correction — the median-shift sibling of "
+    "`brand_price_welch_t` (means) and `events_ks_two_sample` (whole "
+    "CDF), completing the two-sample toolkit. No per-row ranking ever "
+    "happens: ranks collapse onto the count-of-values table via the "
+    "tied-rank closed form 2*R1 = SUM c1*(2b + m + 1) (b = count below "
+    "the tie block, m = block size) — the same device "
+    "`events_user_gini` uses, so the rank sum is exact integer "
+    "arithmetic (DECIMAL38/HUGEINT) regardless of partitioning. The "
+    "tie-corrected normal approximation sigma^2 = n1*n2/12 * ((n+1) - "
+    "SUM(m^3-m)/(n(n-1))) derives from the same integers; one sqrt at "
+    "the end on bit-identical doubles. Two map-side-combined shuffles "
+    "(cell build, 1-row fold) plus a window over the saturating cell "
+    "table.",
+    tags=("stats", "inference", "ab-test"),
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        decimal_units(F.col("value"), 100).alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+    )
+    cells = s.groupBy("cents").agg(
+        F.sum("g").cast(DEC38).alias("c1"),
+        (F.count("*") - F.sum("g")).cast(DEC38).alias("c2"),
+        F.count("*").cast(DEC38).alias("m"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cells.select(
+        "c1",
+        "c2",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0).cast(DEC38)).alias("b"),
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (F.col("b") * 2 + F.col("m") + 1)
+        ).alias("two_r1"),
+        F.sum(
+            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+        ).alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    two_u1 = F.col("two_r1") - n1 * (n1 + 1)
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    nd = (n1 + n2).cast("double")
+    sigma = F.sqrt(
+        n1d * n2d / 12.0
+        * (
+            (n1 + n2 + 1).cast("double")
+            - F.col("ties").cast("double")
+            / (nd * (n1 + n2 - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        two_u1.cast("bigint").alias("two_u1"),
+        F.round(
+            (two_u1.cast("double") - (n1 * n2).cast("double")) / (2 * sigma),
+            6,
+        ).alias("mw_z"),
+    )
+
+
+@register(
+    "nation_theilsen_trend",
+    sql=f"""
+    WITH pts AS (
+        SELECT c.c_nationkey,
+               (EXTRACT(year FROM o.o_orderdate) - 1992) * 12
+                   + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
+               CAST(floor(o.o_totalprice * {MILLI} + 0.5) AS BIGINT) AS units
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    monthly AS (
+        SELECT c_nationkey, x, CAST(sum(units) AS BIGINT) AS y
+        FROM pts GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.c_nationkey,
+               CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+        FROM monthly a
+        JOIN monthly b
+          ON a.c_nationkey = b.c_nationkey AND a.x < b.x
+    ),
+    ranked AS (
+        SELECT c_nationkey, slope,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY slope) AS rn,
+               count(*) OVER (PARTITION BY c_nationkey) AS np
+        FROM slopes
+    )
+    SELECT n.n_name AS nation,
+           CAST(max(r.np) AS BIGINT) AS n_pairs,
+           ROUND(avg(r.slope) / {MILLI}, 6) AS theilsen_slope
+    FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
+    WHERE r.rn IN ((r.np + 1) // 2, (r.np + 2) // 2)
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    doc="Theil-Sen robust trend of monthly order revenue per nation — the "
+    "median of all pairwise month-to-month slopes, immune to the outlier "
+    "months that bend `nation_monthly_ols_trend`'s least-squares line "
+    "(breakdown point 29% vs 0%). The O(T^2) pair enumeration is safe "
+    "BECAUSE it runs on the monthly rollup, never the raw rows: T is "
+    "calendar-bounded (~84 months regardless of data scale), so the "
+    "within-nation self-join emits <=T(T-1)/2 ~ 3.5k pairs per nation "
+    "while the only data-sized work is the same revenue rollup OLS "
+    "already pays. Each slope (y2-y1)/(x2-x1) divides exact integer "
+    "milli-units by an integer gap, so the doubles are bit-identical "
+    "across engines; the median picks the middle row_number(s) exactly "
+    "(even count averages two doubles — commutative, still "
+    "deterministic). Equal-slope ties permute row_numbers but never the "
+    "selected VALUE.",
+    tags=("stats", "regression", "robust"),
+)
+def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pts = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey",
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("x"),
+        decimal_units(F.col("o_totalprice"), MILLI).alias("units"),
+    )
+    monthly = pts.groupBy("c_nationkey", "x").agg(
+        F.sum("units").cast("bigint").alias("y")
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.c_nationkey").alias("c_nationkey"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    wn = Window.partitionBy("c_nationkey")
+    ranked = slopes.select(
+        "c_nationkey",
+        "slope",
+        F.row_number().over(wn.orderBy("slope")).alias("rn"),
+        F.count("*").over(wn).alias("np"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    )
+    return (
+        mid.join(n, mid.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("np").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("slope") / MILLI, 6).alias("theilsen_slope"),
+        )
+        .orderBy("nation")
+    )

@@ -875,3 +875,100 @@ def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_vocab"),
         )
     )
+
+
+@register(
+    "docs_collocations_pmi",
+    sql=r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+        FROM toks
+    ),
+    pairs AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM bg GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT w1, w2, n_xy,
+               sum(n_xy) OVER (PARTITION BY w1) AS n_x,
+               sum(n_xy) OVER (PARTITION BY w2) AS n_y,
+               sum(n_xy) OVER () AS n
+        FROM pairs
+    )
+    SELECT w1, w2, n_xy,
+           CAST(floor(ln(n_xy * 1.0 * n / (n_x * n_y)) * 1000000 + 0.5)
+                AS BIGINT) AS pmi_micro_nats
+    FROM marg
+    WHERE n_xy >= 5
+    ORDER BY pmi_micro_nats DESC, w1, w2
+    LIMIT 50
+    """,
+    doc="Top-50 bigram collocations by pointwise mutual information — the "
+    "multi-word-expression detector used to build tokenizer merge lists "
+    "and phrase vocabularies from a raw corpus ('new york'-style units "
+    "whose joint frequency far exceeds chance). Marginals are computed "
+    "BEFORE the min-count filter (PMI against true unigram mass, not the "
+    "surviving subset) as window sums over the grouped bigram table — "
+    "word-count-shaped work: the only data-sized shuffle is the bigram "
+    "groupBy with map-side combine; the marginal windows partition the "
+    "vocabulary-sized pair table by word. PMI lands in micro-nats via "
+    "the portable floor-round (the `events_type_dow_pmi` device) so ln "
+    "on identical integer-derived doubles hashes identically across "
+    "engines; the ORDER BY ties-break on (w1, w2) so LIMIT 50 is "
+    "deterministic even at equal PMI.",
+    tags=("text", "information", "window"),
+)
+def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # Adjacent-pair unfold stays array-side (one struct per position, no
+    # join): slice yields positions 1..len-1; element_at(ts, i+2) is the
+    # 1-based successor of the i-th (0-based) slice element.
+    bg = d.select(T.tokens(F.col("text")).alias("ts")).select(
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1), (x, i) -> "
+                "struct(x AS w1, element_at(ts, i + 2) AS w2))"
+            )
+        ).alias("b")
+    )
+    pairs = bg.groupBy(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    ).agg(F.count("*").cast("bigint").alias("n_xy"))
+    marg = pairs.select(
+        "w1",
+        "w2",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("w1")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("w2")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        marg.filter(F.col("n_xy") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.floor(
+                F.log(
+                    F.col("n_xy")
+                    * 1.0
+                    * F.col("n")
+                    / (F.col("n_x") * F.col("n_y"))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("pmi_micro_nats"),
+        )
+        .orderBy(F.desc("pmi_micro_nats"), "w1", "w2")
+        .limit(50)
+    )
