@@ -97,6 +97,10 @@ HEADLINE = (
     "events_kaplan_meier",
     "graph_adamic_adar",
     "events_time_decay_attribution",
+    # twelfth wave (round 4d): word-count-shaped collocation mining and
+    # the grouped-frequency KS drift statistic
+    "docs_collocations_pmi",
+    "events_ks_two_sample",
 )
 
 
