@@ -1084,8 +1084,13 @@ def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
         decimal_units(F.col("o_totalprice"), MILLI).alias("units"),
     )
-    monthly = pts.groupBy("c_nationkey", "x").agg(
-        F.sum("units").cast("bigint").alias("y")
+    monthly = (
+        pts.groupBy("c_nationkey", "x")
+        .agg(F.sum("units").cast("bigint").alias("y"))
+        # both self-join sides read this ≤|nation|×|months|-row rollup; the
+        # persist pins reuse structurally so the fact scan never re-executes
+        # (AQE ReuseExchange fires here too, but only at runtime)
+        .persist()
     )
     a = monthly.alias("a")
     b = monthly.alias("b")

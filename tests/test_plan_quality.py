@@ -671,3 +671,49 @@ def test_time_decay_attribution_no_cross_product(plans):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_ks_two_sample_single_scan_no_join(plans):
+    # CDFs collapse onto the count-of-values table before any window: one
+    # pushed-filter scan of events, no join anywhere in the statistic
+    plan = plans("events_ks_two_sample")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    scan = plan[plan.index("FileScan") :]
+    assert "PushedFilters" in scan
+    assert "event_type" in scan.split("PushedFilters")[1][:300]
+
+
+def test_mannwhitney_single_scan_no_join(plans):
+    # rank sums come from the tied-rank closed form over the grouped
+    # frequency table — no per-row ranking, no join, one scan
+    plan = plans("events_mannwhitney_u")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_collocations_pmi_no_join(plans):
+    # bigrams unfold array-side and marginals are window sums over the
+    # grouped pair table: a single documents scan and zero joins
+    plan = plans("docs_collocations_pmi")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_theilsen_self_joins_cached_rollup(plans):
+    # both pairwise-slope sides read the persisted monthly rollup
+    # (InMemoryRelation prints its stored FileScan definition inside each
+    # InMemoryTableScan node — count cache reads, not 'FileScan' strings):
+    # the orders⋈customer fact work physically executes once
+    plan = plans("nation_theilsen_trend")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_clustering_coeff_shares_cached_edges(plans):
+    # degrees, all three wedge-join sides, and the corner unfold all read
+    # the persisted thresholded edge list; lineitem is scanned once at
+    # cache materialization
+    plan = plans("graph_clustering_coeff")
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "CartesianProduct" not in plan
