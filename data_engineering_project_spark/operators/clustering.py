@@ -70,8 +70,13 @@ def kmeans_assignments(
     k: int = 8,
     n_iter: int = 3,
     scale: int = 1000,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd iterations; return (id, cluster) assignments.
+
+    ``keep_vec=True`` also returns the quantized vector column ``q`` so
+    downstream within-cluster work (e.g. semantic dedup) avoids a join
+    back to the corpus.
 
     Init: the k points with the smallest ``md5(id)`` — deterministic,
     partition-independent, and a real-data init (k-means|| would be the
@@ -87,7 +92,8 @@ def kmeans_assignments(
     if not init_rows:
         # an empty corpus (routine for a day-partition at scale) yields an
         # empty assignment, not a crash on the missing init sample
-        return pts.select("vec_id", F.lit(0).cast("int").alias("cluster"))
+        cols = ["vec_id", "q"] if keep_vec else ["vec_id"]
+        return pts.select(*cols, F.lit(0).cast("int").alias("cluster"))
     centroids = {
         cid: [float(v) for v in row["q"]] for cid, row in enumerate(init_rows)
     }
@@ -109,7 +115,8 @@ def kmeans_assignments(
             cid: new_c.get(cid, centroids[cid]) for cid in sorted(centroids)
         }
 
-    return _assign(pts, centroids).select("vec_id", "cluster")
+    out_cols = ["vec_id", "q", "cluster"] if keep_vec else ["vec_id", "cluster"]
+    return _assign(pts, centroids).select(*out_cols)
 
 
 def power_iteration_top_component(

@@ -803,3 +803,137 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap") / 10.0, 2).alias("recall_at_10"),
     )
+
+
+# --- SemDeDup-style semantic dedup (cluster-then-dedup) ---------------------
+
+#: pair-cosine prune threshold — suits the synthetic random vectors (real
+#: corpora run ~0.95); matches emb_blocked_near_pairs' floor.
+SD_TAU = 0.35
+
+_SD_SQL = f"""
+    WITH pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    init AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+                   AS cid, q
+        FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {KM_K}
+    ),
+    cents0 AS (
+        SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS cvec FROM init
+    ),
+    {_km_assign('cents0', 1)},
+    {_km_recompute('assigned1', 'cents0', 1)},
+    {_km_assign('cents1', 2)},
+    {_km_recompute('assigned2', 'cents1', 2)},
+    {_km_assign('cents2', 3)},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                             p -> p[1] * p[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x))
+                            AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x))
+                              AS DOUBLE))) AS c
+        FROM assigned3 a
+        JOIN assigned3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    pruned AS (
+        SELECT id_b AS vec_id FROM pairs WHERE c >= {SD_TAU} GROUP BY id_b
+    )
+    SELECT a.cid AS cluster,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(p.vec_id) AS BIGINT) AS n_pruned,
+           CAST(COALESCE(sum(p.vec_id), 0) AS BIGINT) AS pruned_id_sum
+    FROM assigned3 a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+    GROUP BY a.cid
+"""
+
+
+@register(
+    "emb_semantic_dedup",
+    sql=_SD_SQL,
+    doc=f"SemDeDup-style semantic deduplication: k-means cells (the SAME "
+    f"{KM_ITER}-iteration quantized Lloyd fit as `emb_kmeans_clusters`, "
+    "oracle-unrolled end to end) act as the blocking key, exact cosine "
+    "runs only WITHIN a cell, and each qualifying pair prunes its higher "
+    "id (deterministic keep-lowest rule — commutative, so the surviving "
+    "set is partitioning-independent). This is the third near-dup "
+    "blocking strategy next to LSH buckets (`emb_lsh_near_pairs`) and "
+    "label blocks (`emb_blocked_near_pairs`): learned cells track the "
+    "data distribution, which is why cluster-then-dedup is the standard "
+    "recipe for billion-scale embedding corpora — pair cost is "
+    "sum-of-cell² with cells ~N/k, never O(N²). The in-cell cosine runs "
+    "on the integer-quantized vectors (scale cancels in the ratio), so "
+    "dot products and norms are exact integer sums — bit-identical "
+    "doubles across engines with NO float-accumulation-order caveat. "
+    "Output: per-cell point/prune counts plus the pruned-id checksum.",
+    tags=("similarity", "dedup", "clustering"),
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(
+        e, vec_col="embedding", id_col="vec_id", k=KM_K, n_iter=KM_ITER,
+        scale=KM_SCALE, keep_vec=True,
+    )
+    # in-cell pairing is CPU-bound on tiny bytes: explicit partition count
+    # on the block key or AQE coalesces the pair stage to one thread (the
+    # _blocked_pairs / minhash lesson)
+    blocks = assigned.repartition(
+        spark.sparkContext.defaultParallelism, F.col("cluster")
+    ).persist()
+    a = blocks.select(
+        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("q").alias("qa")
+    )
+    b = blocks.select(
+        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("q").alias("qb")
+    )
+    ldot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lnorm2 = lambda col: F.aggregate(
+        F.transform(col, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b, (a.cluster == b.cluster) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_b",
+        (
+            ldot.cast("double")
+            / (
+                F.sqrt(lnorm2(F.col("qa")).cast("double"))
+                * F.sqrt(lnorm2(F.col("qb")).cast("double"))
+            )
+        ).alias("c"),
+    )
+    pruned = (
+        pairs.filter(F.col("c") >= SD_TAU)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.lit(1).alias("hit"))
+    )
+    return (
+        blocks.join(pruned, "vec_id", "left")
+        .groupBy(F.col("cluster").cast("bigint").alias("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.count("hit").cast("bigint").alias("n_pruned"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit").isNotNull(), F.col("vec_id"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("pruned_id_sum"),
+        )
+    )
