@@ -587,6 +587,69 @@ def read_quantile_estimates(
     )
 
 
+def read_histogram_drift(
+    spark: SparkSession, target_dir: str
+) -> DataFrame:
+    """Day-over-day distribution drift from the persisted histogram state —
+    the streaming counterpart of the batch ``events_ks_two_sample``: a
+    binned Kolmogorov-Smirnov distance between each day's value histogram
+    and the PREVIOUS day's, computed entirely from the maintained
+    ``(day, bin, batch_id)`` counters (never a raw-event re-scan, so the
+    monitor costs O(days × bins) regardless of stream volume).
+
+    Bins absent on one side read as zero via a days×bins grid — the grid
+    is metadata-sized (geometric binning keeps |bins| ~ log(value range)).
+    The KS numerator max|F1·n2 − F2·n1| stays integer until one final
+    division, the same exactness device as the batch statistic. Days with
+    no predecessor day in the state emit nothing.
+    """
+    from pyspark.sql import Window
+
+    h = (
+        spark.read.parquet(target_dir)
+        .filter(F.col("bin").isNotNull())
+        .groupBy("day", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    grid = (
+        h.select("day").distinct()
+        .crossJoin(h.select("bin").distinct())
+        .join(h, ["day", "bin"], "left")
+        .na.fill(0, ["n"])
+    )
+    cum = grid.select(
+        "day",
+        "bin",
+        F.sum("n").over(Window.partitionBy("day").orderBy("bin")).alias("f"),
+        F.sum("n").over(Window.partitionBy("day")).alias("tot"),
+    )
+    cur, prev = cum.alias("cur"), cum.alias("prev")
+    joined = cur.join(
+        prev,
+        (F.col("cur.bin") == F.col("prev.bin"))
+        & (F.col("cur.day") == F.date_add(F.col("prev.day"), 1)),
+    )
+    d = F.abs(
+        F.col("cur.f") * F.col("prev.tot") - F.col("prev.f") * F.col("cur.tot")
+    )
+    return (
+        joined.groupBy(F.col("cur.day").alias("day"))
+        .agg(
+            F.max(F.col("cur.tot")).alias("n_day"),
+            F.max(F.col("prev.tot")).alias("n_prev"),
+            F.round(
+                F.max(d).cast("double")
+                / (
+                    F.max(F.col("cur.tot")).cast("double")
+                    * F.max(F.col("prev.tot")).cast("double")
+                ),
+                6,
+            ).alias("ks_vs_prev_day"),
+        )
+        .orderBy("day")
+    )
+
+
 def read_daily_distinct_estimates(spark: SparkSession, target_dir: str) -> DataFrame:
     """Query side of the sketch table: per-day estimates plus the all-days
     rollup folded from the SAME persisted sketches (no raw-event re-scan)."""

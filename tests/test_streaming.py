@@ -1164,3 +1164,58 @@ def test_stream_stream_left_outer_emits_final_unattributed(spark, dirs):
     assert sum(1 for r in unmatched if r.l_ts.hour == 9) == 2
     hours = sorted(r.l_ts.hour for r in unmatched)
     assert hours.count(9) == 2
+
+
+def test_histogram_drift_reader_binned_ks(spark, dirs):
+    """read_histogram_drift computes a day-over-day binned KS distance
+    from the persisted histogram state alone. Expected value is derived
+    from the SAME persisted state in pandas (integer CDF algebra), so the
+    test pins the drift math, not the binning (tested above). Day 1 has
+    no predecessor and must emit nothing; re-delivered batches must not
+    move the statistic (exactly-once counter protocol composes)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_histogram_drift,
+        upsert_daily_histograms,
+    )
+
+    def _batch(vals, day):
+        return spark.createDataFrame(
+            [(float(v),) for v in vals], "value double"
+        ).withColumn(
+            "batch_ts", F.lit(f"2022-05-{day} 11:00:00").cast("timestamp")
+        )
+
+    write = upsert_daily_histograms(dirs["target"])
+    write(_batch(range(1, 101), 26), 0)       # day 26: 1..100
+    write(_batch(list(range(1, 9)) * 10, 27), 1)  # day 27: skewed low
+    write(_batch(list(range(1, 9)) * 10, 27), 1)  # crash re-delivery
+
+    got = read_histogram_drift(spark, dirs["target"]).collect()
+    assert len(got) == 1  # day 26 has no predecessor
+    row = got[0]
+    assert str(row["day"]) == "2022-05-27"
+    assert (row["n_day"], row["n_prev"]) == (80, 100)
+
+    # expected: integer CDF sup-distance over the union bin grid, from the
+    # same persisted counters the reader used
+    state = (
+        spark.read.parquet(dirs["target"])
+        .groupBy("day", "bin")
+        .agg(F.sum("n").alias("n"))
+        .toPandas()
+    )
+    bins = sorted(state["bin"].unique())
+    by_day = {
+        str(day): dict(zip(g["bin"], g["n"]))
+        for day, g in state.groupby("day")
+    }
+    f1 = f2 = 0
+    d_num = 0
+    for b in bins:
+        f1 += by_day["2022-05-26"].get(b, 0)
+        f2 += by_day["2022-05-27"].get(b, 0)
+        d_num = max(d_num, abs(f2 * 100 - f1 * 80))
+    assert row["ks_vs_prev_day"] == round(d_num / (80 * 100), 6)
+    assert row["ks_vs_prev_day"] > 0.3  # the skew is a real, visible shift
