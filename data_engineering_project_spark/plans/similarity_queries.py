@@ -890,11 +890,18 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = assigned.repartition(
         spark.sparkContext.defaultParallelism, F.col("cluster")
     ).persist()
+    # distinct column names on each side: a self-join on `cluster == cluster`
+    # resolves both legs to the SAME attribute id (Spark warns "trivially
+    # true predicate"), so rename before joining
     a = blocks.select(
-        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("q").alias("qa")
+        F.col("cluster").alias("cl_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"),
     )
     b = blocks.select(
-        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("q").alias("qb")
+        F.col("cluster").alias("cl_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("q").alias("qb"),
     )
     ldot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
@@ -907,7 +914,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     pairs = a.join(
-        b, (a.cluster == b.cluster) & (F.col("id_a") < F.col("id_b"))
+        b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b"))
     ).select(
         "id_b",
         (
