@@ -981,3 +981,98 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad_raw", 3).alias("mad"),
         )
     )
+
+
+@register(
+    "events_session_concurrency",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS session_id
+        FROM marked
+    ),
+    bounds AS (
+        SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+        FROM sess GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT s AS t, 1 AS d FROM bounds
+        UNION ALL
+        SELECT e AS t, -1 AS d FROM bounds
+    ),
+    agg AS (
+        SELECT t, d, CAST(sum(d) AS BIGINT) AS dd FROM deltas GROUP BY t, d
+    ),
+    run AS (
+        SELECT t,
+               sum(dd) OVER (ORDER BY t, d DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS c
+        FROM agg
+    ),
+    daily_max AS (
+        SELECT CAST(t AS DATE) AS day, CAST(max(c) AS BIGINT) AS max_concurrent
+        FROM run GROUP BY 1
+    ),
+    daily_starts AS (
+        SELECT CAST(s AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_started
+        FROM bounds GROUP BY 1
+    )
+    SELECT m.day, m.max_concurrent, COALESCE(st.n_started, 0) AS n_started
+    FROM daily_max m LEFT JOIN daily_starts st ON st.day = m.day
+    """,
+    doc="Peak concurrent sessions per day — the capacity-planning sweep "
+    "line: each 30-min-gap session (same definition as "
+    "`events_sessionization`) contributes +1 at its start and -1 at its "
+    "end, and the running sum over boundary timestamps is the live "
+    "concurrency. Starts order before ends at equal timestamps (d DESC), "
+    "so touching sessions count as overlapping — the max-overlap "
+    "convention. Boundaries collapse to the grouped (t, d) table before "
+    "the ordered window, the grouped-frequency device again; at cluster "
+    "scale the cumulative becomes a two-pass range-partitioned prefix "
+    "sum, the same upgrade path the KS statistic documents. All counts "
+    "are exact integers.",
+    tags=("window", "sessionize", "sweep-line"),
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, key="user_id", time_col="ts", gap="30 minutes",
+        order_tie_break="event_id",
+    )
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = bounds.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        bounds.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    agg = deltas.groupBy("t", "d").agg(F.sum("d").cast("bigint").alias("dd"))
+    w = Window.orderBy(F.col("t"), F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = agg.select("t", F.sum("dd").over(w).alias("c"))
+    daily_max = run.groupBy(F.to_date("t").alias("day")).agg(
+        F.max("c").cast("bigint").alias("max_concurrent")
+    )
+    daily_starts = bounds.groupBy(F.to_date("s").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_started")
+    )
+    return daily_max.join(daily_starts, "day", "left").select(
+        "day",
+        "max_concurrent",
+        F.coalesce(F.col("n_started"), F.lit(0)).cast("bigint").alias(
+            "n_started"
+        ),
+    )
