@@ -345,3 +345,171 @@ def test_fuzzed_join_shape_matches_duckdb(spark, sf_dir, duck_dims, case):
 
     assert sorted(got_cols) == sorted(ocols)
     assert got == exp, f"join case failed: {q}"
+
+
+# ---- window-shape fuzz: partition x order x frame x function ----------
+#
+# Windows are the third shape family (after scans and joins) where
+# engines disagree subtly — default frames, tie handling, NULL emission
+# at partition edges. Determinism rules: every ORDER BY ends in the
+# table's unique id (total order, so lag/lead and ROWS frames are
+# well-defined) and every summed measure is an integer unit.
+
+WINDOWED = {
+    "events": {
+        "prep": lambda spark, sf: spark.read.parquet(f"{sf}/events.parquet")
+        .select(
+            "event_id",
+            "ts",
+            F.col("event_type").alias("etype"),
+            (F.col("user_id") % 5).cast("bigint").alias("ub"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        ),
+        "from": "(SELECT event_id, ts, event_type AS etype, "
+        "CAST(user_id % 5 AS BIGINT) AS ub, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) t",
+        "id": "event_id",
+        "parts": [
+            ("etype", ["etype"], "PARTITION BY etype "),
+            ("ub", ["ub"], "PARTITION BY ub "),
+            ("global", [], ""),
+        ],
+        "orders": [
+            ("time", [("ts", False), ("event_id", False)],
+             "ORDER BY ts, event_id"),
+            ("cents", [("cents", False), ("event_id", False)],
+             "ORDER BY cents, event_id"),
+            ("cents_desc", [("cents", True), ("event_id", False)],
+             "ORDER BY cents DESC, event_id"),
+        ],
+    },
+    "orders": {
+        "prep": lambda spark, sf: spark.read.parquet(f"{sf}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 1000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("millis"),
+        ),
+        "from": "(SELECT o_orderkey, o_orderdate, "
+        "o_orderpriority AS prio, o_orderstatus AS status, "
+        "CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT) AS millis "
+        "FROM orders) t",
+        "id": "o_orderkey",
+        "parts": [
+            ("prio", ["prio"], "PARTITION BY prio "),
+            ("status", ["status"], "PARTITION BY status "),
+            ("global", [], ""),
+        ],
+        "orders": [
+            ("date", [("o_orderdate", False), ("o_orderkey", False)],
+             "ORDER BY o_orderdate, o_orderkey"),
+            ("millis", [("millis", False), ("o_orderkey", False)],
+             "ORDER BY millis, o_orderkey"),
+            ("millis_desc", [("millis", True), ("o_orderkey", False)],
+             "ORDER BY millis DESC, o_orderkey"),
+        ],
+    },
+}
+
+# frames: (name, (start, end) for rowsBetween, sql text)
+W_FRAMES = [
+    ("cum", (None, 0), "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"),
+    ("trail2", (-2, 0), "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"),
+    ("center", (-1, 1), "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"),
+]
+
+# functions: (name, needs_frame, spark_fn(measure, win), sql_fn(measure))
+W_FUNCS = [
+    ("rn", False, lambda m, w: F.row_number().over(w),
+     lambda m: "row_number()"),
+    ("lg", False, lambda m, w: F.lag(m, 1).over(w), lambda m: f"lag({m}, 1)"),
+    ("ld", False, lambda m, w: F.lead(m, 2).over(w),
+     lambda m: f"lead({m}, 2)"),
+    ("s", True, lambda m, w: F.sum(m).over(w), lambda m: f"sum({m})"),
+    ("mx", True, lambda m, w: F.max(m).over(w), lambda m: f"max({m})"),
+    ("cnt", True, lambda m, w: F.count(F.lit(1)).over(w),
+     lambda m: "count(*)"),
+]
+
+N_WINDOW_CASES = 20
+
+
+def _gen_window_cases():
+    rng = random.Random(41214)
+    cases = []
+    for i in range(N_WINDOW_CASES):
+        table = rng.choice(sorted(WINDOWED))
+        pool = WINDOWED[table]
+        part = rng.choice(pool["parts"])
+        order = rng.choice(pool["orders"])
+        frame = rng.choice(W_FRAMES)
+        funcs = rng.sample(W_FUNCS, rng.randint(2, 3))
+        cases.append((i, table, part, order, frame, funcs))
+    return cases
+
+
+WINDOW_CASES = _gen_window_cases()
+
+
+@pytest.mark.parametrize(
+    "case",
+    WINDOW_CASES,
+    ids=[
+        f"win{i}_{t}_{p[0]}_{o[0]}_{fr[0]}"
+        for i, t, p, o, fr, _ in WINDOW_CASES
+    ],
+)
+def test_fuzzed_window_shape_matches_duckdb(spark, sf_dir, duck, case):
+    from pyspark.sql import Window
+
+    _, table, (_, pcols, psql), (_, ocols, osql), (_, frange, frsql), funcs = (
+        case
+    )
+    pool = WINDOWED[table]
+    measure = "cents" if table == "events" else "millis"
+
+    df = pool["prep"](spark, sf_dir)
+    base = Window.partitionBy(*pcols).orderBy(
+        *[F.col(c).desc() if d else F.col(c).asc() for c, d in ocols]
+    )
+    lo, hi = frange
+    framed = base.rowsBetween(
+        Window.unboundedPreceding if lo is None else lo, hi
+    )
+    out = df.select(
+        pool["id"],
+        *[
+            fn(F.col(measure), framed if needs else base).alias(n)
+            for n, needs, fn, _ in funcs
+        ],
+    )
+    got_cols = out.columns
+    order = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+    got = sorted(
+        tuple(str(row[i]) for i in order) for row in out.collect()
+    )
+
+    over = {
+        True: f"({psql}{osql} {frsql})",
+        False: f"({psql}{osql})",
+    }
+    sel = ", ".join(
+        f"{sqlf(measure)} OVER {over[needs]} AS {n}"
+        for n, needs, _, sqlf in funcs
+    )
+    q = f"SELECT {pool['id']}, {sel} FROM {pool['from']}"
+    res = duck.execute(q)
+    ocols_ = [d[0] for d in res.description]
+    oorder = sorted(range(len(ocols_)), key=lambda i: ocols_[i])
+    exp = sorted(
+        tuple(str(row[i]) for i in oorder) for row in res.fetchall()
+    )
+
+    assert sorted(got_cols) == sorted(ocols_)
+    assert got == exp, f"window case failed: {q}"
