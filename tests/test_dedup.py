@@ -169,3 +169,27 @@ def test_incremental_minhash_matches_full_repair_cross_slice(spark, tmp_path):
     assert got == full
     assert got  # non-vacuous: the near-dup was actually found
     assert all(nid == 101 for nid, _, _ in got)  # novel doc 102 matched nothing
+
+
+def test_simhash_banding_pigeonhole_recall(spark):
+    """docs_simhash_hamming_pairs' core guarantee on the seeded fixture:
+    any two fingerprints within Hamming distance 3 agree exactly on at
+    least one of the 4 16-bit bands (pigeonhole), so the band equi-join
+    can NEVER miss a within-threshold pair. Exact dups collide on ALL
+    four bands; far docs must not verify."""
+    df = _docs(spark)
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in D.simhash_fingerprints(df, spread=False).collect()
+    }
+
+    def bands(fp):
+        return [(fp >> (16 * b)) & 0xFFFF for b in range(4)]
+
+    assert bands(fps[0]) == bands(fps[3])  # exact dup: all 4 bands agree
+    for a in fps.values():
+        for b in fps.values():
+            if bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3:
+                assert any(x == y for x, y in zip(bands(a), bands(b)))
+    # far pair (0 vs 2) must not pass the hamming<=3 verification
+    assert bin((fps[0] ^ fps[2]) & 0xFFFFFFFFFFFFFFFF).count("1") > 3
