@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections.abc import Sequence
@@ -52,6 +53,7 @@ from pyspark.sql import functions as F
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _LEASE_DIR = "_leases"
+_TAG_DIR = "_tags"
 
 #: a lease older than this is a crashed writer's debris, not an in-flight
 #: commit; long-running writers must refresh (re-touch) before it elapses
@@ -165,6 +167,65 @@ def read_manifest(table: str, version: int | None = None) -> Manifest:
         files=raw["files"],
         schema=raw.get("schema"),
     )
+
+
+_TAG_NAME_OK = re.compile(r"^[A-Za-z0-9._-]{1,64}$")
+
+
+def _tag_path(table: str, name: str) -> str:
+    if not _TAG_NAME_OK.match(name):
+        raise ValueError(f"invalid tag name {name!r}")
+    return os.path.join(table, _TAG_DIR, f"{name}.json")
+
+
+def create_tag(
+    table: str, name: str, version: int | None = None, *, replace: bool = False
+) -> int:
+    """Pin a committed version under a durable name (Iceberg-tag
+    semantics): ``read_table(tag=...)`` resolves it, and ``vacuum`` keeps
+    every file the tagged manifest references for as long as the tag
+    exists — a release/audit pin that survives retention. Exclusive
+    create unless ``replace``; the version must be a readable manifest."""
+    if version is None:
+        version = current_version(table)
+        if version is None:
+            raise FileNotFoundError(f"no committed version in {table!r}")
+    read_manifest(table, version)  # raises if the version never committed
+    path = _tag_path(table, name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = json.dumps({"name": name, "version": version})
+    if replace:
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)
+    else:
+        # exclusive create = the commit protocol's conflict primitive
+        with open(path, "x") as fh:
+            fh.write(payload)
+    return version
+
+
+def read_tag(table: str, name: str) -> int:
+    with open(_tag_path(table, name)) as fh:
+        return int(json.load(fh)["version"])
+
+
+def list_tags(table: str) -> dict[str, int]:
+    tdir = os.path.join(table, _TAG_DIR)
+    if not os.path.isdir(tdir):
+        return {}
+    out: dict[str, int] = {}
+    for n in sorted(os.listdir(tdir)):
+        if n.endswith(".json"):
+            with open(os.path.join(tdir, n)) as fh:
+                raw = json.load(fh)
+            out[raw["name"]] = int(raw["version"])
+    return out
+
+
+def delete_tag(table: str, name: str) -> None:
+    os.remove(_tag_path(table, name))
 
 
 def _file_entry(table: str, rel_path: str, stats_cols: Sequence[str]) -> dict:
@@ -287,16 +348,25 @@ def _evolve_schema(prior: Manifest, new_schema):
 
 
 def read_table(
-    spark: SparkSession, table: str, *, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    *,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read a committed snapshot (newest by default; any retained version
-    for time travel). Empty file list → empty frame with no rows read.
+    for time travel; ``tag`` resolves a named pin — mutually exclusive
+    with ``version``). Empty file list → empty frame with no rows read.
 
     Schema evolution: files written before a column was added simply lack
     it — ``mergeSchema`` unions the physical schemas (missing → null) and
     the result is projected onto the MANIFEST schema, so column order and
     the presence of just-added all-null columns are stable regardless of
     which physical files survive compaction."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version OR tag, not both")
+        version = read_tag(table, tag)
     m = read_manifest(table, version)
     paths = [os.path.join(table, f["path"]) for f in m.files]
     if not paths:
@@ -537,8 +607,11 @@ def vacuum(
     if _active_leases(table, lease_timeout_seconds):
         return []  # an in-flight writer's files may look like orphans
     keep_manifests = range(max(0, newest - keep_versions + 1), newest + 1)
+    # tagged versions are pinned: their files AND manifests survive any
+    # retention window until the tag is deleted (Iceberg tag semantics)
+    tagged = set(list_tags(table).values())
     live: set[str] = set()
-    for v in keep_manifests:
+    for v in set(keep_manifests) | tagged:
         try:
             live |= {f["path"] for f in read_manifest(table, v).files}
         except FileNotFoundError:
@@ -579,6 +652,8 @@ def vacuum(
     # expired manifests go last, so a concurrent reader of an old version
     # fails on the manifest (clear) rather than on a missing data file
     for v in range(0, keep_manifests.start):
+        if v in tagged:
+            continue
         p = _manifest_path(table, v)
         if os.path.exists(p):
             os.remove(p)

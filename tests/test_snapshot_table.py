@@ -394,3 +394,45 @@ def test_optimize_zorder_tightens_file_stats(spark, table):
     assert len(m.files) == 4
     pruned = st.prune_files(m, "k", 0, 99)
     assert 0 < len(pruned) < len(m.files)  # stats actually skip files
+
+
+def test_tags_pin_versions_against_vacuum(spark, table):
+    """Iceberg-tag semantics: a named tag resolves through read_table,
+    pins its version's files AND manifest through vacuum regardless of
+    keep_versions, and releases them when deleted."""
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    st.create_tag(table, "release-1")          # defaults to newest (v0)
+    st.write_table(_rows(spark, [(2, "b")]), table, mode="overwrite")
+    st.write_table(_rows(spark, [(3, "c")]), table, mode="overwrite")
+
+    assert st.read_tag(table, "release-1") == 0
+    assert st.list_tags(table) == {"release-1": 0}
+    assert {r.k for r in st.read_table(spark, table, tag="release-1").collect()} == {1}
+
+    st.vacuum(table, keep_versions=1)
+    # v1 (untagged, expired) is gone; v0 survives via the tag
+    with pytest.raises(FileNotFoundError):
+        st.read_manifest(table, 1)
+    assert {r.k for r in st.read_table(spark, table, tag="release-1").collect()} == {1}
+    assert {r.k for r in st.read_table(spark, table).collect()} == {3}
+
+    st.delete_tag(table, "release-1")
+    st.vacuum(table, keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        st.read_manifest(table, 0)
+
+
+def test_tag_create_conflicts_and_validation(spark, table):
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    st.create_tag(table, "audit")
+    with pytest.raises(FileExistsError):
+        st.create_tag(table, "audit")          # exclusive create
+    st.write_table(_rows(spark, [(2, "b")]), table, mode="overwrite")
+    assert st.create_tag(table, "audit", replace=True) == 1
+    assert st.read_tag(table, "audit") == 1
+    with pytest.raises(FileNotFoundError):
+        st.create_tag(table, "ghost", version=99)  # never committed
+    with pytest.raises(ValueError):
+        st.create_tag(table, "bad/name")
+    with pytest.raises(ValueError):
+        st.read_table(spark, table, version=1, tag="audit")  # exclusive args
