@@ -1125,3 +1125,108 @@ def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "lineitem_returnflag_anova",
+    sql="""
+    WITH u AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS cents
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(cents) AS s,
+               sum(cents * cents) AS ss
+        FROM u GROUP BY 1
+    ),
+    q AS (
+        SELECT n, s, ss,
+               CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE) + 0.5) AS HUGEINT) AS sq
+        FROM g
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               sum(n) AS n_tot, sum(s) AS s_tot, sum(ss) AS ss_tot,
+               CAST(sum(sq) AS DOUBLE) AS sq_over_n
+        FROM q
+    )
+    SELECT k AS n_groups,
+           CAST(n_tot AS BIGINT) AS n_rows,
+           ROUND(((sq_over_n
+                   - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                     / CAST(n_tot AS DOUBLE)) / (k - 1))
+                 / ((CAST(ss_tot AS DOUBLE) - sq_over_n)
+                    / CAST(n_tot - k AS DOUBLE)),
+                 6) AS f_stat
+    FROM tot
+    """,
+    doc="One-way ANOVA F statistic for mean extended price across return "
+    "flags — the k-group member of the inference toolkit "
+    "(`brand_price_welch_t` compares 2 means, `events_mannwhitney_u` 2 "
+    "medians, `events_chi2_type_dow` 2 categoricals). Between/within sum "
+    "of squares derive from per-group (n, SUMx, SUMx^2) integer-cent "
+    "sufficient statistics in ONE pass with map-side combine — the "
+    "textbook SSB = SUM s_g^2/n_g - S^2/N identity, so no group mean is "
+    "ever subtracted row-wise (the float-order trap). The only "
+    "non-integer intermediate, SUM s_g^2/n_g, folds over the k-row group "
+    "table in a deterministic single-partition aggregate; all inputs to "
+    "it are exact integers, so the doubles are bit-identical across "
+    "engines. Shuffle carries k rows.",
+    tags=("stats", "inference", "anova"),
+)
+def lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        "l_returnflag", decimal_units(F.col("l_extendedprice"), 100).alias("cents")
+    )
+    cd = F.col("cents").cast(DEC38)
+    g = u.groupBy("l_returnflag").agg(
+        F.count("*").cast(DEC38).alias("n"),
+        F.sum(cd).alias("s"),
+        F.sum(cd * cd).alias("ss"),
+    )
+    # s_g^2/n_g is the one non-integer term: a raw double sum over groups
+    # would accumulate in shuffle order (the float-order trap), so each
+    # term floor-quantizes to whole integer units PER GROUP (deterministic
+    # double from exact integers) and the cross-group sum is integer
+    q = g.select(
+        "n",
+        "s",
+        "ss",
+        F.floor(
+            F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+            + F.lit(0.5)
+        )
+        .cast(DEC38)
+        .alias("sq"),
+    )
+    tot = q.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.sum("sq").cast("double").alias("sq_over_n"),
+    )
+    k = F.col("k")
+    ssb = (
+        F.col("sq_over_n")
+        - F.col("s_tot").cast("double")
+        * F.col("s_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    ssw = F.col("ss_tot").cast("double") - F.col("sq_over_n")
+    return tot.select(
+        k.alias("n_groups"),
+        F.col("n_tot").cast("bigint").alias("n_rows"),
+        F.round(
+            (ssb / (k - 1))
+            / (ssw / (F.col("n_tot") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+    )
