@@ -1025,8 +1025,8 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM run GROUP BY 1
     ),
     daily_starts AS (
-        SELECT CAST(s AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_started
-        FROM bounds GROUP BY 1
+        SELECT CAST(t AS DATE) AS day, CAST(sum(dd) AS BIGINT) AS n_started
+        FROM agg WHERE d = 1 GROUP BY 1
     )
     SELECT m.day, m.max_concurrent, COALESCE(st.n_started, 0) AS n_started
     FROM daily_max m LEFT JOIN daily_starts st ON st.day = m.day
@@ -1055,10 +1055,25 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
-    deltas = bounds.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
-        bounds.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    # a UNION of two selects over `bounds` would re-execute the whole
+    # sessionization subtree per branch (two fact scans); exploding a
+    # 2-element array emits both boundary deltas from ONE pass
+    deltas = bounds.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("x")
+    ).select(F.col("x.t").alias("t"), F.col("x.d").alias("d"))
+    # both daily outputs read this grouped boundary table (distinct
+    # timestamps, saturating like the KS cell table); the persist keeps
+    # the sessionization subtree to ONE execution
+    agg = (
+        deltas.groupBy("t", "d")
+        .agg(F.sum("d").cast("bigint").alias("dd"))
+        .persist()
     )
-    agg = deltas.groupBy("t", "d").agg(F.sum("d").cast("bigint").alias("dd"))
     w = Window.orderBy(F.col("t"), F.col("d").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1066,8 +1081,10 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_max = run.groupBy(F.to_date("t").alias("day")).agg(
         F.max("c").cast("bigint").alias("max_concurrent")
     )
-    daily_starts = bounds.groupBy(F.to_date("s").alias("day")).agg(
-        F.count("*").cast("bigint").alias("n_started")
+    daily_starts = (
+        agg.filter(F.col("d") == 1)
+        .groupBy(F.to_date("t").alias("day"))
+        .agg(F.sum("dd").cast("bigint").alias("n_started"))
     )
     return daily_max.join(daily_starts, "day", "left").select(
         "day",

@@ -717,3 +717,30 @@ def test_clustering_coeff_shares_cached_edges(plans):
     plan = plans("graph_clustering_coeff")
     assert plan.count("InMemoryTableScan") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_session_concurrency_single_sessionize_pass(plans):
+    # both daily outputs (max-concurrency walk, start counts) read the
+    # persisted grouped boundary table; a naive union/self-read would
+    # re-execute the whole sessionization subtree per consumer
+    plan = plans("events_session_concurrency")
+    assert plan.count("InMemoryTableScan") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_hamming_pairs_shares_cached_fingerprints(plans):
+    # band explode and both verification sides read the persisted
+    # fingerprint frame; candidates come from band equi-joins only
+    plan = plans("docs_simhash_hamming_pairs")
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_no_cross_cluster_pairing(plans):
+    # the in-cell pair join must stay an equi-join on the block key —
+    # an ambiguous self-join predicate would silently degrade to a
+    # cross product over all cells
+    plan = plans("emb_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
