@@ -1230,3 +1230,77 @@ def lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+@register(
+    "lineitem_weighted_median_price",
+    sql="""
+    WITH u AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT l_returnflag, cents,
+               CAST(sum(w) AS HUGEINT) AS w,
+               CAST(count(*) AS BIGINT) AS n
+        FROM u GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, cents, n,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM cells
+    )
+    SELECT l_returnflag,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           ROUND(min(CASE WHEN cw * 2 >= tw THEN cents END) / 100.0, 2)
+               AS weighted_median_price
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+    doc="Quantity-weighted median extended price per return flag — the "
+    "weighted-quantile operator (inventory-weighted 'typical price', "
+    "resource-weighted latency SLOs): the smallest price whose cumulative "
+    "weight reaches half the total. No per-row sort: prices collapse to "
+    "the grouped (flag, cents) cell table with integer quantity weights "
+    "summed map-side, cumulative weight runs per flag over that "
+    "saturating table, and the median picks min(cents | 2*cum >= total) "
+    "with pure integer comparisons (2x sidesteps the half-total "
+    "division). The same grouped-frequency device as the KS/Mann-Whitney "
+    "pair, extended with weights — exact at any partitioning, one data "
+    "shuffle.",
+    tags=("stats", "quantile", "weighted"),
+)
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        "l_returnflag",
+        decimal_units(F.col("l_extendedprice"), 100).alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    cells = u.groupBy("l_returnflag", "cents").agg(
+        F.sum("w").cast(DEC38).alias("w"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    wf = Window.partitionBy("l_returnflag")
+    cum = cells.select(
+        "l_returnflag",
+        "cents",
+        "n",
+        F.sum("w").over(wf.orderBy("cents")).alias("cw"),
+        F.sum("w").over(wf).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.round(
+            F.min(
+                F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents"))
+            )
+            / 100.0,
+            2,
+        ).alias("weighted_median_price"),
+    )
