@@ -112,6 +112,23 @@ def make_parser() -> argparse.ArgumentParser:
         help="commit the result to a snapshot-manifest table (new version; "
         "ACID, time-travelable) instead of printing it",
     )
+
+    tg = sub.add_parser(
+        "tag",
+        help="manage snapshot-table version tags (pin a version against "
+        "vacuum under a durable name)",
+    )
+    tg.add_argument("table", help="snapshot table directory")
+    tg.add_argument("--create", default=None, metavar="NAME")
+    tg.add_argument(
+        "--version", type=int, default=None,
+        help="version to tag (default: newest)",
+    )
+    tg.add_argument("--replace", action="store_true")
+    tg.add_argument("--delete", default=None, metavar="NAME")
+    tg.add_argument(
+        "--list", action="store_true", help="print tags as JSON"
+    )
     return parser
 
 
@@ -120,6 +137,24 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.mode in ("verify-setup", "healthcheck", "schedule"):
         return _run_ops(args)
+
+    if args.mode == "tag":
+        # pure metadata, no Spark session
+        import json as _json
+
+        from data_engineering_project_spark.sinks import snapshot_table as st
+
+        if args.create:
+            v = st.create_tag(
+                args.table, args.create,
+                version=args.version, replace=args.replace,
+            )
+            print(_json.dumps({"tag": args.create, "version": v}))
+        if args.delete:
+            st.delete_tag(args.table, args.delete)
+        if args.list:
+            print(_json.dumps(st.list_tags(args.table)))
+        return 0
 
     if args.mode == "query" and args.list:
         from data_engineering_project_spark.plans.catalog import queries

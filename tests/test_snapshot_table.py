@@ -436,3 +436,22 @@ def test_tag_create_conflicts_and_validation(spark, table):
         st.create_tag(table, "bad/name")
     with pytest.raises(ValueError):
         st.read_table(spark, table, version=1, tag="audit")  # exclusive args
+
+
+def test_cli_tag_roundtrip(spark, table, capsys):
+    """`tag` CLI: create (JSON out), list, delete — pure metadata, no
+    Spark session is built."""
+    import json
+
+    from data_engineering_project_spark.cli import main
+
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    assert main(["tag", table, "--create", "release-1"]) == 0
+    assert json.loads(capsys.readouterr().out) == {
+        "tag": "release-1", "version": 0,
+    }
+    assert main(["tag", table, "--list"]) == 0
+    assert json.loads(capsys.readouterr().out) == {"release-1": 0}
+    assert main(["tag", table, "--delete", "release-1"]) == 0
+    assert main(["tag", table, "--list"]) == 0
+    assert json.loads(capsys.readouterr().out) == {}
