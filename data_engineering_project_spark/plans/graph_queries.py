@@ -657,3 +657,102 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "graph_assortativity",
+    sql="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM op a
+        JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    deg AS (
+        SELECT v, CAST(count(*) AS HUGEINT) AS d FROM (
+            SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e
+        ) GROUP BY 1
+    ),
+    ends AS (
+        SELECT da.d AS x, db.d AS y
+        FROM e JOIN deg da ON da.v = e.p1 JOIN deg db ON db.v = e.p2
+    ),
+    sym AS (
+        SELECT x, y FROM ends UNION ALL SELECT y AS x, x AS y FROM ends
+    ),
+    m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM sym
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           ROUND(CAST(n * sxy - sx * sx AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+    FROM m
+    """,
+    doc="Degree assortativity of the thresholded co-purchase graph — "
+    "Newman's r: the Pearson correlation of endpoint degrees over every "
+    "edge, counted in both orientations (positive = hubs buddy with "
+    "hubs, negative = hub-and-spoke; drives whether graph partitioning "
+    "or hub-replication is the right 100 TB layout). Same cached edge "
+    "list as the triangle/clustering queries; degrees join back onto the "
+    "edges (two hash joins on node id), and the statistic collapses to "
+    "exact HUGEINT/DECIMAL38 moments (n, Σx, Σx², Σxy — symmetry makes "
+    "Σy/Σy² redundant) with one float division at the end, bit-identical "
+    "across engines.",
+    tags=("graph", "profile", "stats"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("e")
+    )
+    edges = (
+        pairs.groupBy(F.col("e.p1").alias("p1"), F.col("e.p2").alias("p2"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+        .persist()
+    )
+    dec38 = "decimal(38,0)"
+    deg = (
+        edges.select(F.col("p1").alias("v"))
+        .unionAll(edges.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast(dec38).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("p1"), F.col("d").alias("x"))
+    db = deg.select(F.col("v").alias("p2"), F.col("d").alias("y"))
+    ends = edges.join(da, "p1").join(db, "p2").select("x", "y")
+    sym = ends.select("x", "y").unionAll(
+        ends.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    m = sym.agg(
+        F.count("*").cast(dec38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx = F.col("n"), F.col("sx")
+    return m.select(
+        (n / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (n * F.col("sxy") - sx * sx).cast("double")
+            / (n * F.col("sxx") - sx * sx).cast("double"),
+            6,
+        ).alias("assortativity"),
+    )
