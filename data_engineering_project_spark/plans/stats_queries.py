@@ -983,3 +983,121 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("survival"),
     )
+
+
+@register(
+    "events_ljungbox_q",
+    sql=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(floor(value * {CENTS} + 0.5) AS BIGINT)) AS units
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(units) AS HUGEINT) AS s
+        FROM daily
+    ),
+    den AS (
+        SELECT max(b.n) AS n, max(b.s) AS s,
+               sum((b.n * d.units - b.s) * (b.n * d.units - b.s)) AS dd
+        FROM daily d, base b
+    ),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    nums AS (
+        SELECT l.lag,
+               sum((b.n * a.units - b.s) * (b.n * c.units - b.s)) AS num
+        FROM daily a
+        JOIN lags l ON TRUE
+        JOIN daily c ON c.day = a.day + CAST(l.lag AS INTEGER)
+        CROSS JOIN base b
+        GROUP BY l.lag
+    ),
+    terms AS (
+        SELECT CAST(floor(
+                   CAST(num AS DOUBLE) / CAST(d.dd AS DOUBLE)
+                   * (CAST(num AS DOUBLE) / CAST(d.dd AS DOUBLE))
+                   / CAST(d.n - lag AS DOUBLE) * 1000000 + 0.5
+               ) AS BIGINT) AS t_micro
+        FROM nums, den d
+    )
+    SELECT CAST(max(d.n) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_lags,
+           ROUND(CAST(max(d.n) AS DOUBLE) * CAST(max(d.n) + 2 AS DOUBLE)
+                 * sum(t_micro) / 1000000.0, 4) AS lb_q
+    FROM terms, den d
+    """,
+    doc="Ljung-Box portmanteau Q over the daily total-value series (lags "
+    "1..7) — the 'is anything left in the residuals' white-noise test "
+    "that closes the time-series diagnostic loop: `events_daily_acf` "
+    "shows WHERE dependence sits, Q scores whether the whole "
+    "autocorrelation profile is jointly significant (vs chi-square with "
+    "7 dof). Exactness device: rho_k = SUM(n*x_t - S)(n*x_{{t-k}} - S) / "
+    "SUM(n*x_t - S)^2 multiplies the mean-centering through by n so "
+    "numerator and denominator stay exact HUGEINT/DECIMAL38 integers; "
+    "each rho_k^2/(n-k) term is then a deterministic double, "
+    "floor-quantized to micro-units per lag and integer-summed (the "
+    "PMI/chi2 precedent — a raw double sum over lags would be "
+    "shuffle-order-dependent). Everything after the one daily groupBy "
+    "runs on the ~|days|-row aggregate with broadcast joins.",
+    tags=("stats", "timeseries", "inference"),
+)
+def events_ljungbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(decimal_units(F.col("value"), CENTS)).alias("units"))
+        # base, the denominator pass, and both lag-pair sides all read
+        # this ~|days|-row aggregate (the ACF persist precedent)
+        .persist()
+    )
+    base = daily.agg(
+        F.count("*").cast(dec38).alias("n"),
+        F.sum("units").cast(dec38).alias("s"),
+    )
+    d2 = daily.crossJoin(F.broadcast(base))
+    cen = F.col("n") * F.col("units") - F.col("s")
+    den = d2.agg(
+        F.max("n").alias("n"),
+        F.sum(cen * cen).alias("dd"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("day").alias("day_x"), F.col("units").alias("x"))
+    c = daily.select(F.col("day").alias("day_y"), F.col("units").alias("y"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(c),
+            F.col("day_y")
+            == F.date_add(F.col("day_x"), F.col("lag").cast("int")),
+        )
+        .crossJoin(F.broadcast(base))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("x") - F.col("s"))
+                * (F.col("n") * F.col("y") - F.col("s"))
+            ).alias("num")
+        )
+    )
+    rho = F.col("num").cast("double") / F.col("dd").cast("double")
+    terms = nums.crossJoin(F.broadcast(den)).select(
+        "n",
+        F.floor(
+            rho * rho / (F.col("n") - F.col("lag")).cast("double") * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("t_micro"),
+    )
+    nd = F.max("n").cast("double")
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.count("*").cast("bigint").alias("n_lags"),
+        F.round(
+            nd * (F.max("n") + 2).cast("double") * F.sum("t_micro")
+            / 1000000.0,
+            4,
+        ).alias("lb_q"),
+    )
