@@ -86,14 +86,29 @@ def kmeans_assignments(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), scale).alias("q")
     ).persist()
 
-    init_rows = (
-        pts.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(k).collect()
-    )
-    if not init_rows:
+    assigned, _ = _lloyd(pts, k, n_iter)
+    if assigned is None:
         # an empty corpus (routine for a day-partition at scale) yields an
         # empty assignment, not a crash on the missing init sample
         cols = ["vec_id", "q"] if keep_vec else ["vec_id"]
         return pts.select(*cols, F.lit(0).cast("int").alias("cluster"))
+    out_cols = ["vec_id", "q", "cluster"] if keep_vec else ["vec_id", "cluster"]
+    return assigned.select(*out_cols)
+
+
+def _lloyd(
+    pts: DataFrame, k: int, n_iter: int
+) -> tuple[DataFrame | None, dict[int, list[float]]]:
+    """The shared Lloyd loop over a quantized ``(vec_id, q)`` frame:
+    md5-ordered real-data init, ``n_iter - 1`` recompute rounds, final
+    assignment. Returns (assignments-with-q, final centroids); (None, {})
+    on an empty frame. Centroid state stays driver-side (k×dim numbers)
+    like MLlib; assignments stay fully distributed."""
+    init_rows = (
+        pts.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(k).collect()
+    )
+    if not init_rows:
+        return None, {}
     centroids = {
         cid: [float(v) for v in row["q"]] for cid, row in enumerate(init_rows)
     }
@@ -115,8 +130,88 @@ def kmeans_assignments(
             cid: new_c.get(cid, centroids[cid]) for cid in sorted(centroids)
         }
 
-    out_cols = ["vec_id", "q", "cluster"] if keep_vec else ["vec_id", "cluster"]
-    return _assign(pts, centroids).select(*out_cols)
+    return _assign(pts, centroids), centroids
+
+
+def pq_topk(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+    dim: int = 64,
+    n_sub: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 1000,
+    topk: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI'11 — the billion-scale
+    standard): the vector splits into ``n_sub`` subspaces, each gets its
+    own ``k``-code Lloyd codebook, every vector encodes to ``n_sub`` small
+    codes, and the query scans CODES with an asymmetric-distance (ADC)
+    lookup table instead of raw floats — memory per vector drops from
+    dim×4 bytes to n_sub codes, which is what makes billion-vector search
+    fit in RAM.
+
+    Determinism: codebooks train on integer-quantized subvectors (exact
+    sums), the ADC table is k×n_sub doubles computed in one fixed fold
+    order, and ties break on vec_id — the whole train→encode→scan
+    pipeline restates in SQL exactly.
+    """
+    sub = dim // n_sub
+    full = df.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(F.col(vec_col), scale).alias("qf"),
+    ).persist()
+
+    codes: DataFrame | None = None
+    adc_terms = []
+    for s in range(n_sub):
+        pts = full.select(
+            "vec_id", F.slice("qf", s * sub + 1, sub).alias("q")
+        ).persist()
+        assigned, cents = _lloyd(pts, k, n_iter)
+        if assigned is None:
+            return full.select(
+                "vec_id", F.lit(0.0).alias("adc")
+            ).filter(F.lit(False))
+        cs = assigned.select(
+            "vec_id", F.col("cluster").alias(f"c{s}")
+        )
+        codes = cs if codes is None else codes.join(cs, "vec_id")
+        q0 = [
+            float(v)
+            for v in pts.filter(F.col("vec_id") == query_id).collect()[0]["q"]
+        ]
+        # ADC lookup entries: ||q0_s - c||² in the SAME left-fold order the
+        # oracle's list_sum uses (both are IEEE doubles → bit-identical)
+        dist = {}
+        for cid in sorted(cents):
+            acc = 0.0
+            for qi, ci in zip(q0, cents[cid]):
+                d = qi - ci
+                acc += d * d
+            dist[cid] = acc
+        lookup = F.create_map(
+            *[
+                x
+                for cid in sorted(dist)
+                for x in (F.lit(cid), F.lit(dist[cid]))
+            ]
+        )
+        adc_terms.append(lookup[F.col(f"c{s}")])
+
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    return (
+        codes.withColumn("adc", adc)
+        .filter(F.col("vec_id") != query_id)
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(topk)
+        .select("vec_id", F.round("adc", 4).alias("adc"))
+    )
 
 
 def power_iteration_top_component(

@@ -944,3 +944,136 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pruned_id_sum"),
         )
     )
+
+
+# --- product quantization (Jégou et al., PAMI'11) ---------------------------
+
+PQ_S, PQ_SUB, PQ_K, PQ_ITER = 4, EMB_DIM // 4, 8, 2
+
+
+def _pq_sub(s: int) -> str:
+    lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
+    return f"sub{s} AS (SELECT vec_id, q[{lo}:{hi}] AS q FROM pts)"
+
+
+def _pq_init(s: int) -> str:
+    return f"""
+    init{s} AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+                   AS cid, q
+        FROM sub{s} ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PQ_K}
+    ),
+    cents{s}_0 AS (
+        SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM init{s}
+    )"""
+
+
+def _pq_assign(s: int, cents: str, it: int) -> str:
+    return f"""
+    pas{s}_{it} AS (
+        SELECT p.vec_id, p.q,
+               (min(struct_pack(
+                   d := list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                       i -> (p.q[i] - c.cvec[i]) * (p.q[i] - c.cvec[i]))),
+                   cid := c.cid))).cid AS cid
+        FROM sub{s} p, {cents} c
+        GROUP BY p.vec_id, p.q
+    )"""
+
+
+def _pq_recompute(s: int, it: int) -> str:
+    return f"""
+    psums{s}_{it} AS (
+        SELECT a.cid, d.dim, sum(a.q[d.dim]) AS s, count(*) AS n
+        FROM pas{s}_{it} a,
+             LATERAL (SELECT unnest(range(1, {PQ_SUB} + 1)) AS dim) d
+        GROUP BY a.cid, d.dim
+    ),
+    pre{s}_{it} AS (
+        SELECT cid, list(s / n ORDER BY dim) AS cvec
+        FROM psums{s}_{it} GROUP BY cid
+    ),
+    cents{s}_{it} AS (
+        SELECT p.cid, coalesce(r.cvec, p.cvec) AS cvec
+        FROM cents{s}_{it - 1} p LEFT JOIN pre{s}_{it} r USING (cid)
+    )"""
+
+
+def _pq_dist(s: int) -> str:
+    return f"""
+    d{s} AS (
+        SELECT c.cid,
+               list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                   i -> (q.q[i] - c.cvec[i]) * (q.q[i] - c.cvec[i]))) AS dist
+        FROM cents{s}_{PQ_ITER - 1} c,
+             (SELECT q FROM sub{s} WHERE vec_id = 0) q
+    )"""
+
+
+_PQ_PER_SUB = ",\n".join(
+    ",\n".join(
+        [_pq_sub(s), _pq_init(s)]
+        + [
+            part
+            for it in range(1, PQ_ITER)
+            for part in (_pq_assign(s, f"cents{s}_{it - 1}", it),
+                         _pq_recompute(s, it))
+        ]
+        + [_pq_assign(s, f"cents{s}_{PQ_ITER - 1}", PQ_ITER), _pq_dist(s)]
+    )
+    for s in range(PQ_S)
+)
+
+_PQ_SQL = f"""
+    WITH pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    {_PQ_PER_SUB}
+    SELECT a0.vec_id,
+           ROUND(d0.dist + d1.dist + d2.dist + d3.dist, 4) AS adc
+    FROM pas0_{PQ_ITER} a0
+    JOIN pas1_{PQ_ITER} a1 USING (vec_id)
+    JOIN pas2_{PQ_ITER} a2 USING (vec_id)
+    JOIN pas3_{PQ_ITER} a3 USING (vec_id)
+    JOIN d0 ON d0.cid = a0.cid
+    JOIN d1 ON d1.cid = a1.cid
+    JOIN d2 ON d2.cid = a2.cid
+    JOIN d3 ON d3.cid = a3.cid
+    WHERE a0.vec_id != 0
+    ORDER BY d0.dist + d1.dist + d2.dist + d3.dist, a0.vec_id
+    LIMIT 10
+"""
+
+
+@register(
+    "emb_pq_topk",
+    sql=_PQ_SQL,
+    doc=f"Product-quantization ANN (Jégou et al., PAMI'11 — the "
+    f"billion-scale standard that IVF composes with): the {EMB_DIM}-dim "
+    f"vector splits into {PQ_S} subspaces, each trains its own "
+    f"{PQ_K}-code Lloyd codebook (same quantized-integer fit as "
+    "`emb_kmeans_clusters`, oracle-unrolled per subspace), every vector "
+    f"encodes to {PQ_S} one-byte codes, and the query scans CODES with "
+    "an asymmetric-distance lookup table (k x n_sub doubles, broadcast "
+    "as a literal map) instead of raw floats. This is the memory step "
+    "that makes billion-vector search fit in RAM: bytes per vector drop "
+    f"{EMB_DIM}x4 -> {PQ_S}, and the scan is a map-only projection + "
+    "TakeOrdered — no shuffle, no join on the data path. The whole "
+    "train->encode->ADC-scan pipeline is deterministic (integer "
+    "codebook sums, fixed fold order for the lookup doubles, vec_id "
+    "tie-break) and hash-checked end to end against the fully unrolled "
+    "DuckDB restatement.",
+    tags=("similarity", "ann", "quantization"),
+)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.clustering import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e, vec_col="embedding", id_col="vec_id", query_id=0, dim=EMB_DIM,
+        n_sub=PQ_S, k=PQ_K, n_iter=PQ_ITER, scale=KM_SCALE, topk=10,
+    )
