@@ -101,6 +101,11 @@ HEADLINE = (
     # the grouped-frequency KS drift statistic
     "docs_collocations_pmi",
     "events_ks_two_sample",
+    # thirteenth wave (round 4d cont.): banded hamming dedup (first
+    # headliner to beat the DuckDB twin outright) and the weighted
+    # median's grouped-cumulative shape
+    "docs_simhash_hamming_pairs",
+    "lineitem_weighted_median_price",
 )
 
 
