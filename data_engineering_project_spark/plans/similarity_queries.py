@@ -1077,3 +1077,33 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, vec_col="embedding", id_col="vec_id", query_id=0, dim=EMB_DIM,
         n_sub=PQ_S, k=PQ_K, n_iter=PQ_ITER, scale=KM_SCALE, topk=10,
     )
+
+
+@register(
+    "emb_pq_recall",
+    sql=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+           ROUND(count(*) / 10.0, 2) AS recall_at_10
+    FROM ({_Q["emb_cosine_topk"].sql}) e
+    JOIN ({_PQ_SQL}) a USING (vec_id)
+    """,
+    doc="Recall@10 of the product-quantization code scan against the exact "
+    "brute-force ranking — the acceptance metric that closes the PQ "
+    "pipeline the same way `emb_ivf_recall` closes IVF. ADC distances "
+    "are quantization approximations twice over (codebook residual + "
+    "lookup asymmetry), so the recall number is what tells you whether "
+    f"{PQ_S}x{PQ_K} codes are enough codebook capacity for the corpus; "
+    "computed in-engine by a semi-join of the two catalog pipelines' "
+    "top-10 lists, with both oracle SQLs composed verbatim.",
+    tags=("similarity", "ann", "evaluation"),
+)
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = emb_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = emb_pq_topk(spark, sf_dir).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_overlap")
+    )
+    return overlap.select(
+        "n_overlap",
+        F.round(F.col("n_overlap") / 10.0, 2).alias("recall_at_10"),
+    )
