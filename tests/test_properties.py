@@ -346,3 +346,51 @@ def test_bloom_positions_never_false_negative(spark, members, probes):
         passes = all(p in bits for p in r["pos"])
         if r["key"] in members:
             assert passes  # no false negatives, ever
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),                 # group
+            st.integers(min_value=-50, max_value=50),    # value (cents)
+            st.integers(min_value=1, max_value=9),       # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_weighted_median_matches_expanded_bruteforce(spark, rows):
+    """The grouped-cumulative weighted median (the
+    lineitem_weighted_median_price device: min(v | 2*cum >= total) over
+    per-value weight sums) must equal the lower median of the fully
+    EXPANDED multiset — each value repeated weight times — for any mix
+    of ties, skewed weights, and negative values."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    cells = df.groupBy("g", "v").agg(F.sum("w").alias("w"))
+    wf = Window.partitionBy("g")
+    cum = cells.select(
+        "g",
+        "v",
+        F.sum("w").over(wf.orderBy("v")).alias("cw"),
+        F.sum("w").over(wf).alias("tw"),
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in cum.groupBy("g")
+        .agg(
+            F.min(
+                F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v"))
+            ).alias("m")
+        )
+        .collect()
+    }
+    by_g: dict = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).extend([v] * w)
+    for g, vals in by_g.items():
+        vals.sort()
+        want = vals[(len(vals) + 1) // 2 - 1]  # lower median, 1-based ceil
+        assert got[g] == want, (g, vals, got[g])
