@@ -394,3 +394,46 @@ def test_weighted_median_matches_expanded_bruteforce(spark, rows):
         vals.sort()
         want = vals[(len(vals) + 1) // 2 - 1]  # lower median, 1-based ceil
         assert got[g] == want, (g, vals, got[g])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),  # order key (ties!)
+            st.integers(min_value=-20, max_value=20),    # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_buckets=st.sampled_from([1, 3, 8, 32]),
+)
+@settings(**_SETTINGS)
+def test_partitioned_cumsum_equals_global_window(spark, rows, n_buckets):
+    """The two-pass parallel scan (operators/prefix.py) must equal the
+    single-reducer global window for ANY key distribution — skew, ties,
+    negative values, more buckets than rows. Ties are totally ordered by
+    a unique id, the same contract the global window needs."""
+    from pyspark.sql import Window
+
+    from data_engineering_project_spark.operators.prefix import (
+        partitioned_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    )
+    got = {
+        r["id"]: r["cumsum"]
+        for r in partitioned_cumsum(
+            df, order_col="k", value_col="v", tie_col="id",
+            n_buckets=n_buckets,
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: r["c"]
+        for r in df.select("id", F.sum("v").over(w).alias("c")).collect()
+    }
+    assert got == want
