@@ -1264,14 +1264,16 @@ def lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Quantity-weighted median extended price per return flag — the "
     "weighted-quantile operator (inventory-weighted 'typical price', "
     "resource-weighted latency SLOs): the smallest price whose cumulative "
-    "weight reaches half the total. No per-row sort: prices collapse to "
-    "the grouped (flag, cents) cell table with integer quantity weights "
-    "summed map-side, cumulative weight runs per flag over that "
-    "saturating table, and the median picks min(cents | 2*cum >= total) "
-    "with pure integer comparisons (2x sidesteps the half-total "
-    "division). The same grouped-frequency device as the KS/Mann-Whitney "
-    "pair, extended with weights — exact at any partitioning, one data "
-    "shuffle.",
+    "weight reaches half the total. Prices collapse to the grouped "
+    "(flag, cents) cell table with integer quantity weights summed "
+    "map-side, cumulative weight runs per flag, and the median picks "
+    "min(cents | 2*cum >= total) with pure integer comparisons (2x "
+    "sidesteps the half-total division). Unlike the KS/Mann-Whitney "
+    "value grid, the PRICE grid is wide (~1e7 cents), so the cell table "
+    "tracks row count rather than saturating — the per-flag ordered "
+    "window is the piece that upgrades to the two-pass parallel scan in "
+    "operators/prefix.py at cluster scale (equivalence property-tested "
+    "there). Exact at any partitioning either way.",
     tags=("stats", "quantile", "weighted"),
 )
 def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
