@@ -185,7 +185,8 @@ def cms_heavy_hitters(
 
 
 def misra_gries_summaries(
-    df: DataFrame, key: str, *, capacity: int = 256
+    df: DataFrame, key: str, *, capacity: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-partition Misra-Gries frequency summaries — bounded state, one
     pass, DETERMINISTIC (the space-saving-family alternative to the
@@ -205,10 +206,17 @@ def misra_gries_summaries(
     State is O(capacity) per partition regardless of key cardinality —
     the property that matters when billions of long-tail keys would blow
     up exact per-key aggregation state at 100 TB.
+
+    ``weight_col`` (an INTEGER column — snap money to cents first)
+    switches from frequencies to WEIGHTED frequencies: each occurrence
+    adds its weight instead of 1 (top spenders, top revenue keys). The
+    compaction and both bounds carry over unchanged — weighted MG is the
+    textbook generalization (each update is w unit-updates at once).
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     key_type = df.schema[key].dataType.simpleString()
+    in_cols = [key] + ([weight_col] if weight_col else [])
 
     def summarize(it):
         from pyspark import TaskContext
@@ -216,7 +224,11 @@ def misra_gries_summaries(
         counters: dict = {}
         dec_total = 0
         for pdf in it:
-            for k, c in pdf[key].value_counts().items():
+            if weight_col:
+                folded = pdf.groupby(key, sort=False)[weight_col].sum()
+            else:
+                folded = pdf[key].value_counts()
+            for k, c in folded.items():
                 counters[k] = counters.get(k, 0) + int(c)
             if len(counters) > capacity:
                 # subtract the (capacity+1)-th largest from everyone
@@ -241,7 +253,7 @@ def misra_gries_summaries(
         )
 
     out_schema = f"pid int, {key} {key_type}, est long, dec long"
-    return df.select(key).mapInPandas(summarize, out_schema)
+    return df.select(*in_cols).mapInPandas(summarize, out_schema)
 
 
 def space_saving_topk(

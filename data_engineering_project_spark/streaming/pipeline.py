@@ -1145,6 +1145,7 @@ def upsert_mg_summaries(
     *,
     key_col: str = "user_id",
     capacity: int = 256,
+    weight_col: str | None = None,
 ) -> Callable:
     """foreachBatch writer maintaining a Misra-Gries top-k summary table —
     the streaming twin of the batch ``events_spacesaving_topk``
@@ -1165,6 +1166,12 @@ def upsert_mg_summaries(
     exactly-once-counter protocol shared with ``upsert_cms_sketch``:
     rows are keyed by ``batch_id`` and a crash-replayed batch REPLACES its
     own prior contribution instead of double-counting.
+
+    ``weight_col`` (integer units — snap money to cents upstream) turns
+    the maintained summary into WEIGHTED heavy hitters (top spenders):
+    every merge/compaction/bound step is weight-agnostic, so the reader
+    and its ``est_lower ≤ true ≤ est_upper`` guarantee apply unchanged
+    to weighted totals.
     """
     from data_engineering_project_spark.operators.sketch import (
         misra_gries_summaries,
@@ -1174,7 +1181,9 @@ def upsert_mg_summaries(
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
-        summ = misra_gries_summaries(batch_df, key_col, capacity=capacity)
+        summ = misra_gries_summaries(
+            batch_df, key_col, capacity=capacity, weight_col=weight_col
+        )
         part_dec = summ.select("pid", "dec").distinct().agg(
             F.sum("dec").alias("dec")
         )

@@ -1219,3 +1219,47 @@ def test_histogram_drift_reader_binned_ks(spark, dirs):
         d_num = max(d_num, abs(f2 * 100 - f1 * 80))
     assert row["ks_vs_prev_day"] == round(d_num / (80 * 100), 6)
     assert row["ks_vs_prev_day"] > 0.3  # the skew is a real, visible shift
+
+
+def test_streaming_weighted_mg_top_spenders(spark, dirs):
+    """Weighted Misra-Gries maintenance: with weight_col each occurrence
+    adds its integer cents instead of 1, turning the maintained summary
+    into top SPENDERS. Exactly-once replace, exact equality while nothing
+    overflows capacity, and hard bounds once compaction fires."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_mg_topk,
+        upsert_mg_summaries,
+    )
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "user_id long, cents long")
+
+    write = upsert_mg_summaries(
+        dirs["target"], capacity=8, weight_col="cents"
+    )
+    write(_batch([(1, 500), (1, 250), (2, 100)]), 0)
+    write(_batch([(1, 250), (3, 40)]), 1)
+    write(_batch([(1, 250), (3, 40)]), 1)  # crash re-delivery: replaced
+
+    rows = read_mg_topk(spark, dirs["target"], k=3).collect()
+    got = {r["user_id"]: (r["est_lower"], r["est_upper"]) for r in rows}
+    assert got == {1: (1000, 1000), 2: (100, 100), 3: (40, 40)}
+
+    # overflow path: capacity 2, one partition -> compaction must fire
+    # and the weighted bounds must still bracket the true spend
+    import shutil
+
+    shutil.rmtree(dirs["target"], ignore_errors=True)
+    spend = [(1, 80), (1, 80), (2, 50), (3, 20), (4, 10), (5, 5)]
+    batch = _batch(spend).coalesce(1)
+    upsert_mg_summaries(dirs["target"], capacity=2, weight_col="cents")(
+        batch, 0
+    )
+    true = {}
+    for u, c in spend:
+        true[u] = true.get(u, 0) + c
+    for r in read_mg_topk(spark, dirs["target"], k=5).collect():
+        lo, hi = r["est_lower"], r["est_upper"]
+        assert lo <= true[r["user_id"]] <= hi
