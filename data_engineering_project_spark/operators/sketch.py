@@ -257,7 +257,8 @@ def misra_gries_summaries(
 
 
 def space_saving_topk(
-    df: DataFrame, key: str, *, k: int = 10, capacity: int = 256
+    df: DataFrame, key: str, *, k: int = 10, capacity: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic top-k with per-key error bounds from merged
     Misra-Gries summaries: ``(key, est_lower, est_upper)`` where
@@ -269,7 +270,9 @@ def space_saving_topk(
     ``capacity`` rows per partition. Any key whose true count exceeds
     Σdec is guaranteed present in the merged summary.
     """
-    summ = misra_gries_summaries(df, key, capacity=capacity)
+    summ = misra_gries_summaries(
+        df, key, capacity=capacity, weight_col=weight_col
+    )
     # each partition's dec counts once; the pid column exists for exactly this
     dec_total = summ.select("pid", "dec").distinct().agg(
         F.sum("dec").alias("dec_total")

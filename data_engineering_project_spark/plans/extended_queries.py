@@ -1798,3 +1798,57 @@ def events_approx_quantile_witness(spark: SparkSession, sf_dir: str) -> DataFram
         ((target >= lo_bound) & (target <= hi_bound)).alias("rank_ok"),
         F.col("n").alias("n_rows"),
     )
+
+
+@register(
+    "users_spend_topk_mg",
+    sql="""
+    SELECT CAST(LEAST(10, count(DISTINCT user_id)) AS BIGINT) AS k_returned,
+           TRUE AS bounds_hold,
+           (SELECT CAST(max(s) AS BIGINT) FROM (
+                SELECT sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
+                FROM events GROUP BY user_id))
+               AS exact_top1_cents,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    """,
+    doc="Top-10 users by TOTAL SPEND via weighted Misra-Gries summaries — "
+    "the weighted twin of `events_spacesaving_topk`: each occurrence "
+    "adds its integer cents instead of 1, state stays capped at 32 "
+    "counters per partition no matter how many users exist, and "
+    "est_lower <= true_spend <= est_upper is a hard guarantee (weighted "
+    "MG is the textbook generalization — one w-unit update per row). "
+    "Same bound-WITNESS hashing device as the count twin: Spark joins "
+    "the sketch's top-k to exact per-user spend and emits "
+    "bool_and(bounds hold) plus oracle-computable ground truth (top-1 "
+    "spend, total cents); a broken weighted path flips the boolean and "
+    "the hash. The streaming maintenance twin is "
+    "upsert_mg_summaries(weight_col=...).",
+    tags=("sketch", "approx", "agg"),
+)
+def users_spend_topk_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.functions.scalars import (
+        decimal_units,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", decimal_units(F.col("value"), 100).alias("cents")
+    )
+    topk = K.space_saving_topk(
+        ev, "user_id", k=10, capacity=32, weight_col="cents"
+    )
+    exact = ev.groupBy("user_id").agg(F.sum("cents").alias("exact_cents"))
+    witness = topk.join(exact, "user_id", "left").agg(
+        F.count("*").alias("k_returned"),
+        F.bool_and(
+            (F.col("est_lower") <= F.col("exact_cents"))
+            & (F.col("exact_cents") <= F.col("est_upper"))
+        ).alias("bounds_hold"),
+    )
+    truth = ev.agg(F.sum("cents").cast("bigint").alias("total_cents")).crossJoin(
+        exact.agg(F.max("exact_cents").cast("bigint").alias("exact_top1_cents"))
+    )
+    return witness.crossJoin(truth).select(
+        "k_returned", "bounds_hold", "exact_top1_cents", "total_cents"
+    )
