@@ -1101,3 +1101,108 @@ def events_ljungbox_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("lb_q"),
     )
+
+
+@register(
+    "events_runs_test",
+    sql=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(floor(value * {CENTS} + 0.5) AS BIGINT)) AS units
+        FROM events GROUP BY 1
+    ),
+    med AS (
+        SELECT min(units) AS m FROM (
+            SELECT units,
+                   row_number() OVER (ORDER BY units) AS rn,
+                   count(*) OVER () AS n
+            FROM daily
+        ) WHERE rn * 2 >= n
+    ),
+    signs AS (
+        SELECT d.day, CASE WHEN d.units > m.m THEN 1 ELSE 0 END AS s
+        FROM daily d, med m
+        WHERE d.units != m.m
+    ),
+    flips AS (
+        SELECT s,
+               CASE WHEN lag(s) OVER (ORDER BY day) IS NOT NULL
+                         AND lag(s) OVER (ORDER BY day) != s
+                    THEN 1 ELSE 0 END AS flip
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(sum(s) AS BIGINT) AS n1,
+               CAST(count(*) - sum(s) AS BIGINT) AS n2,
+               CAST(1 + sum(flip) AS BIGINT) AS r
+        FROM flips
+    )
+    SELECT n1, n2, r,
+           ROUND((CAST(r AS DOUBLE)
+                  - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 - 1 AS DOUBLE))),
+                 6) AS runs_z
+    FROM agg
+    """,
+    doc="Wald-Wolfowitz runs test on the daily revenue series — the "
+    "sign-sequence randomness check that complements `events_ljungbox_q` "
+    "(Q measures linear autocorrelation; runs catches ANY "
+    "above/below-median clustering, trends and regime-switches "
+    "included). Each day signs against the exact lower-median daily "
+    "total (median-equal days drop, the standard convention), R counts "
+    "sign flips via one lag over the day-ordered ~|days| rows, and the "
+    "normal approximation z = (R - (2 n1 n2/n + 1)) / sigma derives "
+    "closed-form from the three exact integers (n1, n2, R) — no "
+    "float-order exposure at all. Everything after the one daily "
+    "groupBy is metadata-sized.",
+    tags=("stats", "timeseries", "inference"),
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(decimal_units(F.col("value"), CENTS)).alias("units")
+    ).persist()
+    ranked = daily.select(
+        "units",
+        F.row_number().over(Window.orderBy("units")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") * 2 >= F.col("n")).agg(
+        F.min("units").alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("units") != F.col("m"))
+        .select(
+            "day",
+            F.when(F.col("units") > F.col("m"), 1).otherwise(0).alias("s"),
+        )
+    )
+    lagged = F.lag("s").over(Window.orderBy("day"))
+    flips = signs.select(
+        "s",
+        F.when(lagged.isNotNull() & (lagged != F.col("s")), 1)
+        .otherwise(0)
+        .alias("flip"),
+    )
+    agg = flips.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("bigint").alias("n2"),
+        (F.sum("flip") + 1).cast("bigint").alias("r"),
+    )
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    mu = 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1
+    sigma = F.sqrt(
+        2.0 * F.col("n1") * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (nd * nd * (F.col("n1") + F.col("n2") - 1).cast("double"))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "r",
+        F.round((F.col("r").cast("double") - mu) / sigma, 6).alias("runs_z"),
+    )
