@@ -1206,3 +1206,114 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         F.round((F.col("r").cast("double") - mu) / sigma, 6).alias("runs_z"),
     )
+
+
+@register(
+    "events_value_isotonic_rate",
+    sql="""
+    WITH bins AS (
+        SELECT CAST(floor(value / 50) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS w,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    cums AS (
+        SELECT b, w, y,
+               row_number() OVER (ORDER BY b) AS rn,
+               sum(w) OVER (ORDER BY b) AS cw,
+               sum(y) OVER (ORDER BY b) AS cy
+        FROM bins
+    ),
+    p AS (
+        SELECT j.rn AS j, k.rn AS k,
+               CAST(k.cy - j.cy + j.y AS DOUBLE)
+                   / CAST(k.cw - j.cw + j.w AS DOUBLE) AS a
+        FROM cums j JOIN cums k ON j.rn <= k.rn
+    ),
+    m AS (
+        SELECT i.rn AS i, p.j, min(p.a) AS mn
+        FROM cums i JOIN p ON p.j <= i.rn AND p.k >= i.rn
+        GROUP BY 1, 2
+    ),
+    iso AS (SELECT i, max(mn) AS iso FROM m GROUP BY i)
+    SELECT c.b AS bin, c.w AS n_events, c.y AS n_purchases,
+           ROUND(CAST(c.y AS DOUBLE) / c.w, 6) AS raw_rate,
+           ROUND(iso.iso, 6) AS isotonic_rate
+    FROM cums c JOIN iso ON iso.i = c.rn
+    """,
+    doc="Isotonic (monotone non-decreasing) regression of purchase rate "
+    "against the 50-unit value bin — the calibration-curve fit behind "
+    "score calibration and dose-response curves, solved EXACTLY via the "
+    "minimax closed form iso(i) = max_{j<=i} min_{k>=i} "
+    "weightedmean(y, j..k) instead of the iterative "
+    "pool-adjacent-violators loop (identical solution; Barlow et al. "
+    "1972). The closed form is what makes it declarative AND "
+    "oracle-checkable: after the one data-sized groupBy collapses events "
+    "to ~20 bins, every (j,k) window mean derives from integer prefix "
+    "sums and the max-min runs over a bins-cubed (~8k row) join — "
+    "metadata-sized, so the 'quadratic' formula is free while a 100 TB "
+    "scan cost stays one pass. Monotonicity of the output is a "
+    "theorem, not an assertion.",
+    tags=("stats", "regression", "calibration"),
+)
+def events_value_isotonic_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bins = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.floor(F.col("value") / 50).cast("bigint").alias("b"))
+        .agg(
+            F.count("*").cast("bigint").alias("w"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    wo = Window.orderBy("b")
+    cums = bins.select(
+        "b",
+        "w",
+        "y",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("y").over(wo).alias("cy"),
+    ).persist()
+    j = cums.select(
+        F.col("rn").alias("j"),
+        F.col("w").alias("jw"),
+        F.col("y").alias("jy"),
+        F.col("cw").alias("jcw"),
+        F.col("cy").alias("jcy"),
+    )
+    k = cums.select(
+        F.col("rn").alias("k"),
+        F.col("cw").alias("kcw"),
+        F.col("cy").alias("kcy"),
+    )
+    p = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("kcy") - F.col("jcy") + F.col("jy")).cast("double")
+            / (F.col("kcw") - F.col("jcw") + F.col("jw")).cast("double")
+        ).alias("a"),
+    )
+    i = cums.select(F.col("rn").alias("i"))
+    m = (
+        i.join(p, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("a").alias("mn"))
+    )
+    iso = m.groupBy("i").agg(F.max("mn").alias("iso"))
+    return (
+        cums.join(iso, cums.rn == iso.i)
+        .select(
+            F.col("b").alias("bin"),
+            F.col("w").alias("n_events"),
+            F.col("y").alias("n_purchases"),
+            F.round(F.col("y").cast("double") / F.col("w"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("iso", 6).alias("isotonic_rate"),
+        )
+    )
