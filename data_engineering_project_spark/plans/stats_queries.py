@@ -1317,3 +1317,113 @@ def events_value_isotonic_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("iso", 6).alias("isotonic_rate"),
         )
     )
+
+
+@register(
+    "lineitem_kendall_tau",
+    sql="""
+    WITH cells AS (
+        SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+               CAST(count(*) AS HUGEINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT sum(CASE WHEN b.q > a.q AND b.d > a.d THEN a.n * b.n
+                        ELSE 0 END) AS c,
+               sum(CASE WHEN b.q > a.q AND b.d < a.d THEN a.n * b.n
+                        ELSE 0 END) AS dsc
+        FROM cells a
+        JOIN cells b
+          ON b.q > a.q OR (b.q = a.q AND b.d > a.d)
+    ),
+    tot AS (SELECT sum(n) AS n FROM cells),
+    tq AS (
+        SELECT sum(m * (m - 1) / 2) AS t1 FROM (
+            SELECT sum(n) AS m FROM cells GROUP BY q)
+    ),
+    td AS (
+        SELECT sum(m * (m - 1) / 2) AS t2 FROM (
+            SELECT sum(n) AS m FROM cells GROUP BY d)
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_rows,
+           CAST(p.c AS BIGINT) AS concordant,
+           CAST(p.dsc AS BIGINT) AS discordant,
+           ROUND(CAST(p.c - p.dsc AS DOUBLE)
+                 / sqrt(CAST(t.n * (t.n - 1) / 2 - tq.t1 AS DOUBLE)
+                        * CAST(t.n * (t.n - 1) / 2 - td.t2 AS DOUBLE)),
+                 6) AS kendall_tau_b
+    FROM pairs p, tot t, tq, td
+    """,
+    doc="Kendall tau-b rank correlation between quantity and discount "
+    "with full tie correction — the ordinal complement to "
+    "`lineitem_corr_matrix`'s Pearson (tau sees monotone association "
+    "Pearson's linearity misses, and survives outliers). The naive "
+    "O(n^2) pair count never happens: values snap to integer cents and "
+    "collapse onto the 2-D cell grid (quantity x discount saturates at "
+    "~550 cells regardless of row count), concordant/discordant mass "
+    "comes from one lexicographic cell-pair join weighted by n_a*n_b, "
+    "and the tie terms T1/T2 fall out of the grid's marginals — all "
+    "exact HUGEINT/DECIMAL38 integers until the final ratio. The same "
+    "saturating-grid device as the KS/Mann-Whitney pair, lifted to two "
+    "dimensions.",
+    tags=("stats", "profile", "rank"),
+)
+def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec38 = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        decimal_units(F.col("l_quantity"), 100).alias("q"),
+        decimal_units(F.col("l_discount"), 100).alias("d"),
+    ).agg(F.count("*").cast(dec38).alias("n")).persist()
+    a = cells.select(
+        F.col("q").alias("aq"), F.col("d").alias("ad"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("q").alias("bq"), F.col("d").alias("bd"), F.col("n").alias("bn")
+    )
+    joined = a.join(
+        b,
+        (F.col("bq") > F.col("aq"))
+        | ((F.col("bq") == F.col("aq")) & (F.col("bd") > F.col("ad"))),
+    )
+    nn = F.col("an") * F.col("bn")
+    pairs = joined.agg(
+        F.sum(
+            F.when((F.col("bq") > F.col("aq")) & (F.col("bd") > F.col("ad")), nn)
+            .otherwise(F.lit(0).cast(dec38))
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("bq") > F.col("aq")) & (F.col("bd") < F.col("ad")), nn)
+            .otherwise(F.lit(0).cast(dec38))
+        ).alias("dsc"),
+    )
+    tot = cells.agg(F.sum("n").alias("n"))
+    tq = (
+        cells.groupBy("q").agg(F.sum("n").alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("t1"))
+    )
+    td = (
+        cells.groupBy("d").agg(F.sum("n").alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("t2"))
+    )
+    n = F.col("n")
+    n0 = n * (n - 1) / 2
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(td))
+        .select(
+            n.cast("bigint").alias("n_rows"),
+            F.col("c").cast("bigint").alias("concordant"),
+            F.col("dsc").cast("bigint").alias("discordant"),
+            F.round(
+                (F.col("c") - F.col("dsc")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("t1")).cast("double")
+                    * (n0 - F.col("t2")).cast("double")
+                ),
+                6,
+            ).alias("kendall_tau_b"),
+        )
+    )
