@@ -1306,3 +1306,105 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
             2,
         ).alias("weighted_median_price"),
     )
+
+
+@register(
+    "events_cmh_stratified",
+    sql="""
+    WITH cell AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN user_id % 2 = 0
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN user_id % 2 = 0
+                             AND event_type != 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN user_id % 2 = 1
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN user_id % 2 = 1
+                             AND event_type != 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM events GROUP BY 1
+    ),
+    terms AS (
+        SELECT CAST(floor((a - CAST((a + b) AS DOUBLE) * (a + c)
+                               / (a + b + c + d)) * 1000000 + 0.5)
+                    AS BIGINT) AS dev_micro,
+               CAST(floor(CAST((a + b) AS DOUBLE) * (c + d) * (a + c)
+                          * (b + d)
+                          / (CAST((a + b + c + d) AS DOUBLE)
+                             * (a + b + c + d) * (a + b + c + d - 1))
+                          * 1000000 + 0.5) AS BIGINT) AS var_micro,
+               CAST(floor(CAST(a AS DOUBLE) * d / (a + b + c + d)
+                          * 1000000 + 0.5) AS BIGINT) AS ad_micro,
+               CAST(floor(CAST(b AS DOUBLE) * c / (a + b + c + d)
+                          * 1000000 + 0.5) AS BIGINT) AS bc_micro
+        FROM cell
+        WHERE a + b + c + d >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           ROUND(CAST(sum(dev_micro) AS DOUBLE)
+                 * CAST(sum(dev_micro) AS DOUBLE)
+                 / 1000000.0 / sum(var_micro), 6) AS cmh_chi2,
+           ROUND(CAST(sum(ad_micro) AS DOUBLE) / sum(bc_micro), 6)
+               AS mh_odds_ratio
+    FROM terms
+    """,
+    doc="Cochran-Mantel-Haenszel test and Mantel-Haenszel common odds "
+    "ratio for exposure (user parity) vs purchase, STRATIFIED by day — "
+    "the confounder-adjusted A/B analysis the pooled two-proportion "
+    "z-test (`events_ab_conversion_z`) cannot do: pooling across days "
+    "invites Simpson's paradox when traffic mix shifts; CMH pools the "
+    "per-day 2x2 evidence instead. Per-stratum deviations a_k - E_k, "
+    "variances, and the a_k d_k/n_k odds terms are deterministic "
+    "doubles from exact integer cell counts, floor-quantized to "
+    "micro-units per stratum and integer-summed (the chi2/PMI device — "
+    "raw double sums across shuffle-ordered strata would be "
+    "order-dependent). One data-sized groupBy to |days| rows; "
+    "everything after is metadata.",
+    tags=("stats", "inference", "ab-test"),
+)
+def events_cmh_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exposed = F.col("user_id") % 2 == 0
+    purch = F.col("event_type") == "purchase"
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    cell = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        cnt(exposed & purch, "a"),
+        cnt(exposed & ~purch, "b"),
+        cnt(~exposed & purch, "c"),
+        cnt(~exposed & ~purch, "d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = a + b + c + d
+    nd = n.cast("double")
+
+    def micro(x):
+        return F.floor(x * 1000000 + F.lit(0.5)).cast("bigint")
+
+    terms = cell.filter(n >= 2).select(
+        micro(a - (a + b).cast("double") * (a + c) / n).alias("dev_micro"),
+        micro(
+            (a + b).cast("double") * (c + d) * (a + c) * (b + d)
+            / (nd * n * (n - 1))
+        ).alias("var_micro"),
+        micro(a.cast("double") * d / n).alias("ad_micro"),
+        micro(b.cast("double") * c / n).alias("bc_micro"),
+    )
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.round(
+            F.sum("dev_micro").cast("double")
+            * F.sum("dev_micro").cast("double")
+            / 1000000.0
+            / F.sum("var_micro"),
+            6,
+        ).alias("cmh_chi2"),
+        F.round(
+            F.sum("ad_micro").cast("double") / F.sum("bc_micro"), 6
+        ).alias("mh_odds_ratio"),
+    )
