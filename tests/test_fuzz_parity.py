@@ -435,6 +435,12 @@ W_FUNCS = [
     ("mx", True, lambda m, w: F.max(m).over(w), lambda m: f"max({m})"),
     ("cnt", True, lambda m, w: F.count(F.lit(1)).over(w),
      lambda m: "count(*)"),
+    # rank-family functions: deterministic because every order is total
+    ("pr", False, lambda m, w: F.percent_rank().over(w),
+     lambda m: "percent_rank()"),
+    ("cd", False, lambda m, w: F.cume_dist().over(w),
+     lambda m: "cume_dist()"),
+    ("nt", False, lambda m, w: F.ntile(4).over(w), lambda m: "ntile(4)"),
 ]
 
 N_WINDOW_CASES = 20
