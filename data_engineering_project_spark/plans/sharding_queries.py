@@ -183,3 +183,112 @@ def docs_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@register(
+    "docs_neyman_allocation",
+    sql="""
+    WITH m AS (
+        SELECT lang,
+               CAST(count(*) AS HUGEINT) AS nh,
+               CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS ss
+        FROM documents GROUP BY lang
+    ),
+    sd AS (
+        SELECT lang, nh,
+               sqrt(CAST(nh * ss - s * s AS DOUBLE)) / CAST(nh AS DOUBLE)
+                   AS sigma
+        FROM m
+    ),
+    w AS (
+        SELECT lang, nh, sigma,
+               CAST(nh AS DOUBLE) * sigma
+                   / sum(CAST(nh AS DOUBLE) * sigma) OVER () AS share
+        FROM sd
+    ),
+    base AS (
+        SELECT lang, nh, sigma, share,
+               CAST(floor(1000 * share) AS BIGINT) AS alloc0,
+               1000 * share - floor(1000 * share) AS rem
+        FROM w
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+               CAST(1000 - sum(alloc0) OVER () AS BIGINT) AS leftover
+        FROM base
+    )
+    SELECT lang,
+           CAST(nh AS BIGINT) AS stratum_size,
+           CAST(floor(sigma * 10000 + 0.5) AS BIGINT) AS sigma_e4,
+           alloc0 + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM ranked
+    """,
+    doc="Neyman-optimal stratified-sample allocation of a 1000-doc budget "
+    "across languages: n_h proportional to N_h * sigma_h (stratum size x "
+    "population std of n_chars), the allocation that minimizes the "
+    "estimator variance for a fixed budget — what proportional "
+    "allocation (`docs_split_manifest`'s hash splits) ignores when "
+    "strata differ in spread. Per-stratum sigma derives from exact "
+    "HUGEINT/DECIMAL38 moments (sqrt(N*SS - S^2)/N — one sqrt on a "
+    "bit-identical integer); shares and the largest-remainder rounding "
+    "(exactly exhausts the budget, ties broken by lang) are "
+    "deterministic doubles over the |langs|-row frame. One "
+    "map-side-combined pass over the corpus; everything after is "
+    "metadata-sized.",
+    tags=("sampling", "sharding", "stats"),
+)
+def docs_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    dec38 = "decimal(38,0)"
+    d = load_table(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast(dec38)
+    m = d.groupBy("lang").agg(
+        F.count("*").cast(dec38).alias("nh"),
+        F.sum(nc).alias("s"),
+        F.sum(nc * nc).alias("ss"),
+    )
+    sigma = (
+        F.sqrt((F.col("nh") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+        / F.col("nh").cast("double")
+    )
+    sd = m.select("lang", "nh", sigma.alias("sigma"))
+    wall = Window.partitionBy()
+    w = sd.select(
+        "lang",
+        "nh",
+        "sigma",
+        (
+            F.col("nh").cast("double") * F.col("sigma")
+            / F.sum(F.col("nh").cast("double") * F.col("sigma")).over(wall)
+        ).alias("share"),
+    )
+    base = w.select(
+        "lang",
+        "nh",
+        "sigma",
+        F.floor(1000 * F.col("share")).cast("bigint").alias("alloc0"),
+        (1000 * F.col("share") - F.floor(1000 * F.col("share"))).alias("rem"),
+    )
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("lang")))
+        .alias("rr"),
+        (F.lit(1000) - F.sum("alloc0").over(wall)).cast("bigint").alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "lang",
+        F.col("nh").cast("bigint").alias("stratum_size"),
+        F.floor(F.col("sigma") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sigma_e4"),
+        (
+            F.col("alloc0")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
