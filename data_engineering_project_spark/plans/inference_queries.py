@@ -1270,41 +1270,57 @@ def lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min(cents | 2*cum >= total) with pure integer comparisons (2x "
     "sidesteps the half-total division). Unlike the KS/Mann-Whitney "
     "value grid, the PRICE grid is wide (~1e7 cents), so the cell table "
-    "tracks row count rather than saturating — the per-flag ordered "
-    "window is the piece that upgrades to the two-pass parallel scan in "
-    "operators/prefix.py at cluster scale (equivalence property-tested "
-    "there). Exact at any partitioning either way.",
+    "tracks row count rather than saturating — which is why this query "
+    "runs its cumulative weight through the TWO-PASS parallel scan "
+    "(operators/prefix.py partitioned_cumsum, grouped variant): no task "
+    "ever windows a whole flag's cell table, so the plan survives a "
+    "price grid that grows with the data. Equivalence with the "
+    "single-reducer window is property-tested in test_properties.py and "
+    "plan-asserted in test_plan_quality.py; integer weights make the "
+    "result exact at any partitioning either way.",
     tags=("stats", "quantile", "weighted"),
 )
 def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.prefix import (
+        partitioned_cumsum,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     u = li.select(
         "l_returnflag",
         decimal_units(F.col("l_extendedprice"), 100).alias("cents"),
         F.col("l_quantity").cast("bigint").alias("w"),
     )
+    # persist pins the cell table so the scan's three consumers (range
+    # bounds, per-bucket totals, the bucketed join) share one fact scan
     cells = u.groupBy("l_returnflag", "cents").agg(
         F.sum("w").cast(DEC38).alias("w"),
         F.count("*").cast("bigint").alias("n"),
+    ).persist()
+    cum = partitioned_cumsum(
+        cells,
+        order_col="cents",
+        value_col="w",
+        partition_cols=["l_returnflag"],
+        out_col="cw",
     )
-    wf = Window.partitionBy("l_returnflag")
-    cum = cells.select(
-        "l_returnflag",
-        "cents",
-        "n",
-        F.sum("w").over(wf.orderBy("cents")).alias("cw"),
-        F.sum("w").over(wf).alias("tw"),
+    totals = cells.groupBy("l_returnflag").agg(
+        F.sum("w").alias("tw")
     )
-    return cum.groupBy("l_returnflag").agg(
-        F.sum("n").cast("bigint").alias("n_rows"),
-        F.max("tw").cast("bigint").alias("total_weight"),
-        F.round(
-            F.min(
-                F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents"))
-            )
-            / 100.0,
-            2,
-        ).alias("weighted_median_price"),
+    return (
+        cum.join(F.broadcast(totals), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+            F.round(
+                F.min(
+                    F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents"))
+                )
+                / 100.0,
+                2,
+            ).alias("weighted_median_price"),
+        )
     )
 
 

@@ -744,3 +744,19 @@ def test_semantic_dedup_no_cross_cluster_pairing(plans):
     plan = plans("emb_semantic_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_median_cumsum_is_two_pass_not_single_reducer(plans):
+    # the cumulative weight must run through the two-pass parallel scan
+    # (operators/prefix.py): every Window ordered by the price grid is
+    # partitioned by (flag, _bucket) — never by flag alone, which would
+    # funnel a whole flag's cell table through one task. The only
+    # flag-partitioned window is the O(buckets) offsets step, ordered by
+    # _bucket over the per-bucket totals.
+    plan = plans("lineitem_weighted_median_price")
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert windows, "expected window nodes in the weighted-median plan"
+    for ln in windows:
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        if "cents" in spec.split("specifiedwindowframe")[0]:
+            assert "_bucket" in spec.split("specifiedwindowframe")[0], ln

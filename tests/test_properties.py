@@ -399,20 +399,30 @@ def test_weighted_median_matches_expanded_bruteforce(spark, rows):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(min_value=-100, max_value=100),  # order key (ties!)
-            st.integers(min_value=-20, max_value=20),    # value
+            st.one_of(  # order key — ties, skew, AND NULLs
+                st.none(), st.integers(min_value=-100, max_value=100)
+            ),
+            st.one_of(  # value — NULLs must not be invented or dropped
+                st.none(), st.integers(min_value=-20, max_value=20)
+            ),
         ),
         min_size=1,
         max_size=60,
     ),
     n_buckets=st.sampled_from([1, 3, 8, 32]),
+    strategy=st.sampled_from(["range", "sampled"]),
 )
 @settings(**_SETTINGS)
-def test_partitioned_cumsum_equals_global_window(spark, rows, n_buckets):
+def test_partitioned_cumsum_equals_global_window(
+    spark, rows, n_buckets, strategy
+):
     """The two-pass parallel scan (operators/prefix.py) must equal the
     single-reducer global window for ANY key distribution — skew, ties,
-    negative values, more buckets than rows. Ties are totally ordered by
-    a unique id, the same contract the global window needs."""
+    negative values, NULL order keys (sort first, never dropped), NULL
+    values (sum-of-nothing stays NULL), more buckets than rows, and both
+    split strategies (deterministic value-range and quantile-sampled).
+    Ties are totally ordered by a unique id, the same contract the global
+    window needs."""
     from pyspark.sql import Window
 
     from data_engineering_project_spark.operators.prefix import (
@@ -426,11 +436,62 @@ def test_partitioned_cumsum_equals_global_window(spark, rows, n_buckets):
         r["id"]: r["cumsum"]
         for r in partitioned_cumsum(
             df, order_col="k", value_col="v", tie_col="id",
-            n_buckets=n_buckets,
+            n_buckets=n_buckets, split_strategy=strategy,
         ).collect()
     }
     w = Window.orderBy("k", "id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: r["c"]
+        for r in df.select("id", F.sum("v").over(w).alias("c")).collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "hot"]),          # group
+            st.integers(min_value=-50, max_value=50),    # order key (ties!)
+            st.integers(min_value=-20, max_value=20),    # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_buckets=st.sampled_from([1, 4, 16]),
+    strategy=st.sampled_from(["range", "sampled"]),
+)
+@settings(**_SETTINGS)
+def test_partitioned_cumsum_grouped_equals_grouped_window(
+    spark, rows, n_buckets, strategy
+):
+    """Grouped variant (partition_cols) must equal the per-group ordered
+    window — the shape the weighted-median / KS catalog queries use. The
+    bucketing is shared across groups; each (group, bucket) window runs
+    independently, so no single task ever sees a whole group."""
+    from pyspark.sql import Window
+
+    from data_engineering_project_spark.operators.prefix import (
+        partitioned_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, k, v) for i, (g, k, v) in enumerate(rows)],
+        "id long, g string, k long, v long",
+    )
+    got = {
+        r["id"]: r["cumsum"]
+        for r in partitioned_cumsum(
+            df, order_col="k", value_col="v", tie_col="id",
+            partition_cols=["g"], n_buckets=n_buckets,
+            split_strategy=strategy,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     want = {
         r["id"]: r["c"]
