@@ -141,9 +141,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "tag":
         # pure metadata, no Spark session
         import json as _json
+        import sys as _sys
 
         from data_engineering_project_spark.sinks import snapshot_table as st
 
+        # an operator typo must not look like success: demand an action,
+        # and reject modifiers that only make sense with --create
+        if not (args.create or args.delete or args.list):
+            print(
+                "tag: one of --create/--delete/--list is required",
+                file=_sys.stderr,
+            )
+            return 2
+        if (args.version is not None or args.replace) and not args.create:
+            print(
+                "tag: --version/--replace are only valid with --create",
+                file=_sys.stderr,
+            )
+            return 2
         if args.create:
             v = st.create_tag(
                 args.table, args.create,

@@ -165,6 +165,16 @@ def pq_topk(
         quantize_vec(F.col(vec_col), scale).alias("qf"),
     ).persist()
 
+    # one driver-side fetch of the query's full quantized vector (sliced
+    # per subspace below, instead of re-collecting it n_sub times), with a
+    # clear error when the id is absent from a non-empty corpus
+    qrows = full.filter(F.col("vec_id") == query_id).take(1)
+    if not qrows and not full.isEmpty():
+        raise ValueError(
+            f"query id {query_id!r} not found in {id_col!r} of the corpus"
+        )
+    qfull = [float(v) for v in qrows[0]["qf"]] if qrows else []
+
     codes: DataFrame | None = None
     adc_terms = []
     for s in range(n_sub):
@@ -180,10 +190,7 @@ def pq_topk(
             "vec_id", F.col("cluster").alias(f"c{s}")
         )
         codes = cs if codes is None else codes.join(cs, "vec_id")
-        q0 = [
-            float(v)
-            for v in pts.filter(F.col("vec_id") == query_id).collect()[0]["q"]
-        ]
+        q0 = qfull[s * sub : (s + 1) * sub]
         # ADC lookup entries: ||q0_s - c||² in the SAME left-fold order the
         # oracle's list_sum uses (both are IEEE doubles → bit-identical)
         dist = {}

@@ -203,26 +203,30 @@ def docs_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
         SELECT lang, nh, sigma,
-               CAST(nh AS DOUBLE) * sigma
-                   / sum(CAST(nh AS DOUBLE) * sigma) OVER () AS share
+               CAST(floor(CAST(nh AS DOUBLE) * sigma * 1000000 + 0.5)
+                    AS HUGEINT) AS t_micro
         FROM sd
     ),
     base AS (
-        SELECT lang, nh, sigma, share,
-               CAST(floor(1000 * share) AS BIGINT) AS alloc0,
-               1000 * share - floor(1000 * share) AS rem
+        SELECT lang, nh, sigma, t_micro,
+               sum(t_micro) OVER () AS denom,
+               (1000 * t_micro) // sum(t_micro) OVER () AS alloc0,
+               1000 * t_micro
+                   - ((1000 * t_micro) // sum(t_micro) OVER ())
+                     * sum(t_micro) OVER () AS rem_i
         FROM w
     ),
     ranked AS (
         SELECT *,
-               row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+               row_number() OVER (ORDER BY rem_i DESC, lang) AS rr,
                CAST(1000 - sum(alloc0) OVER () AS BIGINT) AS leftover
         FROM base
     )
     SELECT lang,
            CAST(nh AS BIGINT) AS stratum_size,
            CAST(floor(sigma * 10000 + 0.5) AS BIGINT) AS sigma_e4,
-           alloc0 + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS alloc
+           CAST(alloc0 + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
     FROM ranked
     """,
     doc="Neyman-optimal stratified-sample allocation of a 1000-doc budget "
@@ -232,11 +236,15 @@ def docs_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "allocation (`docs_split_manifest`'s hash splits) ignores when "
     "strata differ in spread. Per-stratum sigma derives from exact "
     "HUGEINT/DECIMAL38 moments (sqrt(N*SS - S^2)/N — one sqrt on a "
-    "bit-identical integer); shares and the largest-remainder rounding "
-    "(exactly exhausts the budget, ties broken by lang) are "
-    "deterministic doubles over the |langs|-row frame. One "
-    "map-side-combined pass over the corpus; everything after is "
-    "metadata-sized.",
+    "bit-identical integer); each N_h*sigma_h term is floor-quantized "
+    "to integer micro-units PER STRATUM before the cross-strata sum "
+    "(the events_type_dow_pmi device — a raw double sum over "
+    "shuffle-ordered strata would be accumulation-order-dependent), so "
+    "the share denominator, the floor(1000*share) base allocation "
+    "(exact integer `div`), and the largest-remainder ranking (integer "
+    "remainders, ties broken by lang) are all order-independent "
+    "integers. One map-side-combined pass over the corpus; everything "
+    "after is metadata-sized.",
     tags=("sampling", "sharding", "stats"),
 )
 def docs_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,26 +264,40 @@ def docs_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sd = m.select("lang", "nh", sigma.alias("sigma"))
     wall = Window.partitionBy()
+    # per-stratum micro-quantization BEFORE the cross-strata sum: the share
+    # denominator must be an integer sum (a raw double sum over
+    # shuffle-ordered strata is accumulation-order-dependent)
     w = sd.select(
         "lang",
         "nh",
         "sigma",
-        (
-            F.col("nh").cast("double") * F.col("sigma")
-            / F.sum(F.col("nh").cast("double") * F.col("sigma")).over(wall)
-        ).alias("share"),
+        F.floor(
+            F.col("nh").cast("double") * F.col("sigma") * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast(dec38)
+        .alias("t_micro"),
     )
-    base = w.select(
+    denom = F.sum("t_micro").over(wall)
+    # exact integer floor division (`div`) keeps floor(1000*share) and the
+    # largest-remainder ordering free of any double rounding
+    alloc0 = F.expr(
+        "(CAST(1000 AS DECIMAL(38,0)) * t_micro) div _denom"
+    )
+    base = w.withColumn("_denom", denom).select(
         "lang",
         "nh",
         "sigma",
-        F.floor(1000 * F.col("share")).cast("bigint").alias("alloc0"),
-        (1000 * F.col("share") - F.floor(1000 * F.col("share"))).alias("rem"),
+        alloc0.alias("alloc0"),
+        (
+            F.lit(1000).cast(dec38) * F.col("t_micro")
+            - alloc0.cast(dec38) * F.col("_denom")
+        ).alias("rem_i"),
     )
     ranked = base.select(
         "*",
         F.row_number()
-        .over(Window.orderBy(F.desc("rem"), F.asc("lang")))
+        .over(Window.orderBy(F.desc("rem_i"), F.asc("lang")))
         .alias("rr"),
         (F.lit(1000) - F.sum("alloc0").over(wall)).cast("bigint").alias(
             "leftover"

@@ -194,15 +194,22 @@ def create_tag(
     path = _tag_path(table, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     payload = json.dumps({"name": name, "version": version})
-    if replace:
-        tmp = path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            fh.write(payload)
-        os.replace(tmp, path)
-    else:
-        # exclusive create = the commit protocol's conflict primitive
-        with open(path, "x") as fh:
-            fh.write(payload)
+    # both paths write a complete tmp file first, so a crash mid-write can
+    # never leave a truncated tag that breaks list_tags (and with it vacuum)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+    try:
+        if replace:
+            os.replace(tmp, path)
+        else:
+            # link(2) is atomic AND exclusive (EEXIST on conflict) — the
+            # commit protocol's conflict primitive, without open('x')'s
+            # create-then-write window
+            os.link(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return version
 
 

@@ -258,3 +258,15 @@ def test_cli_query_save_to_snapshot_table(spark, sf_dir, tmp_path, capsys):
     # a second save commits a NEW version (append semantics)
     assert main(["query", "event_type_counts", "--sf-dir", sf_dir, "--save", table]) == 0
     assert st.current_version(table) == 1
+
+
+def test_cli_tag_requires_an_action(tmp_path, capsys):
+    """`tag <table>` with no action flags must error, not silently
+    succeed — and --version/--replace are modifiers of --create only."""
+    from data_engineering_project_spark.cli import main
+
+    assert main(["tag", str(tmp_path)]) == 2
+    assert "required" in capsys.readouterr().err
+    assert main(["tag", str(tmp_path), "--replace"]) == 2
+    assert "--create" in capsys.readouterr().err
+    assert main(["tag", str(tmp_path), "--version", "3"]) == 2

@@ -51,3 +51,16 @@ def test_vectorized_topk_orders_and_limits(spark):
     assert len(top) == 5
     scores = [r["cosine"] for r in top]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_topk_missing_query_id_raises_value_error(spark):
+    """A query id absent from a non-empty corpus must raise a descriptive
+    ValueError (not an IndexError from an empty collect), and the query
+    vector is fetched once, not once per subspace."""
+    import pytest
+
+    from data_engineering_project_spark.operators.clustering import pq_topk
+
+    e = _corpus(spark, n=20)
+    with pytest.raises(ValueError, match="not found"):
+        pq_topk(e, query_id=9999, dim=64, n_sub=4, k=4, n_iter=1, topk=5)

@@ -455,3 +455,17 @@ def test_cli_tag_roundtrip(spark, table, capsys):
     assert main(["tag", table, "--delete", "release-1"]) == 0
     assert main(["tag", table, "--list"]) == 0
     assert json.loads(capsys.readouterr().out) == {}
+
+
+def test_tag_conflict_leaves_no_tmp_litter(spark, table):
+    """The exclusive create writes a complete tmp file then hard-links it
+    into place (atomic + exclusive) — a losing racer must clean its tmp
+    and must not disturb the winner, and list_tags (which vacuum depends
+    on) must keep working."""
+    st.write_table(_rows(spark, [(1, "a")]), table)
+    st.create_tag(table, "pin")
+    with pytest.raises(FileExistsError):
+        st.create_tag(table, "pin")
+    tdir = os.path.join(table, "_tags")
+    assert [n for n in os.listdir(tdir) if ".tmp." in n] == []
+    assert st.list_tags(table) == {"pin": 0}
