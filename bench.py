@@ -35,7 +35,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # every catalog query participates; these are the headline subset reported
-# individually (scan-heavy, join-heavy, window, text, vector — one per class)
+# individually (scan-heavy, join-heavy, window, text, vector — one per class).
+# The set is CAPPED: the driver parses a bounded ~2000-byte tail of stdout,
+# and per-query timings cost ~30 bytes each, so unbounded growth would trip
+# the degrade path below and replace the per-query record with a pointer.
+# tests/test_layout.py asserts both the cap and the worst-case line size;
+# to add a headliner past the cap, retire one (rotate classes, don't grow).
+MAX_HEADLINERS = 46
 HEADLINE = (
     "hourly_report_dense",
     "q1_pricing_summary",
