@@ -143,8 +143,16 @@ def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "graph", "projection"),
 )
 def suppliers_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup (orderkey, suppkey) in a codegen HashAggregate BEFORE the
+    # collect_set fold: the ObjectHashAggregate (no codegen) then sees
+    # pre-shrunk, pre-combined input. A/B tools/ab_cooccurrence.py at
+    # sf0.1: marginal 0.89→0.75 s and 1.32→0.82 s across two sessions;
+    # the all-codegen distinct+self-join variant measured WORSE (extra
+    # shuffle outweighs the codegen win at ≤7 lines/order).
     per_order = (
         load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_suppkey")).alias("supps"))
     )
