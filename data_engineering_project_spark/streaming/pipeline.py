@@ -650,6 +650,83 @@ def read_histogram_drift(
     )
 
 
+def upsert_drift_cusum(
+    hist_dir: str,
+    alarm_dir: str,
+    *,
+    allowance_micro: int = 50_000,
+    threshold_micro: int = 200_000,
+    value_col: str = "value",
+    time_col: str = "batch_ts",
+    log_base: float = 1.2,
+) -> Callable:
+    """foreachBatch writer that upgrades drift MONITORING to drift
+    ALERTING: after folding the batch into the per-day histogram state
+    (``upsert_daily_histograms``), it re-derives the day-over-day binned
+    KS series and maintains a Page CUSUM alarm per day —
+
+        S_d = max(0, S_{d-1} + (ks_d - allowance)),  alarm when S_d > h
+
+    — so a persistent small shift accumulates to an alarm even when no
+    single day's KS clears a one-shot threshold. The recursion is
+    computed in closed form S_d = W_d − min(0, min_{j≤d} W_j) with
+    W_d = Σ_{i≤d}(ks_i − allowance), i.e. two windows over the
+    metadata-sized per-day table (the day count is bounded by the
+    retention horizon, never by stream volume — the saturation argument
+    every state reader here relies on). KS values are floor-quantized to
+    integer micro-units per day before the cumulative sum, so the alarm
+    state is accumulation-order-independent.
+
+    Exactly-once composes for free: the alarm table is a PURE FUNCTION of
+    the histogram state, which is itself re-delivery-idempotent (the
+    (day, bin, batch_id) replace protocol) — a crash-replayed batch
+    re-derives byte-identical alarm rows, and the atomic directory swap
+    means readers never observe a half-written alarm table.
+    """
+    from pyspark.sql import Window
+
+    base = upsert_daily_histograms(
+        hist_dir, value_col=value_col, time_col=time_col, log_base=log_base
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        base(batch_df, batch_id)
+        spark = batch_df.sparkSession
+        drift = read_histogram_drift(spark, hist_dir)
+        x = (
+            F.floor(F.col("ks_vs_prev_day") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            - F.lit(allowance_micro)
+        )
+        w = Window.orderBy("day").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = drift.select(
+            "day",
+            "ks_vs_prev_day",
+            F.sum(x).over(w).alias("_w"),
+        )
+        state = cum.select(
+            "day",
+            "ks_vs_prev_day",
+            (
+                F.col("_w")
+                - F.least(F.lit(0).cast("bigint"), F.min("_w").over(w))
+            ).alias("cusum_micro"),
+        ).withColumn(
+            "alarm", F.col("cusum_micro") > F.lit(threshold_micro)
+        )
+        _atomic_swap_write(state, alarm_dir)
+
+    return _write
+
+
+def read_drift_alarms(spark: SparkSession, alarm_dir: str) -> DataFrame:
+    """Query side of the CUSUM alarm state: per-day KS, cumulative
+    deviation (micro-units), and the boolean alarm, in day order."""
+    return spark.read.parquet(alarm_dir).orderBy("day")
+
+
 def read_daily_distinct_estimates(spark: SparkSession, target_dir: str) -> DataFrame:
     """Query side of the sketch table: per-day estimates plus the all-days
     rollup folded from the SAME persisted sketches (no raw-event re-scan)."""

@@ -1263,3 +1263,66 @@ def test_streaming_weighted_mg_top_spenders(spark, dirs):
     for r in read_mg_topk(spark, dirs["target"], k=5).collect():
         lo, hi = r["est_lower"], r["est_upper"]
         assert lo <= true[r["user_id"]] <= hi
+
+
+def test_streaming_cusum_drift_alarm(spark, dirs, tmp_path):
+    """upsert_drift_cusum turns the day-over-day KS series into a Page
+    CUSUM alarm: a persistent small shift that never clears a one-shot
+    threshold on any single day must still accumulate past it. The
+    expected state replays the recursion S_d = max(0, S_{d-1} + ks_d - k)
+    in Python over the READER'S own KS values (pinning the closed-form
+    window restatement, not the KS math — tested above); a crash
+    re-delivery must leave the alarm table byte-identical because it is a
+    pure function of the exactly-once histogram state."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_drift_alarms,
+        read_histogram_drift,
+        upsert_drift_cusum,
+    )
+
+    def _batch(vals, day):
+        return spark.createDataFrame(
+            [(float(v),) for v in vals], "value double"
+        ).withColumn(
+            "batch_ts", F.lit(f"2022-05-{day:02d} 11:00:00").cast("timestamp")
+        )
+
+    alarm_dir = str(tmp_path / "alarms")
+    write = upsert_drift_cusum(
+        dirs["target"], alarm_dir,
+        allowance_micro=50_000, threshold_micro=200_000,
+    )
+    # day 20 baseline, then a persistent mild shift: each day mixes a bit
+    # more low-end mass — per-day KS stays moderate, the SUM drifts up
+    base = list(range(1, 101))
+    write(_batch(base, 20), 0)
+    low_units = {21: 3, 22: 7, 23: 12, 24: 18, 25: 25}
+    for i, (day, k) in enumerate(sorted(low_units.items()), start=1):
+        shifted = base + list(range(1, 6)) * k
+        write(_batch(shifted, day), i)
+
+    got = {str(r["day"]): r for r in read_drift_alarms(spark, alarm_dir).collect()}
+    ks = {
+        str(r["day"]): r["ks_vs_prev_day"]
+        for r in read_histogram_drift(spark, dirs["target"]).collect()
+    }
+    assert set(got) == set(ks)  # one alarm row per drift day
+
+    s = 0
+    for day in sorted(ks):
+        x = int(ks[day] * 1_000_000 + 0.5) - 50_000
+        s = max(0, s + x)
+        assert got[day]["cusum_micro"] == s, (day, s, got[day])
+        assert got[day]["alarm"] == (s > 200_000), day
+    # the drift is persistent-but-mild: no single day's KS clears the
+    # one-shot threshold, yet the CUSUM must end in alarm
+    assert all(v <= 0.2 for v in ks.values()), ks
+    assert got[max(ks)]["alarm"] is True
+
+    # crash re-delivery of the last batch: alarm state must not move
+    before = sorted(map(str, read_drift_alarms(spark, alarm_dir).collect()))
+    write(_batch(base + list(range(1, 6)) * 25, 25), 5)
+    after = sorted(map(str, read_drift_alarms(spark, alarm_dir).collect()))
+    assert before == after
