@@ -155,6 +155,140 @@ def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cusum_drift_alarm",
+    sql=f"""
+    WITH b AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(floor(ln(value) / ln({_LOG_BASE})) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value > 0 GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.day, g.bin, COALESCE(b.n, 0) AS n
+        FROM (SELECT DISTINCT day FROM b) d
+        CROSS JOIN (SELECT DISTINCT bin FROM b) g
+        LEFT JOIN b ON b.day = d.day AND b.bin = g.bin
+    ),
+    cum AS (
+        SELECT day, bin,
+               sum(n) OVER (PARTITION BY day ORDER BY bin) AS f,
+               sum(n) OVER (PARTITION BY day) AS tot
+        FROM grid
+    ),
+    ks AS (
+        SELECT cur.day AS day,
+               max(abs(cur.f * prev.tot - prev.f * cur.tot)) AS d_num,
+               max(cur.tot) AS n_day,
+               max(prev.tot) AS n_prev
+        FROM cum cur JOIN cum prev
+          ON cur.bin = prev.bin AND cur.day = prev.day + 1
+        GROUP BY 1
+    ),
+    x AS (
+        SELECT day,
+               CAST(floor(CAST(d_num AS DOUBLE)
+                          / (CAST(n_day AS DOUBLE) * n_prev)
+                          * 1000000 + 0.5) AS BIGINT) AS ks_micro
+        FROM ks
+    ),
+    w AS (
+        SELECT day, ks_micro,
+               sum(ks_micro - 50000) OVER (ORDER BY day) AS w_d
+        FROM x
+    )
+    SELECT day,
+           CAST(ks_micro AS BIGINT) AS ks_micro,
+           CAST(w_d - LEAST(0, min(w_d) OVER (ORDER BY day)) AS BIGINT)
+               AS cusum_micro,
+           (w_d - LEAST(0, min(w_d) OVER (ORDER BY day))) > 200000 AS alarm
+    FROM w
+    """,
+    doc="Batch twin of the streaming Page-CUSUM drift alarm "
+    "(streaming/pipeline.py upsert_drift_cusum): per-day geometric-bin "
+    "value histograms → day-over-day binned KS (integer sup-distance "
+    "numerator, one final division) → CUSUM S_d = max(0, S_(d-1) + "
+    "ks_d − allowance) in closed form S_d = W_d − min(0, min_(j≤d) W_j), "
+    "alarming on persistent mild shifts no one-shot threshold catches. "
+    "KS values are floor-quantized to integer micro-units per day before "
+    "the cross-day cumulative sum, so the alarm state is accumulation-"
+    "order-independent on both engines. The day grid is calendar-bounded "
+    "(saturating), so the ordered windows run over a metadata-sized "
+    "table; the raw scan contributes one map-side-combined groupBy.",
+    tags=("timeseries", "drift", "sketch", "streaming-twin"),
+)
+def events_cusum_drift_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.filter(F.col("value") > 0)
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.ln("value") / F.lit(math.log(_LOG_BASE)))
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .persist()
+    )
+    grid = (
+        b.select("day").distinct()
+        .crossJoin(b.select("bin").distinct())
+        .join(b, ["day", "bin"], "left")
+        .na.fill(0, ["n"])
+    )
+    cum = grid.select(
+        "day",
+        "bin",
+        F.sum("n").over(Window.partitionBy("day").orderBy("bin")).alias("f"),
+        F.sum("n").over(Window.partitionBy("day")).alias("tot"),
+    )
+    cur, prev = cum.alias("cur"), cum.alias("prev")
+    ks = (
+        cur.join(
+            prev,
+            (F.col("cur.bin") == F.col("prev.bin"))
+            & (F.col("cur.day") == F.date_add(F.col("prev.day"), 1)),
+        )
+        .groupBy(F.col("cur.day").alias("day"))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cur.f") * F.col("prev.tot")
+                    - F.col("prev.f") * F.col("cur.tot")
+                )
+            ).alias("d_num"),
+            F.max(F.col("cur.tot")).alias("n_day"),
+            F.max(F.col("prev.tot")).alias("n_prev"),
+        )
+    )
+    x = ks.select(
+        "day",
+        F.floor(
+            F.col("d_num").cast("double")
+            / (F.col("n_day").cast("double") * F.col("n_prev"))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ks_micro"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = F.col("w_d") - F.least(
+        F.lit(0).cast("bigint"), F.min("w_d").over(w)
+    )
+    return (
+        x.withColumn("w_d", F.sum(F.col("ks_micro") - 50_000).over(w))
+        .select(
+            "day",
+            "ks_micro",
+            cusum.cast("bigint").alias("cusum_micro"),
+            (cusum > 200_000).alias("alarm"),
+        )
+    )
+
+
+@register(
     "events_value_trend",
     sql="""
     WITH pts AS (
