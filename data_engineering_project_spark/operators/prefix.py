@@ -57,27 +57,53 @@ def range_bucket(key: Column, lo: Column, hi: Column, n_buckets: int) -> Column:
 
 
 def sampled_splits(
-    df: DataFrame, order_col: str, n_buckets: int, accuracy: int = 10_000
+    df: DataFrame,
+    order_col: str,
+    n_buckets: int,
+    accuracy: int = 10_000,
+    sample_cap: int = 8_192,
 ) -> list:
     """Split points for an order-preserving bucketing from the data's own
-    quantiles (``percentile_approx`` — a single-pass mergeable GK sketch,
-    the same machinery a cluster range partitioner samples with). Returns
-    ≤ ``n_buckets - 1`` driver-side values (an O(buckets) collect, not
-    O(rows)). Under heavy skew some splits coincide — a single hot key
-    cannot be subdivided by ANY range partitioner — but every produced
-    bucketing is order-preserving, so downstream correctness never depends
-    on where the splits land, only load balance does. Works for any
-    orderable key type (no arithmetic needed, unlike the value-range
-    split)."""
+    distribution — the production path for skewed key spaces. Numeric keys
+    use ``percentile_approx`` (a single-pass mergeable GK sketch over the
+    FULL column); any other orderable type (strings, dates) uses the
+    classic range-partitioner recipe: a deterministic hash-thinned sample
+    capped at ``sample_cap`` rows, sorted driver-side, evenly-spaced
+    picks. Returns ≤ ``n_buckets - 1`` driver-side values (an O(buckets)
+    / O(sample_cap) collect, never O(rows)).
+
+    Under heavy skew some splits coincide — a single hot key cannot be
+    subdivided by ANY range partitioner — but every produced bucketing is
+    order-preserving, so downstream correctness never depends on where
+    the splits land (property-tested), only load balance does."""
+    from pyspark.sql.types import NumericType
+
     if n_buckets < 2:
         return []
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    row = (
-        df.where(F.col(order_col).isNotNull())
-        .agg(F.percentile_approx(order_col, qs, accuracy).alias("s"))
-        .first()
-    )
-    return list(row["s"] or [])
+    vals = df.select(order_col).where(F.col(order_col).isNotNull())
+    if isinstance(df.schema[order_col].dataType, NumericType):
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        row = vals.agg(
+            F.percentile_approx(order_col, qs, accuracy).alias("s")
+        ).first()
+        return sorted(set(row["s"] or []))
+    # generic path: hash-thin to ~1/64 of rows (pmod — xxhash64 is signed),
+    # cap the collect; a tiny input falls back to taking rows directly.
+    # WHICH rows the limit surfaces is irrelevant: splits only steer load
+    # balance, never results.
+    sample = [
+        r[0]
+        for r in vals.where(F.pmod(F.xxhash64(order_col), F.lit(64)) == 0)
+        .limit(sample_cap)
+        .collect()
+    ]
+    if len(sample) < n_buckets * 4:
+        sample = [r[0] for r in vals.limit(sample_cap).collect()]
+    if not sample:
+        return []
+    sample.sort()
+    n = len(sample)
+    return sorted({sample[(i * n) // n_buckets] for i in range(1, n_buckets)})
 
 
 def splits_bucket(key: Column, splits: Sequence) -> Column:

@@ -498,3 +498,34 @@ def test_partitioned_cumsum_grouped_equals_grouped_window(
         for r in df.select("id", F.sum("v").over(w).alias("c")).collect()
     }
     assert got == want
+
+
+def test_partitioned_cumsum_sampled_handles_string_keys_and_heavy_skew(spark):
+    """Two claims the range split cannot make: the sampled (quantile-
+    sketch) split needs no key arithmetic — string keys order correctly —
+    and a 90%-one-key skew still equals the global window (a hot key is
+    unsplittable by ANY range partitioner; correctness must not depend on
+    where the splits land)."""
+    from pyspark.sql import Window
+
+    from data_engineering_project_spark.operators.prefix import (
+        partitioned_cumsum,
+    )
+
+    rows = [(i, "hot" if i % 10 else f"k{i:03d}", i % 7 - 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+    got = {
+        r["id"]: r["cumsum"]
+        for r in partitioned_cumsum(
+            df, order_col="k", value_col="v", tie_col="id",
+            n_buckets=8, split_strategy="sampled",
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: r["c"]
+        for r in df.select("id", F.sum("v").over(w).alias("c")).collect()
+    }
+    assert got == want
