@@ -221,6 +221,168 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    query_id: int = 0,
+    dim: int = 64,
+    n_sub: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 1000,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF-PQ with residual encoding (Jégou et al., PAMI'11 §V — the
+    composition billion-scale ANN actually deploys): a coarse quantizer
+    partitions the corpus into cells, every vector PQ-encodes its
+    RESIDUAL against its cell centroid (residuals concentrate near zero,
+    so the same codebook capacity buys far more precision than raw-vector
+    PQ), and a query probes only its ``nprobe`` nearest cells, ADC-scanning
+    codes with a per-cell lookup table built from the QUERY's residual in
+    that cell.
+
+    Determinism discipline (all driver-hash-checkable):
+    - cells are the corpus's own ``cell_col`` partitions (the same coarse
+      quantizer ``emb_ivf_topk`` uses; a learned k-means coarse quantizer
+      drops in without changing any later stage);
+    - cell centroids snap to INTEGERS — floor(sum/count + 0.5) per dim on
+      exact integer sums — so residuals are exact integers and the whole
+      encode path reuses the quantized-Lloyd machinery;
+    - probe ranking is pure integer L2 (no float anywhere);
+    - PQ codebooks train per subspace over ALL residuals (global residual
+      codebooks, the standard variant) with the shared ``_lloyd`` loop;
+    - ADC tables are computed driver-side in the same left-fold order the
+      oracle's ``list_sum`` uses, keyed (cell, code) since the query
+      residual differs per probed cell.
+
+    Scale shape: one posexplode aggregate for centroids (cells × dim
+    rows), a broadcast join for residuals, ``n_sub`` Lloyd fits (each
+    driver state k × sub), then a map-only ADC projection + TakeOrdered
+    over the probed cells — no shuffle on the candidate path; every
+    collect is O(cells × dim) or O(k × sub) metadata.
+    """
+    sub = dim // n_sub
+    pts = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(cell_col).alias("cell"),
+        quantize_vec(F.col(vec_col), scale).alias("qf"),
+    ).persist()
+
+    # integer cell centroids from exact integer sums (cells × dim rows)
+    cstats = (
+        pts.select("cell", F.posexplode("qf").alias("dim", "qv"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not cstats:
+        return pts.select(
+            "vec_id", "cell", F.lit(0.0).alias("adc")
+        ).filter(F.lit(False))
+    import math as _math
+
+    cent_int: dict[int, list[int]] = {}
+    for r in cstats:
+        cent_int.setdefault(r["cell"], [0] * dim)[r["dim"]] = int(
+            _math.floor(r["s"] / r["n"] + 0.5)
+        )
+
+    qrows = pts.filter(F.col("vec_id") == query_id).take(1)
+    if not qrows:
+        raise ValueError(
+            f"query id {query_id!r} not found in {id_col!r} of the corpus"
+        )
+    q0 = [int(v) for v in qrows[0]["qf"]]
+
+    # probe: nprobe nearest cells by exact integer L2, ties to smaller cell
+    probes = sorted(
+        cent_int,
+        key=lambda c: (
+            sum((a - b) * (a - b) for a, b in zip(q0, cent_int[c])),
+            c,
+        ),
+    )[:nprobe]
+
+    # integer residuals vs the OWN cell's integer centroid
+    cents_df = pts.sparkSession.createDataFrame(
+        [(c, v) for c, v in sorted(cent_int.items())],
+        "cell int, cvec array<bigint>",
+    )
+    res = pts.join(F.broadcast(cents_df), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with("qf", "cvec", lambda a, b: a - b).alias("r"),
+    ).persist()
+
+    # per-subspace global residual codebooks + codes
+    codes: DataFrame | None = None
+    books: list[dict[int, list[float]]] = []
+    for s in range(n_sub):
+        rs = res.select(
+            "vec_id", F.slice("r", s * sub + 1, sub).alias("q")
+        ).persist()
+        assigned, cents = _lloyd(rs, k, n_iter)
+        books.append(cents)
+        cs = assigned.select("vec_id", F.col("cluster").alias(f"c{s}"))
+        codes = cs if codes is None else codes.join(cs, "vec_id")
+
+    # ADC lookup per (probed cell, subspace, code), driver-side in the
+    # oracle's left-fold order
+    def _adc_table(cell: int, s: int) -> dict[int, float]:
+        rq = [
+            q0[i] - cent_int[cell][i]
+            for i in range(s * sub, (s + 1) * sub)
+        ]
+        out = {}
+        for cid in sorted(books[s]):
+            acc = 0.0
+            for a, b in zip(rq, books[s][cid]):
+                d = a - b
+                acc += d * d
+            out[cid] = acc
+        return out
+
+    def _lookup(cell: int, s: int) -> Column:
+        tab = _adc_table(cell, s)
+        m = F.create_map(
+            *[x for cid in sorted(tab) for x in (F.lit(cid), F.lit(tab[cid]))]
+        )
+        return m[F.col(f"c{s}")]
+
+    # candidate scan: probed cells only; per-cell ADC via a when-chain
+    # (nprobe branches — literal maps, no join on the data path)
+    cand = (
+        res.select("vec_id", "cell")
+        .filter(F.col("cell").isin([int(c) for c in probes]))
+        .filter(F.col("vec_id") != query_id)
+        .join(codes, "vec_id")
+    )
+    adc = None
+    for cell in probes:
+        cell_adc = _lookup(cell, 0)
+        for s in range(1, n_sub):
+            cell_adc = cell_adc + _lookup(cell, s)
+        adc = (
+            F.when(F.col("cell") == int(cell), cell_adc)
+            if adc is None
+            else adc.when(F.col("cell") == int(cell), cell_adc)
+        )
+    return (
+        cand.withColumn("adc", adc)
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(topk)
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round("adc", 4).alias("adc"),
+        )
+    )
+
+
 def power_iteration_top_component(
     emb: DataFrame,
     *,

@@ -951,52 +951,56 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_S, PQ_SUB, PQ_K, PQ_ITER = 4, EMB_DIM // 4, 8, 2
 
 
-def _pq_sub(s: int) -> str:
+def _pq_sub(s: int, p: str = "", src: str = "pts", col: str = "q") -> str:
+    """Subspace slice CTE; ``p`` prefixes every CTE name so the residual
+    IVF-PQ fit (prefix 'r', source 'res') reuses the same generators."""
     lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
-    return f"sub{s} AS (SELECT vec_id, q[{lo}:{hi}] AS q FROM pts)"
+    return (
+        f"{p}sub{s} AS (SELECT vec_id, {col}[{lo}:{hi}] AS q FROM {src})"
+    )
 
 
-def _pq_init(s: int) -> str:
+def _pq_init(s: int, p: str = "") -> str:
     return f"""
-    init{s} AS (
+    {p}init{s} AS (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
                    AS cid, q
-        FROM sub{s} ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PQ_K}
+        FROM {p}sub{s} ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {PQ_K}
     ),
-    cents{s}_0 AS (
+    {p}cents{s}_0 AS (
         SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS cvec
-        FROM init{s}
+        FROM {p}init{s}
     )"""
 
 
-def _pq_assign(s: int, cents: str, it: int) -> str:
+def _pq_assign(s: int, cents: str, it: int, p: str = "") -> str:
     return f"""
-    pas{s}_{it} AS (
+    {p}pas{s}_{it} AS (
         SELECT p.vec_id, p.q,
                (min(struct_pack(
                    d := list_sum(list_transform(generate_series(1, {PQ_SUB}),
                        i -> (p.q[i] - c.cvec[i]) * (p.q[i] - c.cvec[i]))),
                    cid := c.cid))).cid AS cid
-        FROM sub{s} p, {cents} c
+        FROM {p}sub{s} p, {cents} c
         GROUP BY p.vec_id, p.q
     )"""
 
 
-def _pq_recompute(s: int, it: int) -> str:
+def _pq_recompute(s: int, it: int, p: str = "") -> str:
     return f"""
-    psums{s}_{it} AS (
+    {p}psums{s}_{it} AS (
         SELECT a.cid, d.dim, sum(a.q[d.dim]) AS s, count(*) AS n
-        FROM pas{s}_{it} a,
+        FROM {p}pas{s}_{it} a,
              LATERAL (SELECT unnest(range(1, {PQ_SUB} + 1)) AS dim) d
         GROUP BY a.cid, d.dim
     ),
-    pre{s}_{it} AS (
+    {p}pre{s}_{it} AS (
         SELECT cid, list(s / n ORDER BY dim) AS cvec
-        FROM psums{s}_{it} GROUP BY cid
+        FROM {p}psums{s}_{it} GROUP BY cid
     ),
-    cents{s}_{it} AS (
+    {p}cents{s}_{it} AS (
         SELECT p.cid, coalesce(r.cvec, p.cvec) AS cvec
-        FROM cents{s}_{it - 1} p LEFT JOIN pre{s}_{it} r USING (cid)
+        FROM {p}cents{s}_{it - 1} p LEFT JOIN {p}pre{s}_{it} r USING (cid)
     )"""
 
 
@@ -1100,6 +1104,167 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = emb_cosine_topk(spark, sf_dir).select("vec_id")
     approx = emb_pq_topk(spark, sf_dir).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_overlap")
+    )
+    return overlap.select(
+        "n_overlap",
+        F.round(F.col("n_overlap") / 10.0, 2).alias("recall_at_10"),
+    )
+
+
+# --- IVF-PQ residual composition (Jégou et al., PAMI'11 §V) -----------------
+
+IPQ_NPROBE = 2
+
+
+def _ipq_qres_dist(s: int) -> str:
+    """Per-probed-cell query residual + ADC table for subspace ``s``: the
+    lookup differs per cell because the QUERY's residual does."""
+    off = s * PQ_SUB
+    return f"""
+    qres{s} AS (
+        SELECT pr.label,
+               list_transform(generate_series(1, {PQ_SUB}),
+                   i -> q0.q[{off} + i] - c.cv[{off} + i]) AS q
+        FROM probe pr JOIN cint c USING (label) CROSS JOIN q0
+    ),
+    dq{s} AS (
+        SELECT qr.label, c.cid,
+               list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                   i -> (qr.q[i] - c.cvec[i]) * (qr.q[i] - c.cvec[i])))
+                   AS dist
+        FROM rcents{s}_{PQ_ITER - 1} c CROSS JOIN qres{s} qr
+    )"""
+
+
+_IPQ_PER_SUB = ",\n".join(
+    ",\n".join(
+        [_pq_sub(s, "r", "res", "r"), _pq_init(s, "r")]
+        + [
+            part
+            for it in range(1, PQ_ITER)
+            for part in (
+                _pq_assign(s, f"rcents{s}_{it - 1}", it, "r"),
+                _pq_recompute(s, it, "r"),
+            )
+        ]
+        + [
+            _pq_assign(s, f"rcents{s}_{PQ_ITER - 1}", PQ_ITER, "r"),
+            _ipq_qres_dist(s),
+        ]
+    )
+    for s in range(PQ_S)
+)
+
+_IPQ_SQL = f"""
+    WITH pts AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                              x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    cstat AS (
+        SELECT label, d.dim, sum(q[d.dim]) AS s, count(*) AS n
+        FROM pts, LATERAL (SELECT unnest(range(1, {EMB_DIM} + 1)) AS dim) d
+        GROUP BY 1, 2
+    ),
+    cint AS (
+        SELECT label,
+               list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+                    ORDER BY dim) AS cv
+        FROM cstat GROUP BY label
+    ),
+    q0 AS (SELECT q FROM pts WHERE vec_id = 0),
+    probe AS (
+        SELECT c.label,
+               list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   i -> (q0.q[i] - c.cv[i]) * (q0.q[i] - c.cv[i]))) AS d
+        FROM cint c CROSS JOIN q0
+        ORDER BY d, label LIMIT {IPQ_NPROBE}
+    ),
+    res AS (
+        SELECT p.vec_id, p.label,
+               list_transform(generate_series(1, {EMB_DIM}),
+                   i -> p.q[i] - c.cv[i]) AS r
+        FROM pts p JOIN cint c USING (label)
+    ),
+    {_IPQ_PER_SUB}
+    SELECT v.vec_id, CAST(v.label AS INTEGER) AS cell,
+           ROUND(d0.dist + d1.dist + d2.dist + d3.dist, 4) AS adc
+    FROM pts v
+    JOIN probe USING (label)
+    JOIN rpas0_{PQ_ITER} a0 USING (vec_id)
+    JOIN rpas1_{PQ_ITER} a1 USING (vec_id)
+    JOIN rpas2_{PQ_ITER} a2 USING (vec_id)
+    JOIN rpas3_{PQ_ITER} a3 USING (vec_id)
+    JOIN dq0 d0 ON d0.cid = a0.cid AND d0.label = v.label
+    JOIN dq1 d1 ON d1.cid = a1.cid AND d1.label = v.label
+    JOIN dq2 d2 ON d2.cid = a2.cid AND d2.label = v.label
+    JOIN dq3 d3 ON d3.cid = a3.cid AND d3.label = v.label
+    WHERE v.vec_id != 0
+    ORDER BY d0.dist + d1.dist + d2.dist + d3.dist, v.vec_id
+    LIMIT 10
+"""
+
+
+@register(
+    "emb_ivfpq_topk",
+    sql=_IPQ_SQL,
+    doc=f"IVF-PQ with residual encoding — the composition billion-scale "
+    "ANN actually deploys (Jégou et al., PAMI'11 §V; FAISS's IndexIVFPQ): "
+    "the coarse quantizer partitions the corpus into cells (here the "
+    "label cells `emb_ivf_topk` probes; a learned k-means coarse "
+    "quantizer drops in unchanged), every vector PQ-encodes its RESIDUAL "
+    "against its cell centroid — residuals concentrate near zero, so the "
+    f"same {PQ_S}x{PQ_K} codebook capacity buys far more precision than "
+    "raw-vector PQ (`emb_pq_topk`'s documented ceiling) — and the query "
+    f"probes its {IPQ_NPROBE} nearest cells, ADC-scanning codes with a "
+    "PER-CELL lookup table built from the query's residual in that cell. "
+    "Determinism end to end: cell centroids snap to integers "
+    "(floor(sum/n + .5) on exact integer sums) so residuals are exact "
+    "integers; probe ranking is pure integer L2; the residual codebooks "
+    "are the same md5-init quantized Lloyd fit as PQ, oracle-unrolled "
+    "per subspace; ADC doubles are computed in the oracle's list_sum "
+    "fold order. Scale shape: cells×dim centroid aggregate, broadcast "
+    "residual join, map-only ADC projection + TakeOrdered over the "
+    "probed cells — no shuffle on the candidate path.",
+    tags=("similarity", "ann", "ivf", "quantization"),
+)
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.clustering import (
+        ivfpq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, vec_col="embedding", id_col="vec_id", cell_col="label",
+        query_id=0, dim=EMB_DIM, n_sub=PQ_S, k=PQ_K, n_iter=PQ_ITER,
+        scale=KM_SCALE, nprobe=IPQ_NPROBE, topk=10,
+    )
+
+
+@register(
+    "emb_ivfpq_recall",
+    sql=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+           ROUND(count(*) / 10.0, 2) AS recall_at_10
+    FROM ({_Q["emb_cosine_topk"].sql}) e
+    JOIN ({_IPQ_SQL}) a USING (vec_id)
+    """,
+    doc="Recall@10 of the residual IVF-PQ scan against the exact "
+    "brute-force ranking, computed in-engine like `emb_ivf_recall` / "
+    "`emb_pq_recall` (both oracle SQLs composed verbatim). The number to "
+    "compare against `emb_pq_recall`: same codebook capacity, residual "
+    "encoding + cell pruning — on random vectors the probe keeps only "
+    f"~{IPQ_NPROBE}/10 of the corpus, so this bounds what cell-local ADC "
+    "can recover; on clustered real corpora the residual variant "
+    "dominates raw PQ, which is why it is the deployed composition.",
+    tags=("similarity", "ann", "evaluation"),
+)
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = emb_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = emb_ivfpq_topk(spark, sf_dir).select("vec_id")
     overlap = exact.join(approx, "vec_id", "left_semi").agg(
         F.count("*").cast("bigint").alias("n_overlap")
     )

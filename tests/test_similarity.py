@@ -64,3 +64,50 @@ def test_pq_topk_missing_query_id_raises_value_error(spark):
     e = _corpus(spark, n=20)
     with pytest.raises(ValueError, match="not found"):
         pq_topk(e, query_id=9999, dim=64, n_sub=4, k=4, n_iter=1, topk=5)
+
+
+def _clustered_corpus(spark, n_cells=4, per_cell=30, dim=64, seed=11):
+    """Tight clusters: cell c centers at 10*c per dim with small jitter —
+    the regime residual encoding is FOR (residuals tiny vs raw values)."""
+    rng = random.Random(seed)
+    rows = []
+    vid = 0
+    for c in range(n_cells):
+        for _ in range(per_cell):
+            rows.append(
+                (vid, [10.0 * c + rng.uniform(-0.5, 0.5) for _ in range(dim)], c)
+            )
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_ivfpq_topk_on_clustered_corpus_finds_own_cell(spark):
+    """On a tightly clustered corpus the residual IVF-PQ scan must (a)
+    return candidates only from the probed cells, (b) rank the query's own
+    cell's members on top — the property raw PQ with the same 4x8 codebook
+    capacity cannot guarantee, because residual encoding spends all its
+    precision inside the cell."""
+    from data_engineering_project_spark.operators.clustering import ivfpq_topk
+
+    e = _clustered_corpus(spark)
+    top = ivfpq_topk(
+        e, query_id=0, dim=64, n_sub=4, k=8, n_iter=2, scale=1000,
+        nprobe=2, topk=10,
+    ).collect()
+    assert len(top) == 10
+    assert all(r["cell"] in (0, 1) for r in top)  # probed cells only
+    assert all(r["cell"] == 0 for r in top)       # own tight cell wins
+    adcs = [r["adc"] for r in top]
+    assert adcs == sorted(adcs)
+
+
+def test_ivfpq_missing_query_id_raises_value_error(spark):
+    import pytest
+
+    from data_engineering_project_spark.operators.clustering import ivfpq_topk
+
+    e = _clustered_corpus(spark, n_cells=2, per_cell=10)
+    with pytest.raises(ValueError, match="not found"):
+        ivfpq_topk(e, query_id=12345, dim=64, n_sub=4, k=8, n_iter=1)
