@@ -441,6 +441,13 @@ W_FUNCS = [
     ("cd", False, lambda m, w: F.cume_dist().over(w),
      lambda m: "cume_dist()"),
     ("nt", False, lambda m, w: F.ntile(4).over(w), lambda m: "ntile(4)"),
+    # navigation over explicit frames (frame edges are where engines
+    # disagree first; the total order keeps results deterministic)
+    ("fv", True, lambda m, w: F.first_value(m).over(w),
+     lambda m: f"first_value({m})"),
+    ("nv", True, lambda m, w: F.nth_value(m, 2).over(w),
+     lambda m: f"nth_value({m}, 2)"),
+    ("mn", True, lambda m, w: F.min(m).over(w), lambda m: f"min({m})"),
 ]
 
 N_WINDOW_CASES = 20
