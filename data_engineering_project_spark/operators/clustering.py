@@ -318,17 +318,32 @@ def ivfpq_topk(
         F.zip_with("qf", "cvec", lambda a, b: a - b).alias("r"),
     ).persist()
 
-    # per-subspace global residual codebooks + codes
-    codes: DataFrame | None = None
+    # per-subspace global residual codebooks (training collects only the
+    # k × sub centroid state; the assignment frames are discarded — final
+    # codes are recomputed below as map-only expressions, which is exact
+    # because _lloyd's last step IS _assign with these same centroids)
     books: list[dict[int, list[float]]] = []
     for s in range(n_sub):
         rs = res.select(
             "vec_id", F.slice("r", s * sub + 1, sub).alias("q")
         ).persist()
-        assigned, cents = _lloyd(rs, k, n_iter)
+        _, cents = _lloyd(rs, k, n_iter)
         books.append(cents)
-        cs = assigned.select("vec_id", F.col("cluster").alias(f"c{s}"))
-        codes = cs if codes is None else codes.join(cs, "vec_id")
+
+    def _code_col(s: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    _dist2(
+                        F.slice(F.col("r"), s * sub + 1, sub),
+                        books[s][cid],
+                    ).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid in sorted(books[s])
+            ]
+        )
+        return F.array_min(scored).getField("cid")
 
     # ADC lookup per (probed cell, subspace, code), driver-side in the
     # oracle's left-fold order
@@ -353,13 +368,18 @@ def ivfpq_topk(
         )
         return m[F.col(f"c{s}")]
 
-    # candidate scan: probed cells only; per-cell ADC via a when-chain
-    # (nprobe branches — literal maps, no join on the data path)
+    # candidate scan: probed cells only; codes + per-cell ADC are pure
+    # projections (literal codebooks and maps), so the whole candidate
+    # path is ONE map-only pass over the cached residuals + TakeOrdered —
+    # zero joins, zero shuffles (plan-asserted in test_plan_quality.py)
     cand = (
-        res.select("vec_id", "cell")
-        .filter(F.col("cell").isin([int(c) for c in probes]))
+        res.filter(F.col("cell").isin([int(c) for c in probes]))
         .filter(F.col("vec_id") != query_id)
-        .join(codes, "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            *[_code_col(s).alias(f"c{s}") for s in range(n_sub)],
+        )
     )
     adc = None
     for cell in probes:

@@ -760,3 +760,18 @@ def test_weighted_median_cumsum_is_two_pass_not_single_reducer(plans):
         spec = ln.split("windowspecdefinition(", 1)[1]
         if "cents" in spec.split("specifiedwindowframe")[0]:
             assert "_bucket" in spec.split("specifiedwindowframe")[0], ln
+
+
+def test_ivfpq_candidate_path_is_shuffle_free(plans):
+    # codes and per-cell ADC tables are literal projections over the
+    # residual frame; the only wide operation allowed is TakeOrdered.
+    # A joins-on-vec_id codes assembly (the first implementation) would
+    # show Exchange/SortMergeJoin here and re-shuffle the corpus per query.
+    plan = plans("emb_ivfpq_topk")
+    assert "TakeOrdered" in plan
+    # the cells×dim centroid frame broadcasts (BroadcastExchange is the
+    # point); what must NOT appear is a data shuffle or a shuffle join
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "ShuffleExchange" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
