@@ -526,3 +526,59 @@ def test_fuzzed_window_shape_matches_duckdb(spark, sf_dir, duck, case):
 
     assert sorted(got_cols) == sorted(ocols_)
     assert got == exp, f"window case failed: {q}"
+
+
+# RANGE frames: the order column is intentionally NON-unique (ties are the
+# whole point — a RANGE frame includes the full tie group on both engines),
+# so only frame AGGREGATES are legal here; navigation/rank functions would
+# be ambiguous under ties and are excluded by construction.
+RANGE_CASES = [
+    ("events_type_trail100",
+     "events", ["etype"], "PARTITION BY etype ", "cents",
+     (-100, 0), "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW"),
+    ("events_global_center50",
+     "events", [], "", "cents",
+     (-50, 50), "RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING"),
+    ("orders_status_trail5000",
+     "orders", ["status"], "PARTITION BY status ", "millis",
+     (-5000, 0), "RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW"),
+    ("orders_global_ahead2000",
+     "orders", [], "", "millis",
+     (0, 2000), "RANGE BETWEEN CURRENT ROW AND 2000 FOLLOWING"),
+]
+
+
+@pytest.mark.parametrize(
+    "case", RANGE_CASES, ids=[c[0] for c in RANGE_CASES]
+)
+def test_range_frame_aggregates_match_duckdb(spark, sf_dir, duck, case):
+    from pyspark.sql import Window
+
+    _, table, pcols, psql, measure, (lo, hi), frsql = case
+    pool = WINDOWED[table]
+    df = pool["prep"](spark, sf_dir)
+    w = (
+        Window.partitionBy(*pcols)
+        .orderBy(F.col(measure).asc())
+        .rangeBetween(lo, hi)
+    )
+    out = df.select(
+        pool["id"],
+        F.sum(measure).over(w).alias("s"),
+        F.min(measure).over(w).alias("mn"),
+        F.max(measure).over(w).alias("mx"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    got = sorted(tuple(str(v) for v in row) for row in out.collect())
+
+    over = f"({psql}ORDER BY {measure} {frsql})"
+    q = (
+        f"SELECT {pool['id']}, sum({measure}) OVER {over} AS s, "
+        f"min({measure}) OVER {over} AS mn, "
+        f"max({measure}) OVER {over} AS mx, "
+        f"count(*) OVER {over} AS cnt FROM {pool['from']}"
+    )
+    exp = sorted(
+        tuple(str(v) for v in row) for row in duck.execute(q).fetchall()
+    )
+    assert got == exp, f"range-frame case failed: {q}"

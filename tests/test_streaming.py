@@ -1326,3 +1326,43 @@ def test_streaming_cusum_drift_alarm(spark, dirs, tmp_path):
     write(_batch(base + list(range(1, 6)) * 25, 25), 5)
     after = sorted(map(str, read_drift_alarms(spark, alarm_dir).collect()))
     assert before == after
+
+
+def test_cusum_alarm_self_heals_after_crash_between_writes(spark, dirs, tmp_path):
+    """Crash window: the histogram swap commits but the process dies before
+    the alarm swap. Because the alarm table is a pure function of the
+    histogram state (not incrementally mutated), the NEXT batch re-derives
+    it from the full state — the stale window closes by itself, no repair
+    tool needed."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_drift_alarms,
+        upsert_daily_histograms,
+        upsert_drift_cusum,
+    )
+
+    def _batch(vals, day):
+        return spark.createDataFrame(
+            [(float(v),) for v in vals], "value double"
+        ).withColumn(
+            "batch_ts", F.lit(f"2022-06-{day:02d} 10:00:00").cast("timestamp")
+        )
+
+    alarm_dir = str(tmp_path / "alarms")
+    write = upsert_drift_cusum(dirs["target"], alarm_dir)
+    write(_batch(range(1, 51), 1), 0)
+    write(_batch(list(range(1, 6)) * 20, 2), 1)
+    healthy = sorted(map(str, read_drift_alarms(spark, alarm_dir).collect()))
+
+    # simulated crash: batch 2's histogram lands, alarm write never runs
+    hist_only = upsert_daily_histograms(dirs["target"])
+    hist_only(_batch(list(range(1, 6)) * 40, 3), 2)
+    stale = sorted(map(str, read_drift_alarms(spark, alarm_dir).collect()))
+    assert stale == healthy  # alarm table is stale but intact, not corrupt
+
+    # next batch heals: alarm state now reflects ALL days incl. the one
+    # written during the crash window
+    write(_batch(list(range(1, 6)) * 60, 4), 3)
+    days = {str(r["day"]) for r in read_drift_alarms(spark, alarm_dir).collect()}
+    assert days == {"2022-06-02", "2022-06-03", "2022-06-04"}
