@@ -488,3 +488,67 @@ def simhash_fingerprints(
             F.col(f"_b{i}") > 0, F.shiftleft(one, i)
         ).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), fp.alias("fp"))
+
+
+def canonical_selection(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Near-dup PAIRS → a removal MANIFEST: the keep/drop decision that
+    closes a dedup pipeline (what the pair generators and
+    ``emb_dup_clusters`` stop short of). Pairs collapse transitively into
+    clusters (connected components — A~B~C must fold into one cluster
+    even when A≁C), each cluster keeps its best member by
+    ``(quality_col DESC, id ASC)`` — longest document by default, the
+    standard keep rule in corpus curation — and every OTHER member emits
+    one manifest row naming its canonical replacement.
+
+    Output: ``(doc_id, canonical_id, cluster_size)``, one row per REMOVED
+    document. Documents in no pair never appear (nothing to remove), and
+    the manifest anti-joins cleanly against the corpus to materialize the
+    deduplicated table.
+
+    Scale shape: components is the iterative piece (lineage-truncated
+    large-star/small-star, operators/components.py); everything after is
+    one broadcast-sized join per cluster table plus a per-cluster window
+    over cluster members (bounded by the largest duplicate family, not by
+    the corpus).
+    """
+    from pyspark.sql import Window
+
+    from data_engineering_project_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    quality = docs.select(
+        F.col(id_col).alias("node"), F.col(quality_col).alias("_q")
+    )
+    sized = (
+        comp.join(quality, "node")
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("component")),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_q"), F.asc("node")
+    )
+    ranked = sized.withColumn("_rk", F.row_number().over(w))
+    canon = ranked.filter(F.col("_rk") == 1).select(
+        "component", F.col("node").alias("canonical_id")
+    )
+    return (
+        ranked.filter(F.col("_rk") > 1)
+        .join(canon, "component")
+        .select(
+            F.col("node").alias(id_col),
+            "canonical_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )

@@ -193,3 +193,41 @@ def test_simhash_banding_pigeonhole_recall(spark):
                 assert any(x == y for x, y in zip(bands(a), bands(b)))
     # far pair (0 vs 2) must not pass the hamming<=3 verification
     assert bin((fps[0] ^ fps[2]) & 0xFFFFFFFFFFFFFFFF).count("1") > 3
+
+
+def test_canonical_selection_keeps_best_and_collapses_transitively(spark):
+    """canonical_selection closes the dedup pipeline: chains collapse
+    transitively (A~B, B~C → one cluster even though A≁C), each cluster
+    keeps the longest doc (ties → smallest id), the manifest lists only
+    the REMOVED members with their canonical replacement, and docs in no
+    pair never appear."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 100), (2, 300), (3, 200),      # chain 1~2, 2~3 → keep 2
+            (10, 50), (11, 50),                # tie on quality → keep 10
+            (99, 999),                          # singleton: in no pair
+        ],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in canonical_selection(pairs, docs).collect()
+    }
+    assert got == {1: (2, 3), 3: (2, 3), 11: (10, 2)}
+
+    # the manifest composes with an anti-join into the deduped corpus
+    manifest = canonical_selection(pairs, docs)
+    kept = {
+        r["doc_id"]
+        for r in docs.join(manifest, "doc_id", "left_anti").collect()
+    }
+    assert kept == {2, 10, 99}
