@@ -582,3 +582,95 @@ def test_range_frame_aggregates_match_duckdb(spark, sf_dir, duck, case):
         tuple(str(v) for v in row) for row in duck.execute(q).fetchall()
     )
     assert got == exp, f"range-frame case failed: {q}"
+
+
+# outer/semi/anti shapes: NULL-preservation and existence semantics are
+# the other classic cross-engine parity surface (the inner-star fuzzer
+# above can't catch a dropped unmatched row or an EXISTS/IN mismatch)
+OSA_CASES = [
+    ("left_outer_unmatched_preserved",
+     lambda spark, sf: spark.read.parquet(f"{sf}/customer.parquet")
+     .join(
+         spark.read.parquet(f"{sf}/orders.parquet")
+         .filter(F.col("o_orderdate") >= "1998-06-01"),
+         F.col("o_custkey") == F.col("c_custkey"), "left")
+     .groupBy("c_nationkey")
+     .agg(
+         F.count("*").cast("bigint").alias("n_rows"),
+         F.count("o_orderkey").cast("bigint").alias("n_orders"),
+         F.countDistinct("c_custkey").cast("bigint").alias("n_custs"),
+     ),
+     "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows, "
+     "CAST(count(o_orderkey) AS BIGINT) AS n_orders, "
+     "CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_custs "
+     "FROM customer c LEFT JOIN (SELECT * FROM orders "
+     "WHERE o_orderdate >= DATE '1998-06-01') o "
+     "ON o.o_custkey = c.c_custkey GROUP BY c_nationkey"),
+    ("semi_exists",
+     lambda spark, sf: spark.read.parquet(f"{sf}/customer.parquet")
+     .join(
+         spark.read.parquet(f"{sf}/orders.parquet")
+         .filter(F.col("o_totalprice") > 200_000),
+         F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+     .groupBy("c_mktsegment")
+     .agg(F.count("*").cast("bigint").alias("n")),
+     "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer c "
+     "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+     "AND o.o_totalprice > 200000) GROUP BY c_mktsegment"),
+    ("anti_not_exists",
+     lambda spark, sf: spark.read.parquet(f"{sf}/customer.parquet")
+     .join(
+         spark.read.parquet(f"{sf}/orders.parquet")
+         .filter(F.col("o_orderdate") >= "1998-01-01"),
+         F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+     .groupBy("c_nationkey")
+     .agg(
+         F.count("*").cast("bigint").alias("n"),
+         F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)))
+         .cast("bigint").alias("bal_cents"),
+     ),
+     "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n, "
+     "CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+     "AS bal_cents FROM customer c WHERE NOT EXISTS "
+     "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+     "AND o.o_orderdate >= DATE '1998-01-01') GROUP BY c_nationkey"),
+    ("full_outer_digest",
+     lambda spark, sf: spark.read.parquet(f"{sf}/customer.parquet")
+     .filter(F.col("c_custkey") % 2 == 0)
+     .select(F.col("c_custkey").alias("k"))
+     .join(
+         spark.read.parquet(f"{sf}/customer.parquet")
+         .filter(F.col("c_custkey") % 3 == 0)
+         .select(F.col("c_custkey").alias("k2")),
+         F.col("k") == F.col("k2"), "full")
+     .agg(
+         F.count("*").cast("bigint").alias("n_rows"),
+         F.count("k").cast("bigint").alias("n_left"),
+         F.count("k2").cast("bigint").alias("n_right"),
+     ),
+     "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+     "CAST(count(k) AS BIGINT) AS n_left, "
+     "CAST(count(k2) AS BIGINT) AS n_right FROM "
+     "(SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0) a "
+     "FULL JOIN (SELECT c_custkey AS k2 FROM customer "
+     "WHERE c_custkey % 3 = 0) b ON a.k = b.k2"),
+]
+
+
+@pytest.mark.parametrize("case", OSA_CASES, ids=[c[0] for c in OSA_CASES])
+def test_outer_semi_anti_shapes_match_duckdb(spark, sf_dir, duck_dims, case):
+    _, spark_fn, sql = case
+    out = spark_fn(spark, sf_dir)
+    cols = out.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    got = sorted(
+        tuple(str(row[i]) for i in order) for row in out.collect()
+    )
+    res = duck_dims.execute(sql)
+    ocols = [d[0] for d in res.description]
+    oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    exp = sorted(
+        tuple(str(row[i]) for i in oorder) for row in res.fetchall()
+    )
+    assert sorted(cols) == sorted(ocols)
+    assert got == exp, case[0]

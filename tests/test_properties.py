@@ -529,3 +529,58 @@ def test_partitioned_cumsum_sampled_handles_string_keys_and_heavy_skew(spark):
         for r in df.select("id", F.sum("v").over(w).alias("c")).collect()
     }
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    quals=st.lists(
+        st.integers(min_value=0, max_value=5), min_size=15, max_size=15
+    ),
+)
+@settings(**_SETTINGS)
+def test_canonical_selection_matches_union_find(spark, pairs, quals):
+    """canonical_selection vs a brute-force Python union-find on arbitrary
+    pair graphs (self-loop-free, duplicate/reversed edges allowed) with
+    arbitrary tie-heavy qualities: same clusters, same keep rule
+    (quality DESC, id ASC), same removal manifest."""
+    from data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(quals)), "doc_id long, n_chars long"
+    )
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in canonical_selection(pdf, docs).collect()
+    }
+
+    parent = list(range(15))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    clusters: dict = {}
+    touched = {x for p in pairs for x in p}
+    for x in touched:
+        clusters.setdefault(find(x), []).append(x)
+    want = {}
+    for members in clusters.values():
+        canon = min(members, key=lambda m: (-quals[m], m))
+        for m in members:
+            if m != canon:
+                want[m] = (canon, len(members))
+    assert got == want
