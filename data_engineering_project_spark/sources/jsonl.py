@@ -1,0 +1,94 @@
+"""JSONL corpus ingestion — the wire format LLM training corpora actually
+ship in (one JSON document per line, usually gzipped).
+
+Spark's native json reader does the heavy lifting (line-delimited by
+default, transparent .gz/.zst-by-codec decompression, schema projection
+into the parse so unreferenced fields are never materialized). What this
+module adds is the ENGINE's contract on top:
+
+- **Schema-pinned, never inferred** in the pipeline path: inference is a
+  whole extra pass over 100 TB and yields run-dependent schemas on dirty
+  corpora. Callers pass the expected schema; ``infer_jsonl_schema`` exists
+  for exploration only and samples a bounded number of files.
+- **Corrupt lines are routed, not dropped and not fatal** — the same
+  dead-letter semantics as the validation layer (quality.py): PERMISSIVE
+  parse with a corrupt-record column, good rows come back clean, bad rows
+  come back as ``(raw line, source file)`` for quarantine. A 100 TB crawl
+  ALWAYS has broken lines; a FAILFAST job that dies at 99 % is worthless
+  and a silent DROPMALFORMED pipeline lies about recall.
+
+The one Spark subtlety handled here: referencing ONLY the internal
+corrupt-record column of a raw JSON scan is disallowed (SPARK-21610), so
+the split materializes the parsed frame once (persist) before filtering —
+also what you want anyway, since good/bad are both consumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """Parse line-delimited JSON at ``path`` (file, directory, or glob;
+    compressed files decompress transparently) against a pinned schema.
+
+    Returns ``(good, bad)``:
+    - ``good``: rows matching the schema, corrupt column dropped. Fields
+      missing on a line are NULL (per JSON semantics); extra fields on a
+      line are ignored (schema projection).
+    - ``bad``: one row per unparseable line — ``(raw, source_file)`` —
+      ready for a dead-letter sink, same contract as quality.py's
+      invalid-rows channel.
+    """
+    if CORRUPT_COL in schema.fieldNames():
+        full = schema
+    else:
+        full = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        # materialize the file provenance as a REGULAR column: metadata
+        # columns resolve only against the file scan, which the corrupt-
+        # record split below must not touch again
+        .withColumn("source_file", F.col("_metadata.file_path"))
+        .persist()
+    )
+    # the persist must be MATERIALIZED before either branch is queried —
+    # a lazy cache still analyzes against the raw scan and trips
+    # SPARK-21610's corrupt-column-only restriction
+    parsed.count()
+    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(
+        CORRUPT_COL, "source_file"
+    )
+    bad = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw"), "source_file"
+    )
+    return good, bad
+
+
+def infer_jsonl_schema(
+    spark: SparkSession, path: str, sample_files: int = 4
+) -> T.StructType:
+    """Exploration helper: infer a schema from a BOUNDED sample of files
+    (never the whole corpus — inference is a full extra read). Pin the
+    result in code; do not call this in the pipeline path."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        candidates = sorted(_glob.glob(os.path.join(path, "*")))[:sample_files]
+    else:
+        candidates = sorted(_glob.glob(path))[:sample_files]
+    return spark.read.json(candidates or path).schema
