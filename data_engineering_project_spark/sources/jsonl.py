@@ -92,3 +92,23 @@ def infer_jsonl_schema(
     else:
         candidates = sorted(_glob.glob(path))[:sample_files]
     return spark.read.json(candidates or path).schema
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    max_records_per_file: int = 100_000,
+    compression: str = "gzip",
+) -> None:
+    """Export a corpus as size-bounded JSONL shards — the hand-off format
+    tokenizer/packing workers consume. ``maxRecordsPerFile`` bounds shard
+    size WITHOUT a repartition (each task rolls to a new file at the
+    limit), so export parallelism stays the upstream partitioning and no
+    shuffle is added; gzip by default (what corpus mirrors ship)."""
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", compression)
+        .json(path)
+    )

@@ -74,3 +74,21 @@ def test_jsonl_schema_inference_is_bounded_exploration(spark, tmp_path):
         (p / f"f{i}.jsonl").write_text(GOOD[0] + "\n")
     inferred = infer_jsonl_schema(spark, str(p), sample_files=2)
     assert {f.name for f in inferred.fields} == {"doc_id", "text", "lang"}
+
+
+def test_jsonl_export_roundtrips_and_bounds_shard_size(spark, tmp_path):
+    import glob
+
+    from data_engineering_project_spark.sources.jsonl import write_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en") for i in range(100)],
+        "doc_id long, text string, lang string",
+    ).coalesce(1)
+    out = str(tmp_path / "export")
+    write_jsonl(df, out, max_records_per_file=30, compression="gzip")
+    shards = glob.glob(out + "/*.json.gz")
+    assert len(shards) >= 4  # 100 rows / 30-per-file bound, one task
+    good, bad = read_jsonl(spark, out, SCHEMA)
+    assert bad.count() == 0
+    assert {r["doc_id"] for r in good.collect()} == set(range(100))
