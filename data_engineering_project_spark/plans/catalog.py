@@ -48,40 +48,23 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
     return deco
 
 
-def _driver_checked() -> set[str]:
-    """Query names that already have a driver correctness row in ANY prior
-    round (``CORRECTNESS_r*.json`` at the repo root). The driver samples a
-    fixed number of queries per round; emitting never-checked names first
-    rotates the sample toward the unchecked set so cumulative driver coverage
-    converges on the whole catalog."""
-    import glob
-    import json
-    import os
-
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for name, row in rows.items():
-            # Only a GREEN row counts as checked. An ``err``/mismatch row
-            # (e.g. a query whose oracle was added after a ``no_oracle``
-            # sample) must re-enter the front of the rotation, else it
-            # would stay unverified forever (round-3 verdict item #3).
-            if isinstance(row, dict) and row.get("hash_match") is True:
-                seen.add(name)
-    return seen
-
-
 def _ordered_names() -> list[str]:
-    checked = _driver_checked()
-    names = list(QUERIES)
-    return [n for n in names if n not in checked] + [n for n in names if n in checked]
+    """Driver-sample ordering (round-5 verdict item #1): the driver hashes a
+    bounded sample per round, so emit the riskiest names first —
+
+      1. changed-since-last-green-hash (includes never-hashed additions and
+         forced-stale seeds) — the hard artifact no longer reflects the
+         shipped plan;
+      2. then fresh names, oldest green round first, so long-unhashed rows
+         keep rotating through;
+
+    per the committed ``plans/fingerprints.json`` snapshot, refreshed at each
+    round start by ``tools/update_fingerprints.py`` (which also subsumes the
+    old "never checked first" rule: a name with no snapshot entry sorts into
+    bucket 1)."""
+    from data_engineering_project_spark.plans.fingerprints import staleness_order
+
+    return staleness_order(QUERIES)
 
 
 def queries() -> dict[str, QueryFn]:
