@@ -50,6 +50,23 @@ def _dist2(q: Column, centroid: list[float]) -> Column:
     )
 
 
+def _pq_code(vec: Column, s: int, sub: int, book: dict[int, list[float]]) -> Column:
+    """PQ code of subspace ``s`` as a LITERAL projection (no join against an
+    assignment frame): argmin over the codebook with the (dist, cid)
+    lexicographic tie-break — identical to ``_assign`` because Lloyd's final
+    step IS assignment with the final centroids."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dist2(F.slice(vec, s * sub + 1, sub), book[cid]).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in sorted(book)
+        ]
+    )
+    return F.array_min(scored).getField("cid")
+
+
 def _assign(pts: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     scored = F.array(
         *[
@@ -175,21 +192,22 @@ def pq_topk(
         )
     qfull = [float(v) for v in qrows[0]["qf"]] if qrows else []
 
-    codes: DataFrame | None = None
+    # per-subspace codebooks (driver state k × sub); the training caches are
+    # released as each fit finishes — final codes need no assignment frame
+    books: list[dict[int, list[float]]] = []
     adc_terms = []
     for s in range(n_sub):
         pts = full.select(
             "vec_id", F.slice("qf", s * sub + 1, sub).alias("q")
         ).persist()
         assigned, cents = _lloyd(pts, k, n_iter)
+        pts.unpersist()
         if assigned is None:
+            full.unpersist()
             return full.select(
                 "vec_id", F.lit(0.0).alias("adc")
             ).filter(F.lit(False))
-        cs = assigned.select(
-            "vec_id", F.col("cluster").alias(f"c{s}")
-        )
-        codes = cs if codes is None else codes.join(cs, "vec_id")
+        books.append(cents)
         q0 = qfull[s * sub : (s + 1) * sub]
         # ADC lookup entries: ||q0_s - c||² in the SAME left-fold order the
         # oracle's list_sum uses (both are IEEE doubles → bit-identical)
@@ -212,13 +230,25 @@ def pq_topk(
     adc = adc_terms[0]
     for t in adc_terms[1:]:
         adc = adc + t
-    return (
-        codes.withColumn("adc", adc)
+    # codes are literal projections over the quantized corpus (Lloyd's final
+    # step IS assignment with the final centroids), so the scan path is ONE
+    # map-only pass + TakeOrdered — no n_sub-way join on vec_id, and the
+    # corpus cache can be released (no leaked relations across repeated
+    # queries in one session; the lazy result recomputes map-only if
+    # re-materialized)
+    result = (
+        full.select(
+            "vec_id",
+            *[_pq_code(F.col("qf"), s, sub, books[s]).alias(f"c{s}") for s in range(n_sub)],
+        )
+        .withColumn("adc", adc)
         .filter(F.col("vec_id") != query_id)
         .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
         .limit(topk)
         .select("vec_id", F.round("adc", 4).alias("adc"))
     )
+    full.unpersist()
+    return result
 
 
 def ivfpq_topk(
@@ -280,6 +310,7 @@ def ivfpq_topk(
         .collect()
     )
     if not cstats:
+        pts.unpersist()
         return pts.select(
             "vec_id", "cell", F.lit(0.0).alias("adc")
         ).filter(F.lit(False))
@@ -328,22 +359,13 @@ def ivfpq_topk(
             "vec_id", F.slice("r", s * sub + 1, sub).alias("q")
         ).persist()
         _, cents = _lloyd(rs, k, n_iter)
+        rs.unpersist()
         books.append(cents)
+    # the first fit materialized ``res``; nothing re-reads the raw corpus
+    pts.unpersist()
 
     def _code_col(s: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    _dist2(
-                        F.slice(F.col("r"), s * sub + 1, sub),
-                        books[s][cid],
-                    ).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid in sorted(books[s])
-            ]
-        )
-        return F.array_min(scored).getField("cid")
+        return _pq_code(F.col("r"), s, sub, books[s])
 
     # ADC lookup per (probed cell, subspace, code), driver-side in the
     # oracle's left-fold order
@@ -391,7 +413,7 @@ def ivfpq_topk(
             if adc is None
             else adc.when(F.col("cell") == int(cell), cell_adc)
         )
-    return (
+    result = (
         cand.withColumn("adc", adc)
         .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
         .limit(topk)
@@ -401,6 +423,12 @@ def ivfpq_topk(
             F.round("adc", 4).alias("adc"),
         )
     )
+    # release the residual cache before returning: no relations leak across
+    # repeated queries in one session; if the caller materializes later the
+    # candidate path recomputes as scan → broadcast-join → projection, still
+    # shuffle-free (plan-asserted)
+    res.unpersist()
+    return result
 
 
 def power_iteration_top_component(

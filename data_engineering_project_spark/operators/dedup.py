@@ -513,6 +513,12 @@ def canonical_selection(
     the manifest anti-joins cleanly against the corpus to materialize the
     deduplicated table.
 
+    Every id referenced by ``pairs`` MUST exist in ``docs`` — a missing
+    node could otherwise have been the canonical member, so the keep
+    decision would silently be computed over present members only. The
+    join validates this and raises ``ValueError`` naming sample missing
+    ids instead of shrinking the cluster.
+
     Scale shape: components is the iterative piece (lineage-truncated
     large-star/small-star, operators/components.py); everything after is
     one broadcast-sized join per cluster table plus a per-cluster window
@@ -529,8 +535,18 @@ def canonical_selection(
     quality = docs.select(
         F.col(id_col).alias("node"), F.col(quality_col).alias("_q")
     )
+    joined = comp.join(quality, "node", "left")
+    missing = [
+        r["node"]
+        for r in joined.filter(F.col("_q").isNull()).limit(5).collect()
+    ]
+    if missing:
+        raise ValueError(
+            f"pair ids absent from docs.{id_col} (first 5): {missing} — "
+            "a missing node could have been the canonical member"
+        )
     sized = (
-        comp.join(quality, "node")
+        joined
         .withColumn(
             "cluster_size",
             F.count("*").over(Window.partitionBy("component")),

@@ -203,14 +203,44 @@ def create_tag(
         if replace:
             os.replace(tmp, path)
         else:
-            # link(2) is atomic AND exclusive (EEXIST on conflict) — the
-            # commit protocol's conflict primitive, without open('x')'s
-            # create-then-write window
-            os.link(tmp, path)
+            try:
+                # link(2) is atomic AND exclusive (EEXIST on conflict) — the
+                # commit protocol's conflict primitive, without open('x')'s
+                # create-then-write window
+                os.link(tmp, path)
+            except FileExistsError:
+                raise
+            except OSError:
+                # filesystems without hardlinks (some network/FUSE mounts)
+                # raise EPERM/ENOTSUP here — fall back to exclusive create,
+                # preserving the FileExistsError conflict signal; the
+                # non-atomic window is one small write
+                with open(path, "x") as fh:
+                    fh.write(payload)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return version
+
+
+# a crashed create_tag (process death between tmp write and link) orphans a
+# .tmp. file; anything older than this is unowned litter and gets swept
+_TAG_TMP_TTL_SECONDS = 3600.0
+
+
+def _sweep_stale_tag_tmps(tdir: str) -> None:
+    import time
+
+    cutoff = time.time() - _TAG_TMP_TTL_SECONDS
+    for n in os.listdir(tdir):
+        if ".json.tmp." not in n:
+            continue
+        p = os.path.join(tdir, n)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                os.unlink(p)
+        except OSError:
+            pass  # a concurrent writer finished (unlinked) first
 
 
 def read_tag(table: str, name: str) -> int:
@@ -222,6 +252,7 @@ def list_tags(table: str) -> dict[str, int]:
     tdir = os.path.join(table, _TAG_DIR)
     if not os.path.isdir(tdir):
         return {}
+    _sweep_stale_tag_tmps(tdir)
     out: dict[str, int] = {}
     for n in sorted(os.listdir(tdir)):
         if n.endswith(".json"):

@@ -18,9 +18,15 @@ module adds is the ENGINE's contract on top:
   and a silent DROPMALFORMED pipeline lies about recall.
 
 The one Spark subtlety handled here: referencing ONLY the internal
-corrupt-record column of a raw JSON scan is disallowed (SPARK-21610), so
-the split materializes the parsed frame once (persist) before filtering —
-also what you want anyway, since good/bad are both consumed.
+corrupt-record column of a raw JSON scan is disallowed (SPARK-21610). We
+avoid it structurally instead of caching around it: read raw LINES with
+``spark.read.text`` (same codec machinery, so .gz decompresses the same),
+parse each line with ``from_json`` — an ordinary expression, exempt from
+the restriction — and split on the parse's corrupt column. No persist, no
+extra pass, nothing pinned in executor memory: at corpus scale, lazily
+re-scanning per consumer beats materializing 100 TB into a cache. Catalyst
+additionally prunes the ``from_json`` parse schema to the fields a consumer
+actually selects (json expression optimization), so projection survives.
 """
 
 from __future__ import annotations
@@ -40,13 +46,17 @@ def read_jsonl(
     """Parse line-delimited JSON at ``path`` (file, directory, or glob;
     compressed files decompress transparently) against a pinned schema.
 
-    Returns ``(good, bad)``:
+    Returns ``(good, bad)`` — both LAZY (no cache is taken; each consumer
+    re-scans, which at corpus scale beats pinning the parse in memory):
     - ``good``: rows matching the schema, corrupt column dropped. Fields
       missing on a line are NULL (per JSON semantics); extra fields on a
       line are ignored (schema projection).
     - ``bad``: one row per unparseable line — ``(raw, source_file)`` —
       ready for a dead-letter sink, same contract as quality.py's
       invalid-rows channel.
+
+    Blank / whitespace-only lines are skipped (matching the native json
+    reader), not routed as corrupt.
     """
     if CORRUPT_COL in schema.fieldNames():
         full = schema
@@ -55,25 +65,29 @@ def read_jsonl(
             list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
         )
     parsed = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-        # materialize the file provenance as a REGULAR column: metadata
-        # columns resolve only against the file scan, which the corrupt-
-        # record split below must not touch again
-        .withColumn("source_file", F.col("_metadata.file_path"))
-        .persist()
+        spark.read.text(path)
+        .select(
+            F.col("value").alias("_raw"),
+            F.col("_metadata.file_path").alias("source_file"),
+        )
+        .filter(F.length(F.trim(F.col("_raw"))) > 0)
+        .withColumn(
+            "_parsed",
+            F.from_json(
+                F.col("_raw"),
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ),
+        )
     )
-    # the persist must be MATERIALIZED before either branch is queried —
-    # a lazy cache still analyzes against the raw scan and trips
-    # SPARK-21610's corrupt-column-only restriction
-    parsed.count()
-    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(
-        CORRUPT_COL, "source_file"
+    corrupt = F.col(f"_parsed.{CORRUPT_COL}")
+    good = (
+        parsed.filter(corrupt.isNull())
+        .select("_parsed.*")
+        .drop(CORRUPT_COL)
     )
-    bad = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw"), "source_file"
+    bad = parsed.filter(corrupt.isNotNull()).select(
+        F.col("_raw").alias("raw"), "source_file"
     )
     return good, bad
 
@@ -100,14 +114,19 @@ def write_jsonl(
     *,
     max_records_per_file: int = 100_000,
     compression: str = "gzip",
+    mode: str = "error",
 ) -> None:
     """Export a corpus as size-bounded JSONL shards — the hand-off format
     tokenizer/packing workers consume. ``maxRecordsPerFile`` bounds shard
     size WITHOUT a repartition (each task rolls to a new file at the
     limit), so export parallelism stays the upstream partitioning and no
-    shuffle is added; gzip by default (what corpus mirrors ship)."""
+    shuffle is added; gzip by default (what corpus mirrors ship).
+
+    ``mode`` follows ``DataFrameWriter.mode`` and defaults to ``error``:
+    exporting onto an existing shard set raises instead of silently
+    destroying it — pass ``mode="overwrite"`` explicitly to replace."""
     (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .option("compression", compression)
         .json(path)

@@ -231,3 +231,18 @@ def test_canonical_selection_keeps_best_and_collapses_transitively(spark):
         for r in docs.join(manifest, "doc_id", "left_anti").collect()
     }
     assert kept == {2, 10, 99}
+
+
+def test_canonical_selection_rejects_pair_ids_missing_from_docs(spark):
+    """A pair id absent from docs must raise, not silently shrink the
+    cluster — the missing node could have been the canonical member."""
+    import pytest
+
+    from data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+    )
+
+    docs = spark.createDataFrame([(1, 100)], "doc_id long, n_chars long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="absent from docs"):
+        canonical_selection(pairs, docs)

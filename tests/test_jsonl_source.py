@@ -59,6 +59,29 @@ def test_jsonl_routes_corrupt_lines_and_keeps_partial_rows(spark, tmp_path):
     }
 
 
+def test_jsonl_skips_blank_lines_and_takes_no_cache(spark, tmp_path):
+    p = tmp_path / "blanky.jsonl"
+    p.write_text(GOOD[0] + "\n\n   \n" + BAD[1] + "\n")
+    good, bad = read_jsonl(spark, str(p), SCHEMA)
+    assert good.count() == 1 and bad.count() == 1  # blanks neither good nor bad
+    # 100 TB contract: the reader must NOT eagerly persist the corpus
+    assert good.storageLevel.useMemory is False
+    assert good.storageLevel.useDisk is False
+
+
+def test_jsonl_export_refuses_to_clobber_by_default(spark, tmp_path):
+    import pytest
+
+    from data_engineering_project_spark.sources.jsonl import write_jsonl
+
+    df = spark.createDataFrame([(1, "a", "en")], "doc_id long, text string, lang string")
+    out = str(tmp_path / "export")
+    write_jsonl(df, out)
+    with pytest.raises(Exception):
+        write_jsonl(df, out)  # mode defaults to error
+    write_jsonl(df, out, mode="overwrite")  # explicit replace allowed
+
+
 def test_jsonl_reads_gzip_transparently(spark, tmp_path):
     gz = tmp_path / "shard.jsonl.gz"
     with gzip.open(gz, "wt") as fh:

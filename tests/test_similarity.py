@@ -111,3 +111,22 @@ def test_ivfpq_missing_query_id_raises_value_error(spark):
     e = _clustered_corpus(spark, n_cells=2, per_cell=10)
     with pytest.raises(ValueError, match="not found"):
         ivfpq_topk(e, query_id=12345, dim=64, n_sub=4, k=8, n_iter=1)
+
+
+def test_pq_and_ivfpq_release_all_caches(spark):
+    """Repeated ANN queries in one session must not accumulate leaked cached
+    relations (round-5 advice): after materializing a result, zero RDDs
+    remain persisted."""
+    from data_engineering_project_spark.operators.clustering import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    spark.catalog.clearCache()
+    e = _clustered_corpus(spark, n_cells=2, per_cell=10)
+    pq_topk(e, query_id=0, dim=64, n_sub=4, k=4, n_iter=1, topk=5).collect()
+    ivfpq_topk(
+        e, query_id=0, dim=64, n_sub=4, k=4, n_iter=1, nprobe=1, topk=5
+    ).collect()
+    leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert leaked == 0, f"{leaked} cached relations leaked"

@@ -469,3 +469,28 @@ def test_tag_conflict_leaves_no_tmp_litter(spark, table):
     tdir = os.path.join(table, "_tags")
     assert [n for n in os.listdir(tdir) if ".tmp." in n] == []
     assert st.list_tags(table) == {"pin": 0}
+
+
+def test_list_tags_sweeps_stale_create_tag_tmps(spark, tmp_path):
+    """A crashed create_tag orphans a .json.tmp.* file; list_tags sweeps
+    litter older than the TTL but never a fresh in-flight write."""
+    import os
+
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "a long")
+    st.write_table(df, table)
+    st.create_tag(table, "rel1")
+    tdir = os.path.join(table, st._TAG_DIR)
+    stale = os.path.join(tdir, "dead.json.tmp.abc123")
+    fresh = os.path.join(tdir, "live.json.tmp.def456")
+    for p in (stale, fresh):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    old = os.path.getmtime(stale) - st._TAG_TMP_TTL_SECONDS - 10
+    os.utime(stale, (old, old))
+    tags = st.list_tags(table)
+    assert list(tags) == ["rel1"]
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
