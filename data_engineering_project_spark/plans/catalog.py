@@ -99,6 +99,7 @@ def _ensure_loaded() -> None:
         extended_queries,
         graph_queries,
         inference_queries,
+        ingest_queries,
         profile_queries,
         pruning_queries,
         quality_queries,

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark.operators import dedup as D
-from data_engineering_project_spark.plans.catalog import register
+from data_engineering_project_spark.plans.catalog import QUERIES, register
 from data_engineering_project_spark.sources.tables import load_table
 
 _N_HASHES = 16
@@ -433,3 +433,72 @@ def docs_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_verified"),
         F.min("hd").cast("bigint").alias("min_hamming"),
     )
+
+
+@register(
+    "docs_canonical_manifest",
+    sql=None,  # assigned below: reuses extended_queries' recursive-CTE pairs
+    doc="The dedup pipeline's KEEP/DROP decision (operators/dedup.py:"
+    "canonical_selection): near-dup pairs over each document's embedding "
+    "(the same label-blocked cosine graph emb_dup_clusters hashes) collapse "
+    "into transitive clusters, each cluster keeps its best member by "
+    "(n_chars DESC, doc_id ASC) — longest document, the standard corpus-"
+    "curation rule — and every other member emits one removal-manifest row "
+    "naming its canonical replacement. Anti-join the manifest against "
+    "documents to materialize the deduplicated corpus. The oracle restates "
+    "components as a recursive CTE, then the keep-best window in SQL.",
+    tags=("dedup", "components", "manifest"),
+)
+def docs_canonical_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+    )
+    from data_engineering_project_spark.plans.extended_queries import (
+        _blocked_pairs,
+    )
+
+    pairs = _blocked_pairs(spark, sf_dir).filter(F.col("c") >= 0.35)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return canonical_selection(
+        pairs.select("id_a", "id_b"),
+        docs,
+        id_col="doc_id",
+        pair_a="id_a",
+        pair_b="id_b",
+        quality_col="n_chars",
+    )
+
+
+def _canonical_manifest_sql() -> str:
+    from data_engineering_project_spark.plans.extended_queries import (
+        _BLOCKED_PAIRS_CTE,
+    )
+
+    return _BLOCKED_PAIRS_CTE.replace("WITH e AS", "WITH RECURSIVE e AS") + """
+    , edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs WHERE c >= 0.35
+        UNION ALL
+        SELECT id_b, id_a FROM pairs WHERE c >= 0.35
+    ),
+    reach (node, root) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node),
+    sized AS (
+        SELECT c.node, c.cluster_id, d.n_chars,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.node ASC) AS rk
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    canon AS (SELECT cluster_id, node AS canonical_id FROM sized WHERE rk = 1)
+    SELECT s.node AS doc_id, canon.canonical_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size
+    FROM sized s JOIN canon USING (cluster_id)
+    WHERE s.rk > 1
+    """
+
+
+QUERIES["docs_canonical_manifest"].sql = _canonical_manifest_sql()
