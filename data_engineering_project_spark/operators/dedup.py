@@ -525,17 +525,37 @@ def canonical_selection(
     over cluster members (bounded by the largest duplicate family, not by
     the corpus).
     """
-    from pyspark.sql import Window
-
     from data_engineering_project_spark.operators.components import (
         connected_components,
     )
 
     comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    return manifest_from_components(
+        comp, docs, id_col=id_col, quality_col=quality_col
+    )
+
+
+def manifest_from_components(
+    comp: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """The keep-best step of :func:`canonical_selection`, factored so an
+    already-maintained component assignment (e.g. the streaming incremental
+    state in streaming/pipeline.py:upsert_components_incremental) produces
+    the same removal manifest without recomputing components.
+
+    ``comp`` is ``(node, component)``; output and validation semantics are
+    exactly :func:`canonical_selection`'s.
+    """
+    from pyspark.sql import Window
+
     quality = docs.select(
         F.col(id_col).alias("node"), F.col(quality_col).alias("_q")
     )
-    joined = comp.join(quality, "node", "left")
+    joined = comp.select("node", "component").join(quality, "node", "left")
     missing = [
         r["node"]
         for r in joined.filter(F.col("_q").isNull()).limit(5).collect()

@@ -1539,3 +1539,158 @@ def read_bloom_contains(
     ).select(
         key_col, F.coalesce("might_contain", F.lit(False)).alias("might_contain")
     )
+
+
+def upsert_components_incremental(
+    table_dir: str,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> Callable:
+    """foreachBatch writer maintaining the dedup pipeline's connected-
+    component assignment ``(node, component)`` INCREMENTALLY in a
+    snapshot-manifest table — so at 100 TB the canonical manifest is
+    MAINTAINED per ingest batch instead of recomputed per corpus refresh
+    (the batch path, operators/dedup.py:canonical_selection, stays the
+    refresh/backfill tool).
+
+    Algorithm (per batch of near-dup pairs):
+
+    1. Map each new edge's endpoints through the prior assignment —
+       ``(u, v)`` becomes ``(component(u) | u, component(v) | v)``. An edge
+       whose endpoints land in the same prior component is a no-op and
+       drops out here; this is what makes crash re-delivery idempotent
+       (see below) AND what bounds the work.
+    2. Run connected components on the CONTRACTED graph only — its nodes
+       are prior component ids and brand-new doc ids, so the iterative
+       piece is proportional to the components this batch TOUCHES, never
+       the corpus. Because a component id is by contract the MINIMUM node
+       id of its cluster, the contracted min-label is exactly the merged
+       cluster's global min — no second pass over members is needed to
+       pick the surviving label.
+    3. Re-label: prior members of merged components get the new label via
+       a broadcast join of the (old component → new component) map; new
+       nodes take their contracted label directly. One atomic
+       ``merge_upsert`` (key: node) commits both — cost ∝ files containing
+       touched nodes, copy-on-write.
+
+    Exactly-once: re-delivering a batch after a crash re-maps its edges
+    through the ALREADY-UPDATED state, so every edge collapses to a no-op
+    in step 1 and the merge commits a new version with identical content.
+    No batch_id protocol is needed — the assignment is a monotone fixpoint
+    (labels only ever decrease), same family as the Bloom writer's
+    set-union state, not the CMS counter dance.
+    """
+    from data_engineering_project_spark.operators.components import (
+        connected_components,
+    )
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        edges = (
+            batch_df.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        if edges.isEmpty():
+            return
+        if st.current_version(table_dir) is not None:
+            state = st.read_table(spark, table_dir)
+        else:
+            state = spark.createDataFrame([], "node bigint, component bigint")
+        state = state.persist()
+        try:
+            mapped = (
+                edges.join(
+                    state.select(
+                        F.col("node").alias("u"), F.col("component").alias("cu")
+                    ),
+                    "u",
+                    "left",
+                )
+                .join(
+                    state.select(
+                        F.col("node").alias("v"), F.col("component").alias("cv")
+                    ),
+                    "v",
+                    "left",
+                )
+                .select(
+                    F.coalesce("cu", "u").alias("a"),
+                    F.coalesce("cv", "v").alias("b"),
+                )
+                .filter(F.col("a") != F.col("b"))
+            )
+            nodes_b = (
+                edges.select(F.col("u").alias("node"))
+                .unionByName(edges.select(F.col("v").alias("node")))
+                .distinct()
+            )
+            new_nodes = nodes_b.join(state.select("node"), "node", "left_anti")
+            if mapped.isEmpty():
+                # every edge was intra-component — which also means every
+                # endpoint was already assigned (an unseen endpoint always
+                # survives contraction under a distinct id), so there are
+                # no new nodes either: the whole batch is a no-op. This is
+                # exactly the crash-replay path.
+                return
+            comp = connected_components(mapped, src="a", dst="b")
+            super_label = comp.select(
+                F.col("node").alias("snode"),
+                F.col("component").alias("new_component"),
+            )
+            relabel = (
+                super_label.withColumnRenamed("snode", "component")
+                .filter(F.col("component") != F.col("new_component"))
+            )
+            # prior members of merged components → new label (broadcast:
+            # the relabel map is O(touched components))
+            moved = state.join(F.broadcast(relabel), "component").select(
+                "node", F.col("new_component").alias("component")
+            )
+            # new nodes: their super-node id is themselves if they appear
+            # in the contracted graph; a new node whose every edge mapped
+            # into one existing component (possible only on replay, where
+            # the node is already in state — excluded by the anti-join)
+            # otherwise always appears in `mapped`
+            fresh = new_nodes.join(
+                super_label, new_nodes["node"] == super_label["snode"], "left"
+            ).select(
+                "node",
+                F.coalesce("new_component", "node").alias("component"),
+            )
+            updates = moved.unionByName(fresh)
+            if not updates.isEmpty():
+                st.merge_upsert(
+                    spark, table_dir, updates, ["node"], stats_cols=["node"]
+                )
+        finally:
+            state.unpersist()
+
+    return _write
+
+
+def read_dedup_manifest(
+    spark: SparkSession,
+    table_dir: str,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Materialize the removal manifest from the incrementally-maintained
+    component state: the keep-best selection of
+    operators/dedup.py:canonical_selection over the CURRENT assignment —
+    no component recomputation, O(state) not O(corpus). Equality with the
+    batch path over the same accumulated pairs is property-tested."""
+    from data_engineering_project_spark.operators.dedup import (
+        manifest_from_components,
+    )
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    comp = st.read_table(spark, table_dir)
+    return manifest_from_components(
+        comp, docs, id_col=id_col, quality_col=quality_col
+    )

@@ -1,0 +1,136 @@
+"""Streaming incremental connected components (round-5 verdict item #4):
+the dedup manifest is MAINTAINED per ingest batch in the snapshot-table
+state store — new pairs union prior assignments, only touched components
+re-converge, replayed batches are no-ops.
+
+The load-bearing property: after any batch sequence, the incremental state
+equals batch connected_components over the UNION of all pairs ever seen.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.operators.components import (
+    connected_components,
+)
+from data_engineering_project_spark.sinks import snapshot_table as st
+from data_engineering_project_spark.streaming.pipeline import (
+    read_dedup_manifest,
+    upsert_components_incremental,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def _state(spark, table):
+    return {
+        r["node"]: r["component"]
+        for r in st.read_table(spark, table).collect()
+    }
+
+
+def _batch_cc(spark, all_rows):
+    if not all_rows:
+        return {}
+    comp = connected_components(_pairs(spark, all_rows), src="id_a", dst="id_b")
+    return {r["node"]: r["component"] for r in comp.collect()}
+
+
+def test_incremental_matches_batch_over_merge_chain(spark, tmp_path):
+    """Three batches that (a) create clusters, (b) merge two existing
+    clusters through a bridge pair, (c) attach a new node with a SMALLER id
+    than the existing component label — forcing a relabel of prior members."""
+    table = str(tmp_path / "cc")
+    write = upsert_components_incremental(table)
+
+    batches = [
+        [(10, 20), (30, 40)],   # two clusters: {10,20}->10, {30,40}->30
+        [(20, 30)],             # bridge: all four -> 10
+        [(5, 40)],              # new node 5 < 10: whole cluster relabels to 5
+    ]
+    seen: list[tuple[int, int]] = []
+    for i, rows in enumerate(batches):
+        write(_pairs(spark, rows), i)
+        seen += rows
+        assert _state(spark, table) == _batch_cc(spark, seen), f"batch {i}"
+
+    final = _state(spark, table)
+    assert final == {5: 5, 10: 5, 20: 5, 30: 5, 40: 5}
+
+
+def test_replayed_batch_is_a_noop_and_commits_no_version(spark, tmp_path):
+    table = str(tmp_path / "cc")
+    write = upsert_components_incremental(table)
+    write(_pairs(spark, [(1, 2), (2, 3)]), 0)
+    before_state = _state(spark, table)
+    before_version = st.current_version(table)
+    # crash re-delivery: same batch again — every edge collapses
+    # intra-component, the writer returns before any commit
+    write(_pairs(spark, [(1, 2), (2, 3)]), 0)
+    assert _state(spark, table) == before_state
+    assert st.current_version(table) == before_version
+
+
+def test_untouched_components_are_not_rewritten(spark, tmp_path):
+    """Only files containing touched nodes rewrite (merge_upsert contract):
+    a batch touching cluster B must leave cluster A's rows byte-stable —
+    checked via the version diff of the manifest file lists."""
+    table = str(tmp_path / "cc")
+    write = upsert_components_incremental(table)
+    write(_pairs(spark, [(1, 2)]), 0)
+    write(_pairs(spark, [(100, 200)]), 1)
+    m0 = st.read_manifest(table, 0)
+    m1 = st.read_manifest(table, st.current_version(table))
+    # version 0's file(s) for cluster {1,2} carry over by reference
+    assert set(f["path"] for f in m0.files) <= set(
+        f["path"] for f in m1.files
+    )
+    assert _state(spark, table) == {1: 1, 2: 1, 100: 100, 200: 100}
+
+
+def test_manifest_reader_equals_batch_canonical_selection(spark, tmp_path):
+    from data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+    )
+
+    table = str(tmp_path / "cc")
+    write = upsert_components_incremental(table)
+    batches = [[(1, 2), (2, 3)], [(10, 11)], [(3, 10)]]
+    seen: list[tuple[int, int]] = []
+    for i, rows in enumerate(batches):
+        write(_pairs(spark, rows), i)
+        seen += rows
+
+    docs = spark.createDataFrame(
+        [(n, 100 + (n * 37) % 50) for n in [1, 2, 3, 10, 11, 99]],
+        "doc_id long, n_chars long",
+    )
+    inc = {
+        (r["doc_id"], r["canonical_id"], r["cluster_size"])
+        for r in read_dedup_manifest(spark, table, docs).collect()
+    }
+    ref = {
+        (r["doc_id"], r["canonical_id"], r["cluster_size"])
+        for r in canonical_selection(_pairs(spark, seen), docs).collect()
+    }
+    assert inc == ref and inc  # identical and non-trivial
+
+
+def test_incremental_matches_batch_on_random_batches(spark, tmp_path):
+    rng = random.Random(20260814)
+    table = str(tmp_path / "cc")
+    write = upsert_components_incremental(table)
+    seen: list[tuple[int, int]] = []
+    for i in range(4):
+        rows = [
+            (rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(8)
+        ]
+        rows = [(a, b) for a, b in rows if a != b]
+        write(_pairs(spark, rows), i)
+        seen += rows
+    assert _state(spark, table) == _batch_cc(spark, seen)

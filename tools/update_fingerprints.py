@@ -5,7 +5,12 @@ round's driver executed, so the current source of every query green in the
 newest ``CORRECTNESS_r*.json`` is exactly the code that produced the green
 hash. Record its fingerprint + round; leave every other entry untouched.
 
-Usage:  python tools/update_fingerprints.py [--seed]
+Usage:  python tools/update_fingerprints.py [--seed] [--stale NAME ...]
+
+``--stale NAME ...``: force-mark queries as changed (``fp: null``) so the
+rotation fronts them — use when an OPERATOR a query calls through was
+rewritten (the fingerprint hashes only the registered fn's own source plus
+its oracle SQL, so transitive plan changes need this manual nudge).
 
 ``--seed`` (one-time, round 6): also record current fingerprints for names
 green only in OLDER rounds, EXCEPT the four queries the round-5 judge named
@@ -55,6 +60,12 @@ def correctness_rounds(root: str) -> list[tuple[int, dict]]:
 
 def main() -> None:
     seed = "--seed" in sys.argv
+    stale_names: list[str] = []
+    if "--stale" in sys.argv:
+        stale_names = [
+            a for a in sys.argv[sys.argv.index("--stale") + 1 :]
+            if not a.startswith("--")
+        ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     catalog._ensure_loaded()
     queries = catalog.QUERIES
@@ -93,6 +104,13 @@ def main() -> None:
                     "round": rnd,
                 }
                 seeded += 1
+
+    for name in stale_names:
+        if name not in queries:
+            raise SystemExit(f"--stale: unknown query {name!r}")
+        rec = snapshot.get(name, {"round": 0})
+        snapshot[name] = {"fp": None, "round": rec.get("round", 0)}
+        forced += 1
 
     save_snapshot(snapshot)
     print(
