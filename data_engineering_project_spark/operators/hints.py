@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 
 def broadcast_if_small(
-    df: DataFrame, threshold_bytes: int | None = None
+    df: DataFrame,
+    threshold_bytes: int | None = None,
+    *,
+    estimate_from: DataFrame | None = None,
 ) -> DataFrame:
     """Broadcast hint gated on Catalyst's plan-time size estimate.
 
@@ -29,6 +32,15 @@ def broadcast_if_small(
     selectivity applied for derived frames. ``threshold_bytes`` defaults to
     the session's ``autoBroadcastJoinThreshold``; a disabled threshold (-1)
     never hints, matching what the engine itself would do.
+
+    ``estimate_from``: gate on ANOTHER frame's estimate instead of ``df``'s
+    own. Catalyst's no-column-stats JOIN estimates multiply and routinely
+    blow past the threshold for a dim⋈dim frame whose true size is bounded
+    by one base scan (round-6 q5 find: the declined hint made the planner
+    hash LINEITEM as the build side). Pass the base scan whose row count
+    upper-bounds ``df`` — the gate then stays size-safe at 100 TB (a dim
+    that genuinely outgrows the threshold declines) without the join-
+    estimate false negative.
     """
     session = df.sparkSession
     if threshold_bytes is None:
@@ -40,5 +52,6 @@ def broadcast_if_small(
         )
     if threshold_bytes < 0:
         return df
-    estimate = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    probe = estimate_from if estimate_from is not None else df
+    estimate = int(probe._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     return F.broadcast(df) if estimate <= threshold_bytes else df

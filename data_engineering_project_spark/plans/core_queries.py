@@ -586,8 +586,22 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["c_nationkey"] == F.col("n_nationkey"),
         "left_semi",
     )
+    # Gate the supplier-dim broadcast on the BASE supplier scan's size, not
+    # the join-output estimate (round-6 codegen-dump find): Catalyst's
+    # no-column-stats estimate for supplier⋈nation blew past the threshold,
+    # the hint declined, and the planner hashed LINEITEM as the build side
+    # (BuildLeft) — streaming the ~4k-row dim through a fact-table hash
+    # relation. s_asia has ≤ |supplier| rows by construction, so the base
+    # scan upper-bounds it; the gate still declines when supplier itself
+    # outgrows the threshold (TPC-H suppliers scale with SF — a hard hint
+    # would OOM at 100 TB, round-1 verdict #3). A/B 3/3 sessions
+    # (tools/ab_q5_buildside.py): raw 1.37→1.06, 1.36→0.88, 1.35→0.84 s at
+    # sf0.1; marginal 0.44→0.13, 0.47→0.13 in two.
     return (
-        li.join(broadcast_if_small(s_asia), li["l_suppkey"] == s_asia["s_suppkey"])
+        li.join(
+            broadcast_if_small(s_asia, estimate_from=s),
+            li["l_suppkey"] == s_asia["s_suppkey"],
+        )
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(
             c_asia,

@@ -220,6 +220,20 @@ def test_sf_scaling_dims_broadcast_via_size_gate_not_hard_hint(plans):
     assert plans("q9_nation_profit").count("BroadcastHashJoin") >= 3
 
 
+def test_q5_never_builds_the_fact_table(plans):
+    """Round-6 codegen-dump find: when the supplier-dim hint declines (the
+    join-output estimate false negative), the planner hashes LINEITEM as
+    the broadcast build side — the fact table in memory, streamed by a
+    4k-row dim. The estimate_from gate (operators/hints.py) must keep the
+    fact scan off every broadcast build side."""
+    plan = plans("q5_local_supplier_volume")
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" in ln:
+            subtree = "\n".join(lines[i + 1 : i + 8])
+            assert "lineitem" not in subtree, ln + "\n" + subtree
+
+
 def test_broadcast_gate_declines_frames_above_threshold(spark, sf_dir):
     from data_engineering_project_spark.operators.hints import broadcast_if_small
 
@@ -230,6 +244,20 @@ def test_broadcast_gate_declines_frames_above_threshold(spark, sf_dir):
     assert broadcast_if_small(li, threshold_bytes=-1) is li
     # under the threshold → the explicit hint is applied
     assert broadcast_if_small(li, threshold_bytes=10**12) is not li
+    # estimate_from: gate on a proxy frame's estimate, not the target's —
+    # a tiny-proxy gate hints even when the target's own (join-inflated)
+    # estimate would decline, and an oversized proxy declines the hint
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    joined = li.join(s, li["l_suppkey"] == s["s_suppkey"])
+    tiny = spark.range(1)
+    assert (
+        broadcast_if_small(joined, threshold_bytes=1000, estimate_from=tiny)
+        is not joined
+    )
+    assert (
+        broadcast_if_small(tiny, threshold_bytes=1000, estimate_from=li)
+        is tiny
+    )
 
 
 def test_minhash_band_join_shuffles_exclude_shingles(spark, sf_dir):
