@@ -150,6 +150,53 @@ def _lloyd(
     return _assign(pts, centroids), centroids
 
 
+def opq_dim_permutation(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+    scale: int = 1000,
+) -> list[int]:
+    """OPQ-style dimension allocation (Ge et al., CVPR'13 — the parametric
+    init): assign dimensions to subspaces so each subspace carries a
+    BALANCED share of the corpus variance, instead of PQ's arbitrary
+    index-order slicing. Full OPQ learns a dense rotation by alternating
+    Procrustes/Lloyd; the allocation step alone (rank dims by variance,
+    snake-deal into subspaces) captures the bulk of the benefit when
+    per-dim scales differ, is a pure PERMUTATION (restatable in SQL), and
+    adds zero cost to the scan path.
+
+    Deterministic: variance ranked by the exact integer numerator
+    n·Σx² − (Σx)² over quantized components (order-independent sums),
+    ties to the smaller dim; snake order (left-to-right then right-to-
+    left per pass) balances totals. Returns 0-based source indices in
+    subspace-major order: ``perm[s*sub + j]`` is the source dim of slot
+    ``j`` of subspace ``s``.
+    """
+    q = quantize_vec(F.col(vec_col), scale)
+    stats = (
+        df.select(F.posexplode(q).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    var_num = {
+        r["dim"]: r["n"] * r["s2"] - r["s1"] * r["s1"] for r in stats
+    }
+    ranked = sorted(range(dim), key=lambda d: (-var_num.get(d, 0), d))
+    sub_slots: list[list[int]] = [[] for _ in range(n_sub)]
+    for rk, d in enumerate(ranked):
+        passno, off = divmod(rk, n_sub)
+        s = off if passno % 2 == 0 else n_sub - 1 - off
+        sub_slots[s].append(d)
+    return [d for slots in sub_slots for d in slots]
+
+
 def pq_topk(
     df: DataFrame,
     *,
@@ -162,6 +209,7 @@ def pq_topk(
     n_iter: int = 2,
     scale: int = 1000,
     topk: int = 10,
+    dim_perm: list[int] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., PAMI'11 — the billion-scale
     standard): the vector splits into ``n_sub`` subspaces, each gets its
@@ -177,9 +225,16 @@ def pq_topk(
     pipeline restates in SQL exactly.
     """
     sub = dim // n_sub
+    qf = quantize_vec(F.col(vec_col), scale)
+    if dim_perm is not None:
+        # OPQ allocation (opq_dim_permutation): a literal reorder of the
+        # quantized components before slicing — downstream fit/encode/ADC
+        # are untouched, and the query vector permutes identically, so
+        # distances keep their meaning
+        qf = F.array(*[qf.getItem(i) for i in dim_perm])
     full = df.select(
         F.col(id_col).alias("vec_id"),
-        quantize_vec(F.col(vec_col), scale).alias("qf"),
+        qf.alias("qf"),
     ).persist()
 
     # one driver-side fetch of the query's full quantized vector (sliced

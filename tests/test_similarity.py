@@ -130,3 +130,52 @@ def test_pq_and_ivfpq_release_all_caches(spark):
     ).collect()
     leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert leaked == 0, f"{leaked} cached relations leaked"
+
+
+def test_opq_dim_permutation_is_a_balanced_valid_permutation(spark):
+    """OPQ allocation invariants: the output is a true permutation of the
+    dims, deterministic, and snake-dealing balances per-subspace variance —
+    max/min subspace variance-share ratio must beat index-order slicing on
+    a corpus with a strong per-dim scale gradient."""
+    import random
+
+    from data_engineering_project_spark.operators.clustering import (
+        opq_dim_permutation,
+        pq_topk,
+    )
+
+    rng = random.Random(7)
+    dim, n_sub, sub = 16, 4, 4
+    # scale gradient: dim i has stddev ~ (i+1), so index-order slicing puts
+    # all the variance into the last subspace
+    rows = [
+        (i, [rng.gauss(0.0, (d + 1) / 4.0) for d in range(dim)])
+        for i in range(200)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    perm = opq_dim_permutation(e, dim=dim, n_sub=n_sub)
+    assert sorted(perm) == list(range(dim))
+    assert perm == opq_dim_permutation(e, dim=dim, n_sub=n_sub)  # deterministic
+
+    import statistics
+
+    var = [statistics.pvariance([r[1][d] for r in rows]) for d in range(dim)]
+
+    def share_spread(order):
+        shares = [
+            sum(var[d] for d in order[s * sub : (s + 1) * sub])
+            for s in range(n_sub)
+        ]
+        return max(shares) / min(shares)
+
+    assert share_spread(perm) < share_spread(list(range(dim)))
+
+    # identity permutation must be a no-op vs plain PQ
+    plain = pq_topk(e, query_id=0, dim=dim, n_sub=n_sub, k=4, n_iter=1, topk=5)
+    ident = pq_topk(
+        e, query_id=0, dim=dim, n_sub=n_sub, k=4, n_iter=1, topk=5,
+        dim_perm=list(range(dim)),
+    )
+    assert [r.asDict() for r in plain.collect()] == [
+        r.asDict() for r in ident.collect()
+    ]
