@@ -134,3 +134,72 @@ def test_incremental_matches_batch_on_random_batches(spark, tmp_path):
         write(_pairs(spark, rows), i)
         seen += rows
     assert _state(spark, table) == _batch_cc(spark, seen)
+
+
+def test_end_to_end_streaming_dedup_pipeline(spark, tmp_path):
+    """The full streaming dedup composition over a 3-batch ingest:
+    per batch, intra-batch MinHash pairs PLUS index-probe pairs against
+    the already-ingested corpus feed the incremental component state; the
+    band index and corpus grow per batch in snapshot tables. At the end
+    the maintained manifest must equal the batch pipeline (full-corpus
+    minhash pairing -> canonical_selection) run from scratch."""
+    from data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+        incremental_minhash_pairs,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    alt = "completely different text about distributed query engines here"
+    batches = [
+        [(1, base), (2, alt)],
+        [(3, base), (4, "novel content with no relatives in the corpus")],
+        [(5, base), (6, alt + " with a tail"), (7, "lone wolf document")],
+    ]
+    schema = "doc_id long, text string"
+    index_t = str(tmp_path / "band_index")
+    corpus_t = str(tmp_path / "corpus")
+    cc_t = str(tmp_path / "cc")
+    write_cc = upsert_components_incremental(cc_t)
+    J = 0.5
+
+    for i, rows in enumerate(batches):
+        batch = spark.createDataFrame(rows, schema)
+        pairs = minhash_lsh_pairs(batch, min_jaccard=J).select(
+            F.col("id_a"), F.col("id_b")
+        )
+        if st.current_version(index_t) is not None:
+            idx = st.read_table(spark, index_t)
+            corp = st.read_table(spark, corpus_t)
+            cross = incremental_minhash_pairs(
+                batch, corp, idx, min_jaccard=J
+            ).select(
+                F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+            )
+            pairs = pairs.unionByName(cross)
+        write_cc(pairs, i)
+        st.write_table(minhash_band_index(batch), index_t, mode="append")
+        st.write_table(batch, corpus_t, mode="append")
+
+    corpus = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    ).withColumn("n_chars", F.length("text"))
+    inc = {
+        (r["doc_id"], r["canonical_id"], r["cluster_size"])
+        for r in read_dedup_manifest(spark, cc_t, corpus).collect()
+    }
+    full_pairs = minhash_lsh_pairs(
+        corpus.select("doc_id", "text"), min_jaccard=J
+    ).select("id_a", "id_b")
+    ref = {
+        (r["doc_id"], r["canonical_id"], r["cluster_size"])
+        for r in canonical_selection(full_pairs, corpus).collect()
+    }
+    assert inc == ref
+    # both constructed families must actually have collapsed (the test is
+    # vacuous if the fixture produced no duplicate pairs): base family
+    # {1,3,5} keeps 1 (equal lengths, tie -> smallest id); alt family
+    # {2,6} keeps 6 (" with a tail" makes it the longest)
+    assert {d for d, _, _ in inc} == {2, 3, 5}
