@@ -588,3 +588,69 @@ def manifest_from_components(
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram of words, slide a
+    window of ``w`` consecutive k-gram hashes, keep each window's MINIMUM.
+    The selected set is guaranteed to share a fingerprint with any other
+    document containing a common word run of length ≥ k + w - 1 — which
+    makes fingerprint EQUALITY a complete detector for long shared
+    substrings (the "Deduplicating Training Data" use case, Lee et al.)
+    at a density of ~2/(w+1) of the k-gram count, via a plain equi-join
+    instead of suffix arrays.
+
+    Scale shape: one explode to (doc, pos, hash), one per-doc window min
+    (partition = doc, ROWS w-1 FOLLOWING — bounded frame, no global
+    sort), one distinct. Hashes are md5 hex strings so the selection
+    order (lexicographic min) restates identically in SQL.
+
+    Returns DISTINCT ``(id_col, fp)``. Documents shorter than
+    k + w - 1 words yield no fingerprints (no full window exists).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).withColumn("G", F.greatest(F.size("t") - (k - 1), F.lit(0)))
+    # G rides inside the struct: selecting it ALONGSIDE the explode would
+    # leave the Generate node emitting the attribute twice (passthrough +
+    # projection) — AMBIGUOUS_REFERENCE downstream
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                # sequence(1, 0) counts DOWN in Spark — a doc shorter than
+                # k words must yield an empty position list, not [1, 0]
+                F.when(
+                    F.col("G") >= 1, F.sequence(F.lit(1), F.col("G"))
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("t", i, k))
+                    ).alias("h"),
+                    F.col("G").alias("G"),
+                ),
+            )
+        ).alias("g"),
+    ).select(
+        id_col,
+        F.col("g.G").alias("G"),
+        F.col("g.pos").alias("pos"),
+        F.col("g.h").alias("h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    minima = grams.withColumn("fp", F.min("h").over(win)).filter(
+        F.col("pos") + (w - 1) <= F.col("G")  # full windows only
+    )
+    return minima.select(id_col, "fp").distinct()

@@ -502,3 +502,71 @@ def _canonical_manifest_sql() -> str:
 
 
 QUERIES["docs_canonical_manifest"].sql = _canonical_manifest_sql()
+
+
+_WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED = 5, 4, 2
+
+@register(
+    "docs_winnowing_pairs",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i:i+{_WINNOW_K - 1}], ' ')) AS h,
+               greatest(len(t) - {_WINNOW_K - 1}, 0) AS G
+        FROM toks,
+             LATERAL (SELECT unnest(range(1,
+                 greatest(len(t) - {_WINNOW_K - 1}, 0) + 1)) AS i)
+    ),
+    winmin AS (
+        SELECT doc_id, pos, G,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WINNOW_W - 1} FOLLOWING) AS fp
+        FROM grams
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM winmin
+        WHERE pos + {_WINNOW_W - 1} <= G
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    doc=f"Winnowing fingerprint pairs (Schleimer et al., SIGMOD'03 — MOSS): "
+    f"every {_WINNOW_K}-word gram hashes, each window of {_WINNOW_W} "
+    "consecutive gram hashes keeps its minimum, and documents sharing "
+    f">= {_WINNOW_MIN_SHARED} selected fingerprints pair up — a COMPLETE "
+    f"detector for common word runs of length >= {_WINNOW_K + _WINNOW_W - 1} "
+    "(the exact-substring dedup of Lee et al.'s 'Deduplicating Training "
+    "Data' realized as a fingerprint equi-join instead of suffix arrays). "
+    "Scale shape: explode -> bounded ROWS window min per doc (no global "
+    "sort) -> distinct -> equi-self-join on fp; the join carries only "
+    "(doc_id, fp) at ~2/(w+1) gram density. md5 hex minima order "
+    "identically in both engines.",
+    tags=("dedup", "winnowing", "fingerprint"),
+)
+def docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = D.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"),
+        k=_WINNOW_K, w=_WINNOW_W,
+    )
+    # rename the join key PER SIDE: two selects of one frame resolve
+    # same-named columns to the same attribute id (repo invariant)
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(
+            b,
+            (F.col("fp_a") == F.col("fp_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )

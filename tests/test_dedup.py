@@ -246,3 +246,33 @@ def test_canonical_selection_rejects_pair_ids_missing_from_docs(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="absent from docs"):
         canonical_selection(pairs, docs)
+
+
+def test_winnowing_guarantee_on_constructed_docs(spark):
+    """Winnowing's detection guarantee (Schleimer et al. SIGMOD'03 Thm):
+    any shared word run of length >= k + w - 1 (= 8 here) forces a shared
+    selected fingerprint; documents with no common 5-gram share none; a
+    doc shorter than k + w - 1 words yields no fingerprints at all."""
+    from data_engineering_project_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, "xx yy " + shared_run + " zz ww"),
+            (2, "completely different prefix words here " + shared_run),
+            (3, "no overlap with anything else whatsoever in this text"),
+            (4, "tiny doc"),  # < k words: no grams
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    assert 4 not in by_doc
+    # density sanity: ~2/(w+1) of grams get selected, never more than G
+    assert 0 < len(by_doc[1]) <= 8
