@@ -203,3 +203,64 @@ def test_end_to_end_streaming_dedup_pipeline(spark, tmp_path):
     # {1,3,5} keeps 1 (equal lengths, tie -> smallest id); alt family
     # {2,6} keeps 6 (" with a tail" makes it the longest)
     assert {d for d, _, _ in inc} == {2, 3, 5}
+
+
+def test_incremental_cc_under_real_structured_streaming(spark, tmp_path):
+    """Drive upsert_components_incremental through an actual readStream ->
+    foreachBatch -> availableNow pipeline (not direct writer calls), across
+    TWO runs sharing a checkpoint: run 2 must consume only the files run 1
+    has not seen (exactly-once input), and the final state must equal batch
+    connected components over every pair ever written."""
+    import os
+    import time as _time
+
+    src = tmp_path / "pairs_in"
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "cc")
+    src.mkdir()
+
+    def _write_pairs(name, rows):
+        spark.createDataFrame(rows, "id_a long, id_b long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def _run():
+        stream = (
+            spark.readStream.schema("id_a long, id_b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                upsert_components_incremental(table)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [(10, 20), (30, 40)]
+    batch2 = [(20, 30)]
+    _write_pairs("b1.parquet", batch1)
+    _write_pairs("b2.parquet", batch2)
+    # pin strictly increasing mtimes so per-file micro-batches order stably
+    base = _time.time() - 3600
+    for i, name in enumerate(sorted(os.listdir(src))):
+        for f in os.listdir(src / name):
+            os.utime(src / name / f, (base + 10 * i, base + 10 * i))
+        os.utime(src / name, (base + 10 * i, base + 10 * i))
+    _run()
+    assert _state(spark, table) == _batch_cc(spark, batch1 + batch2)
+    v_after_run1 = st.current_version(table)
+
+    # run 2: only the NEW file is consumed (checkpoint excludes b1/b2);
+    # node 5 < 10 relabels the whole merged cluster
+    batch3 = [(5, 40)]
+    _write_pairs("b3.parquet", batch3)
+    _run()
+    assert _state(spark, table) == {5: 5, 10: 5, 20: 5, 30: 5, 40: 5}
+    # exactly-once input: exactly ONE more state version, from batch3 alone
+    # (replaying b1/b2 would have been no-ops anyway — monotone labels —
+    # but the checkpoint must not even re-read them)
+    assert st.current_version(table) == v_after_run1 + 1
