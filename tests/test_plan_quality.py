@@ -803,3 +803,29 @@ def test_ivfpq_candidate_path_is_shuffle_free(plans):
     assert "ShuffleExchange" not in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_winnowing_fp_join_shuffles_exclude_text(spark, sf_dir):
+    """The winnowing fp self-join must shuffle ONLY (doc_id, fp) — never
+    the token arrays or raw text (same 100 TB payload rule as the minhash
+    band join). Broadcast disabled so the self-join's exchanges exist at
+    test SF."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = entrymod.queries()["docs_winnowing_pairs"](spark, sf_dir)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        text = df._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    fp_exchanges = [
+        blk
+        for blk in text.split("\n\n")
+        if "Exchange" in blk
+        and ("hashpartitioning(fp_a" in blk or "hashpartitioning(fp_b" in blk)
+    ]
+    assert fp_exchanges, text[:2000]
+    for blk in fp_exchanges:
+        assert "Input [2]:" in blk, blk
