@@ -1852,3 +1852,40 @@ def users_spend_topk_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return witness.crossJoin(truth).select(
         "k_returned", "bounds_hold", "exact_top1_cents", "total_cents"
     )
+
+
+@register(
+    "events_variant_props_stats",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Semi-structured props through Spark 4's VARIANT type — the modern "
+    "path for open-schema JSON columns (vs the string-probing "
+    "get_json_object in json_props_stats and the closed-schema from_json "
+    "in events_map_roundtrip): parse_json materializes a binary VARIANT "
+    "once, variant_get extracts a TYPED field with cast semantics, and "
+    "the aggregate runs on real BIGINTs. At 100 TB this is the shape that "
+    "matters: the variant binary encoding parses each JSON document once "
+    "at ingest instead of per-path re-parsing strings in every "
+    "expression, and typed extraction keeps the aggregate in codegen.",
+    tags=("functions", "json", "variant"),
+)
+def events_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("props").isNotNull()).withColumn(
+        "pv", F.parse_json("props")
+    )
+    k = F.variant_get("pv", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
