@@ -608,49 +608,57 @@ def winnowing_fingerprints(
     at a density of ~2/(w+1) of the k-gram count, via a plain equi-join
     instead of suffix arrays.
 
-    Scale shape: one explode to (doc, pos, hash), one per-doc window min
-    (partition = doc, ROWS w-1 FOLLOWING — bounded frame, no global
-    sort), one distinct. Hashes are md5 hex strings so the selection
-    order (lexicographic min) restates identically in SQL.
+    Scale shape: MAP-ONLY — the gram hashes, per-window minima, and
+    in-document dedup are all array expressions inside one row, so the
+    only rows that ever leave the scan are the SELECTED fingerprints
+    (~2/(w+1) of the grams) and nothing shuffles before the downstream
+    fp join. (A first implementation exploded every gram through a per-doc
+    window min — a corpus-sized shuffle just to pick minima the row
+    already holds.) Hashes are md5 hex strings so the selection order
+    (lexicographic min) restates identically in SQL.
 
     Returns DISTINCT ``(id_col, fp)``. Documents shorter than
     k + w - 1 words yield no fingerprints (no full window exists).
     """
-    from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
-    ).withColumn("G", F.greatest(F.size("t") - (k - 1), F.lit(0)))
-    # G rides inside the struct: selecting it ALONGSIDE the explode would
-    # leave the Generate node emitting the attribute twice (passthrough +
-    # projection) — AMBIGUOUS_REFERENCE downstream
-    grams = toks.select(
-        id_col,
-        F.explode(
-            F.transform(
-                # sequence(1, 0) counts DOWN in Spark — a doc shorter than
-                # k words must yield an empty position list, not [1, 0]
-                F.when(
-                    F.col("G") >= 1, F.sequence(F.lit(1), F.col("G"))
-                ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.md5(
-                        F.concat_ws(" ", F.slice("t", i, k))
-                    ).alias("h"),
-                    F.col("G").alias("G"),
-                ),
-            )
-        ).alias("g"),
-    ).select(
-        id_col,
-        F.col("g.G").alias("G"),
-        F.col("g.pos").alias("pos"),
-        F.col("g.h").alias("h"),
+    def _seq1(n: Column) -> Column:
+        # sequence(1, 0) counts DOWN in Spark — short docs must yield an
+        # empty position list, not [1, 0]
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    def _let(value: Column, body) -> Column:
+        # bind an intermediate as a LAMBDA VARIABLE (transform over a
+        # 1-element array) so it is evaluated once per row. Leaving it as a
+        # projected column invites CollapseProject to inline its defining
+        # expression at every reference — measured here as the md5 gram
+        # array recomputed PER WINDOW POSITION, an O(G²) hash blow-up that
+        # turned a 2 s scan into minutes.
+        return F.element_at(F.transform(F.array(value), body), 1)
+
+    def _fps_of(t: Column) -> Column:
+        hs = F.transform(
+            _seq1(F.greatest(F.size(t) - (k - 1), F.lit(0))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))),
+        )
+        return _let(
+            hs,
+            lambda h: F.array_distinct(
+                F.transform(
+                    _seq1(F.size(h) - (w - 1)),  # full windows only
+                    lambda p: F.array_min(F.slice(h, p, w)),
+                )
+            ),
+        )
+
+    fps = _let(F.split(F.trim(F.col(text_col)), r"\s+"), _fps_of)
+    # EXPLICIT partition count before the md5-heavy projection: a small-file
+    # corpus scans as ~1 partition and AQE's byte-based coalescing cannot
+    # see per-row CPU (ROADMAP codegen-cliff/AQE rule) — one task would
+    # hash every gram. At real corpus scale the scan's own parallelism
+    # makes this exchange a no-op-sized reshuffle of (id, text).
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, F.col(id_col)).select(
+        F.col(id_col), F.explode(fps).alias("fp")
     )
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    minima = grams.withColumn("fp", F.min("h").over(win)).filter(
-        F.col("pos") + (w - 1) <= F.col("G")  # full windows only
-    )
-    return minima.select(id_col, "fp").distinct()
