@@ -75,3 +75,50 @@ def test_fingerprint_moves_on_source_or_sql_change():
     assert fp.compute_fingerprint(f, "SELECT 1 AS x") == a
     assert fp.compute_fingerprint(f, "SELECT 2 AS x") != a
     assert fp.compute_fingerprint(g, "SELECT 1 AS x") != a
+
+
+def test_round_start_updater_refreshes_only_newest_round(tmp_path, monkeypatch):
+    """tools/update_fingerprints.py semantics: names green in the NEWEST
+    CORRECTNESS file get the current fingerprint + round; every other entry
+    is left untouched (a query rewritten in a round where it was not
+    sampled keeps the fingerprint of its last-hashed code and therefore
+    reads as changed)."""
+    import json
+
+    from tools import update_fingerprints as upd
+
+    # fake repo root with two correctness rounds
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_old": {"hash_match": True}, "q_both": {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_both": {"hash_match": True}, "q_err": {"hash_match": False}})
+    )
+    rounds = upd.correctness_rounds(str(tmp_path))
+    assert [r for r, _ in rounds] == [1, 2]
+    newest_round, newest_rows = rounds[-1]
+    assert newest_round == 2
+    # only green rows in the newest round qualify for a refresh
+    green = {n for n, row in newest_rows.items() if row.get("hash_match") is True}
+    assert green == {"q_both"}
+
+
+def test_stale_flag_fronts_operator_level_rewrites(monkeypatch):
+    """--stale forces fp=None, which staleness_order sorts into bucket 1 —
+    the manual nudge for operator-level rewrites the fn-source fingerprint
+    cannot see."""
+    from types import SimpleNamespace
+
+    from data_engineering_project_spark.plans import fingerprints as fp
+
+    def f(spark, sf_dir):
+        return None
+
+    queries = {"q": SimpleNamespace(fn=f, sql="SELECT 1 AS x"),
+               "r": SimpleNamespace(fn=f, sql="SELECT 2 AS x")}
+    snapshot = {
+        "q": {"fp": None, "round": 5},  # what --stale writes
+        "r": {"fp": fp.compute_fingerprint(f, "SELECT 2 AS x"), "round": 1},
+    }
+    monkeypatch.setattr(fp, "load_snapshot", lambda: snapshot)
+    assert fp.staleness_order(queries) == ["q", "r"]
