@@ -16,10 +16,11 @@ and drives :func:`execute_merge` through an actual psql session:
 - atomicity: a failure mid-protocol (CHECK violation on the batch insert,
   AFTER the delete already ran) leaves the pre-transaction target intact
 
-The Spark→staging bulk load (df.write.jdbc) is exercised against Derby in
-tests/test_jdbc_sink.py (no Postgres JDBC driver jar ships in this
-environment); here staging is loaded directly, because the component under
-test is the warehouse-side statement plan executing on the real engine.
+The Spark→staging bulk load is covered twice: df.write.jdbc against Derby
+in tests/test_jdbc_sink.py (no Postgres JDBC driver jar ships in this
+environment), and END TO END here over the engine's psql COPY transport
+(sinks/psql_transport.py: CSV export → \\copy staging → merge), so the
+whole Spark→live-Postgres batch path executes for real.
 
 Each ``PsqlSessionConnection.execute`` round-trips one statement through a
 persistent psql process and checks psql's ``:ERROR`` variable, so the
@@ -36,6 +37,10 @@ import uuid
 
 import pytest
 
+from data_engineering_project_spark.sinks.psql_transport import (
+    PsqlSession,
+    load_report_psql,
+)
 from data_engineering_project_spark.sinks.warehouse_sink import (
     MergeSpec,
     execute_merge,
@@ -83,59 +88,11 @@ def pg_sock():
         shutil.rmtree(base, ignore_errors=True)
 
 
-class PsqlSessionConnection:
-    """DB-API-ish ``execute`` over ONE persistent psql session, the shape
-    :func:`execute_merge` drives. After every statement psql's ``:ERROR``
-    variable is echoed behind a sentinel; a true status raises, leaving the
-    server-side transaction aborted exactly as a failed JDBC execute
-    would."""
-
-    def __init__(self, sock: str, dbname: str = "postgres"):
-        self._p = subprocess.Popen(
-            ["psql", "-h", sock, "-U", "nobody", "-d", dbname, "-qAt"],
-            stdin=subprocess.PIPE,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,  # ERROR lines re-surface via :ERROR
-            text=True,
-        )
-
-    def execute(self, sql: str):
-        tag = uuid.uuid4().hex
-        self._p.stdin.write(sql.rstrip().rstrip(";") + ";\n")
-        self._p.stdin.write(f"\\echo __S_{tag} :ERROR\n")
-        self._p.stdin.flush()
-        while True:
-            line = self._p.stdout.readline()
-            if not line:
-                raise RuntimeError("psql session died")
-            if line.startswith(f"__S_{tag}"):
-                status = line.split()[-1]
-                if status == "true":
-                    raise RuntimeError(f"statement failed: {sql[:120]}")
-                return
-
-    def fetch_rows(self, sql: str) -> list[list[str]]:
-        tag = uuid.uuid4().hex
-        self._p.stdin.write(sql.rstrip().rstrip(";") + ";\n")
-        self._p.stdin.write(f"\\echo __S_{tag} :ERROR\n")
-        self._p.stdin.flush()
-        rows = []
-        while True:
-            line = self._p.stdout.readline()
-            if not line:
-                raise RuntimeError("psql session died")
-            if line.startswith(f"__S_{tag}"):
-                assert line.split()[-1] != "true", sql
-                return rows
-            if line.strip():
-                rows.append(line.rstrip("\n").split("|"))
-
-    def close(self):
-        try:
-            self._p.stdin.close()
-            self._p.wait(timeout=10)
-        except Exception:
-            self._p.kill()
+def PsqlSessionConnection(sock, dbname="postgres"):
+    """The engine's psql transport session (sinks/psql_transport.py) IS the
+    adapter this test originally defined — use it so the live tests drive
+    the shipped code."""
+    return PsqlSession(host=sock, dbname=dbname, user="nobody")
 
 
 _DDL = """
@@ -280,5 +237,43 @@ def test_mid_protocol_failure_rolls_back_on_live_postgres(pg_sock):
             execute_merge(conn, SPEC)
         # the delete of 11:00 ran inside the txn; rollback restored it
         assert _target_counts(conn) == {"2022-05-26 11:00:00": (10, 1)}
+    finally:
+        conn.close()
+
+
+def test_spark_to_postgres_end_to_end_via_copy(spark, pg_sock, tmp_path):
+    """The full Spark->warehouse batch over the psql transport: the
+    DataFrame CSV-exports in parallel, \\copy bulk-loads staging, and the
+    pinned merge protocol lands the batch in the live-Postgres target —
+    closing the transport gap the missing JDBC jar left open."""
+    from pyspark.sql import functions as F
+
+    conn = PsqlSessionConnection(pg_sock)
+    try:
+        _fresh_schema(conn)
+        conn.execute('TRUNCATE "client_report_invalid_staging"')
+        df = spark.createDataFrame(
+            [("2022-05-26 11:00:00", 10, 1), ("2022-05-26 12:00:00", 20, 2)],
+            "datetime string, impression_count long, click_count long",
+        ).select(
+            F.to_timestamp("datetime").alias("datetime"),
+            "impression_count",
+            "click_count",
+            F.to_timestamp(F.lit("2022-05-27 00:00:00")).alias(
+                "audit_loaded_datetime"
+            ),
+        )
+        load_report_psql(df, SPEC, conn, scratch_dir=str(tmp_path))
+        assert _target_counts(conn) == {
+            "2022-05-26 11:00:00": (10, 1),
+            "2022-05-26 12:00:00": (20, 2),
+        }
+        # redelivery of the same frame replaces, never duplicates (T4 over
+        # the COPY transport: truncate-and-load staging + ranged delete)
+        load_report_psql(df, SPEC, conn, scratch_dir=str(tmp_path))
+        assert _target_counts(conn) == {
+            "2022-05-26 11:00:00": (10, 1),
+            "2022-05-26 12:00:00": (20, 2),
+        }
     finally:
         conn.close()
