@@ -169,6 +169,41 @@ def jdbc_report_batch(
         load_report_jdbc,
     )
 
+    def _read_existing(spark, lo, hi) -> DataFrame:
+        return (
+            spark.read.jdbc(url, _q(spec.target), properties=properties or {})
+            .filter(F.col("datetime").between(lo, hi))
+            .select("datetime", "impression_count", "click_count")
+        )
+
+    def _load(report: DataFrame) -> None:
+        load_report_jdbc(
+            report,
+            url=url,
+            spec=spec,
+            properties=properties,
+            connection_factory=connection_factory,
+        )
+
+    return _report_merge_writer(
+        spec, _read_existing, _load, impression_type, click_type
+    )
+
+
+def _report_merge_writer(
+    spec,
+    read_existing: Callable,
+    load: Callable,
+    impression_type: str,
+    click_type: str,
+) -> Callable:
+    """Shared core of the streaming report writers: pivot the batch's
+    revised (date, hour, type) counts to client_report shape, coalesce
+    un-revised type columns against the target's existing window rows
+    (``read_existing(spark, lo, hi) -> DataFrame`` with datetime /
+    impression_count / click_count), then hand the finished report to
+    ``load`` — transport-specific (JDBC write+merge, or psql COPY+merge)."""
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         pivot = (
@@ -202,14 +237,10 @@ def jdbc_report_batch(
         ).collect()[0]
         if window["lo"] is None:
             return
-        existing = (
-            spark.read.jdbc(url, _q(spec.target), properties=properties or {})
-            .filter(F.col("datetime").between(window["lo"], window["hi"]))
-            .select(
-                "datetime",
-                F.col("impression_count").alias("_cur_imp"),
-                F.col("click_count").alias("_cur_clk"),
-            )
+        existing = read_existing(spark, window["lo"], window["hi"]).select(
+            "datetime",
+            F.col("impression_count").alias("_cur_imp"),
+            F.col("click_count").alias("_cur_clk"),
         )
         report = pivot.join(existing, "datetime", "left").select(
             "datetime",
@@ -224,15 +255,53 @@ def jdbc_report_batch(
             report = report.withColumn(
                 "audit_loaded_datetime", F.current_timestamp()
             )
-        load_report_jdbc(
-            report,
-            url=url,
-            spec=spec,
-            properties=properties,
-            connection_factory=connection_factory,
-        )
+        load(report)
 
     return _write
+
+
+def psql_report_batch(
+    spec,
+    session_factory: Callable,
+    *,
+    scratch_dir: str,
+    impression_type: str = "impressions",
+    click_type: str = "clicks",
+) -> Callable:
+    """foreachBatch writer landing each micro-batch in a LIVE Postgres
+    through the psql COPY transport (sinks/psql_transport.py) — the
+    no-JDBC-driver deployment of :func:`jdbc_report_batch`, same pivot /
+    NULL-coalesce semantics and the same T4 replace-window idempotence
+    (both transports execute the identical pinned statement plan).
+
+    ``session_factory()`` returns a ``PsqlSession`` per batch (driver-side,
+    like the JDBC connection factory); the existing-window read goes
+    through the same session, so no second connection pool exists."""
+    from data_engineering_project_spark.sinks.psql_transport import (
+        load_report_psql,
+    )
+    from data_engineering_project_spark.sinks.warehouse_sink import _q
+
+    def _read_existing(spark, lo, hi) -> DataFrame:
+        session = session_factory()
+        rows = session.fetch_rows(
+            f'SELECT "datetime", "impression_count", "click_count" '
+            f"FROM {_q(spec.target)} WHERE \"datetime\" "
+            f"BETWEEN TIMESTAMP '{lo}' AND TIMESTAMP '{hi}'"
+        )
+        return spark.createDataFrame(
+            [(r[0], int(r[1]), int(r[2])) for r in rows],
+            "datetime string, impression_count long, click_count long",
+        ).withColumn("datetime", F.to_timestamp("datetime"))
+
+    def _load(report: DataFrame) -> None:
+        load_report_psql(
+            report, spec, session_factory(), scratch_dir=scratch_dir
+        )
+
+    return _report_merge_writer(
+        spec, _read_existing, _load, impression_type, click_type
+    )
 
 
 def upsert_parquet_batch(

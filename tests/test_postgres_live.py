@@ -277,3 +277,53 @@ def test_spark_to_postgres_end_to_end_via_copy(spark, pg_sock, tmp_path):
         }
     finally:
         conn.close()
+
+
+def test_streaming_report_batches_land_and_revise_on_live_postgres(
+    spark, pg_sock, tmp_path
+):
+    """psql_report_batch: two micro-batches against live Postgres — batch 0
+    lands both type counts; batch 1 revises ONLY the clicks of an existing
+    hour (late click file). The NULL-coalesce must preserve the hour's
+    impression count while the ranged replace updates the clicks — the
+    exact late-data semantics the Derby streaming test pins, now on the
+    real warehouse engine."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        psql_report_batch,
+    )
+
+    setup = PsqlSessionConnection(pg_sock)
+    try:
+        _fresh_schema(setup)
+        setup.execute('TRUNCATE "client_report_invalid_staging"')
+    finally:
+        setup.close()
+
+    write = psql_report_batch(
+        SPEC,
+        lambda: PsqlSessionConnection(pg_sock),
+        scratch_dir=str(tmp_path),
+    )
+    b0 = spark.createDataFrame(
+        [
+            ("2022-05-26", 11, "impressions", 100),
+            ("2022-05-26", 11, "clicks", 7),
+            ("2022-05-26", 12, "impressions", 50),
+        ],
+        "date string, hour int, event_type string, n long",
+    )
+    write(b0, 0)
+    b1 = spark.createDataFrame(
+        [("2022-05-26", 11, "clicks", 9)],  # late clicks only
+        "date string, hour int, event_type string, n long",
+    )
+    write(b1, 1)
+
+    conn = PsqlSessionConnection(pg_sock)
+    try:
+        assert _target_counts(conn) == {
+            "2022-05-26 11:00:00": (100, 9),  # impressions preserved
+            "2022-05-26 12:00:00": (50, 0),
+        }
+    finally:
+        conn.close()
