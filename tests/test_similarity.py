@@ -122,14 +122,17 @@ def test_pq_and_ivfpq_release_all_caches(spark):
         pq_topk,
     )
 
+    # delta, not absolute: under the full suite, other tests' lingering
+    # localCheckpoint RDDs survive clearCache() and are not ours to count
     spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     e = _clustered_corpus(spark, n_cells=2, per_cell=10)
     pq_topk(e, query_id=0, dim=64, n_sub=4, k=4, n_iter=1, topk=5).collect()
     ivfpq_topk(
         e, query_id=0, dim=64, n_sub=4, k=4, n_iter=1, nprobe=1, topk=5
     ).collect()
-    leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert leaked == 0, f"{leaked} cached relations leaked"
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"{after - before} cached relations leaked"
 
 
 def test_opq_dim_permutation_is_a_balanced_valid_permutation(spark):
