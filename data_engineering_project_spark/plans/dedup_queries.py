@@ -570,3 +570,62 @@ def docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+@register(
+    "docs_substring_canonical_manifest",
+    sql=None,  # assigned below: winnowing pairs CTE + recursive components
+    doc="Substring-level dedup manifest: the winnowing pair graph "
+    f"(shared word runs >= {_WINNOW_K + _WINNOW_W - 1}, "
+    f">= {_WINNOW_MIN_SHARED} shared fingerprints) collapses through the "
+    "same canonical_selection used for the cosine-similarity manifest "
+    "(docs_canonical_manifest) — demonstrating the dedup stack composes "
+    "over ANY pair generator: cluster transitively, keep the longest "
+    "member, emit one removal row per other member. At 100 TB the pair "
+    "generator is the only part that changes per dedup flavor; the "
+    "components + keep-best machinery is shared.",
+    tags=("dedup", "winnowing", "manifest"),
+)
+def docs_substring_canonical_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+    )
+
+    pairs = docs_winnowing_pairs(spark, sf_dir).select("id_a", "id_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return canonical_selection(pairs, docs)
+
+
+def _substring_manifest_sql() -> str:
+    winnow_pairs = QUERIES["docs_winnowing_pairs"].sql
+    return f"""
+    WITH RECURSIVE wpairs AS ({winnow_pairs}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM wpairs
+        UNION ALL
+        SELECT id_b, id_a FROM wpairs
+    ),
+    reach (node, root) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node),
+    sized AS (
+        SELECT c.node, c.cluster_id, d.n_chars,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.node ASC) AS rk
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    canon AS (SELECT cluster_id, node AS canonical_id FROM sized WHERE rk = 1)
+    SELECT s.node AS doc_id, canon.canonical_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size
+    FROM sized s JOIN canon USING (cluster_id)
+    WHERE s.rk > 1
+    """
+
+
+QUERIES["docs_substring_canonical_manifest"].sql = _substring_manifest_sql()
