@@ -264,3 +264,49 @@ def test_incremental_cc_under_real_structured_streaming(spark, tmp_path):
     # (replaying b1/b2 would have been no-ops anyway — monotone labels —
     # but the checkpoint must not even re-read them)
     assert st.current_version(table) == v_after_run1 + 1
+
+
+def test_manifest_deltas_compose_to_the_full_manifest(spark, tmp_path):
+    """dedup_manifest_deltas: applying each version's upsert rows in order
+    must reproduce the full manifest after every batch, and no doc_id ever
+    needs deletion (monotone merges never un-remove a document)."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        dedup_manifest_deltas,
+    )
+
+    table = str(tmp_path / "cc")
+    write = upsert_components_incremental(table)
+    docs = spark.createDataFrame(
+        [(n, 100 + (n * 37) % 50) for n in range(0, 50)],
+        "doc_id long, n_chars long",
+    )
+    batches = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(20, 21)],
+        [(3, 10)],          # merges {1,2,3} with {10,11}
+        [(0, 21)],          # 0 < 20: relabels {20,21} cluster
+    ]
+    applied: dict[int, tuple[int, int]] = {}
+    expected_versions = 0
+    for i, rows in enumerate(batches):
+        write(_pairs(spark, rows), i)
+        v = st.current_version(table)
+        assert v == expected_versions  # one state version per non-noop batch
+        expected_versions += 1
+        delta = {
+            r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+            for r in dedup_manifest_deltas(spark, table, docs, version=v).collect()
+        }
+        # monotone: a doc never leaves the manifest
+        assert set(applied) <= (set(applied) | set(delta))
+        applied.update(delta)
+        full = {
+            r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+            for r in read_dedup_manifest(spark, table, docs).collect()
+        }
+        assert applied == full, f"after batch {i}"
+    # the composed end state is non-trivial and correct: in {0,20,21} the
+    # keep rule (n_chars DESC, id ASC) keeps 20 (n_chars 140 > 127 > 100)
+    assert applied[21] == (20, 3) and applied[0] == (20, 3)
+    assert 20 not in applied
+    assert applied[2][1] == 5  # {1,2,3,10,11} merged to one 5-cluster
