@@ -113,6 +113,31 @@ def make_parser() -> argparse.ArgumentParser:
         "ACID, time-travelable) instead of printing it",
     )
 
+    dd = sub.add_parser(
+        "dedup",
+        help="materialize the DEDUPLICATED documents corpus: pair "
+        "generation -> transitive clusters -> keep-best removal manifest "
+        "-> anti-join, committed as a snapshot table",
+    )
+    dd.add_argument("--sf-dir", required=True, help="parquet table directory")
+    dd.add_argument(
+        "--flavor",
+        choices=("cosine", "substring"),
+        default="cosine",
+        help="pair generator: embedding-cosine blocking (emb_dup_clusters "
+        "graph) or winnowing shared-substring fingerprints",
+    )
+    dd.add_argument("--master", default="local[*]")
+    dd.add_argument(
+        "--out", required=True, metavar="TABLE_DIR",
+        help="snapshot table for the deduplicated corpus",
+    )
+    dd.add_argument(
+        "--manifest-out", default=None, metavar="TABLE_DIR",
+        help="also commit the removal manifest (doc_id, canonical_id, "
+        "cluster_size) as its own snapshot table",
+    )
+
     tg = sub.add_parser(
         "tag",
         help="manage snapshot-table version tags (pin a version against "
@@ -215,6 +240,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{args.save} v{manifest.version}")
             else:
                 result.show(args.limit, truncate=False)
+        elif args.mode == "dedup":
+            _run_dedup(spark, args)
         elif args.mode == "load":
             _run_load(spark, args)
         elif args.mode == "batch":
@@ -366,6 +393,46 @@ def _run_load(spark, args) -> None:
     summary["invalid_rows"] = str(len(invalid_pdf))
     print(json.dumps(summary))
     con.close()
+
+
+def _run_dedup(spark, args) -> None:
+    """Materialize the deduplicated corpus: the pair-generator flavor is
+    the only varying piece — clustering, keep-best, and the anti-join are
+    the shared machinery (operators/dedup.py:canonical_selection)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+    )
+    from data_engineering_project_spark.sinks.snapshot_table import write_table
+    from data_engineering_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, args.sf_dir, "documents")
+    if args.flavor == "cosine":
+        from data_engineering_project_spark.plans.extended_queries import (
+            _blocked_pairs,
+        )
+
+        pairs = _blocked_pairs(spark, args.sf_dir).filter(
+            F.col("c") >= 0.35
+        ).select("id_a", "id_b")
+    else:
+        from data_engineering_project_spark.plans.dedup_queries import (
+            docs_winnowing_pairs,
+        )
+
+        pairs = docs_winnowing_pairs(spark, args.sf_dir).select("id_a", "id_b")
+    manifest = canonical_selection(
+        pairs, docs.select("doc_id", "n_chars")
+    )
+    if args.manifest_out:
+        m = write_table(manifest, args.manifest_out, stats_cols=("doc_id",))
+        print(f"{args.manifest_out} v{m.version} ({manifest.count()} removals)")
+    deduped = docs.join(manifest.select("doc_id"), "doc_id", "left_anti")
+    out = write_table(deduped, args.out, stats_cols=("doc_id",))
+    kept = deduped.count()
+    total = docs.count()
+    print(f"{args.out} v{out.version} ({kept}/{total} docs kept, flavor={args.flavor})")
 
 
 if __name__ == "__main__":

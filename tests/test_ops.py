@@ -270,3 +270,31 @@ def test_cli_tag_requires_an_action(tmp_path, capsys):
     assert main(["tag", str(tmp_path), "--replace"]) == 2
     assert "--create" in capsys.readouterr().err
     assert main(["tag", str(tmp_path), "--version", "3"]) == 2
+
+
+def test_cli_dedup_materializes_corpus_and_manifest(spark, sf_dir, tmp_path, capsys):
+    """`dedup` subcommand: the deduplicated corpus + removal manifest land
+    as snapshot tables and compose (kept + removed == corpus; removed ids
+    match the manifest exactly)."""
+    from data_engineering_project_spark.cli import main
+    from data_engineering_project_spark.sinks import snapshot_table as st
+    from data_engineering_project_spark.sources.tables import load_table
+
+    out = str(tmp_path / "deduped")
+    man = str(tmp_path / "manifest")
+    rc = main(
+        [
+            "dedup", "--sf-dir", sf_dir, "--flavor", "substring",
+            "--out", out, "--manifest-out", man, "--master", "local[4]",
+        ]
+    )
+    assert rc in (0, None)
+    kept = {r["doc_id"] for r in st.read_table(spark, out).select("doc_id").collect()}
+    removed = {r["doc_id"] for r in st.read_table(spark, man).select("doc_id").collect()}
+    all_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    assert kept | removed == all_ids
+    assert kept & removed == set()
+    assert removed  # the fixture corpus has real shared substrings
