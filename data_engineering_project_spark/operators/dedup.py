@@ -151,6 +151,7 @@ def minhash_lsh_pairs(
     n_bands: int = 4,
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: signature → band explode → bucket self-join
     → exact Jaccard verification ≥ min_jaccard.
@@ -163,7 +164,21 @@ def minhash_lsh_pairs(
     hash shuffles (band key, then id) instead of one shuffle whose payload is
     every document's shingle set repeated per band. Hot buckets (boilerplate
     docs) are the skew risk — AQE skew-join handles moderate cases;
-    pathological buckets should be capped upstream.
+    ``max_bucket`` handles pathological ones.
+
+    ``max_bucket``: a bucket of n docs (one boilerplate template repeated a
+    million times) makes the self-join emit ~n²/2 candidate rows — quadratic
+    in exactly the place a 100 TB corpus is skewed. With ``max_bucket=B`` each
+    bucket is deterministically ordered (md5 of the id, then the id) and cut
+    into chunks of ≤B docs; candidates are generated within chunks plus a
+    chain edge between consecutive chunk HEADS, bounding the bucket's output
+    at O(n·B) rows while a genuine near-dup super-cluster stays one connected
+    component downstream (every chunk's members verify against their head's
+    chain). The trade, stated honestly: two docs that share ONLY this bucket
+    and land in different chunks are not candidates here — multi-band
+    redundancy is what recovers such pairs, exactly as it does for docs split
+    across buckets by an unlucky band. ``None`` (default) preserves the exact
+    uncapped semantics the catalog oracle restates.
     """
     rows_per_band = n_hashes // n_bands
     sh = shingles(F.col(text_col), shingle_k)
@@ -185,16 +200,58 @@ def minhash_lsh_pairs(
     # narrow (id, band_key) result or the whole signature computation
     # (the expensive md5 pass) runs twice
     banded = banded.persist()
-    # self-join on disjoint column names: alias-qualified self-joins on the
-    # same lineage resolve ambiguously in Spark — rename BEFORE joining
-    left = banded.select(F.col(id_col).alias("id_a"), "band_key")
-    right = banded.select(F.col(id_col).alias("id_b"), "band_key")
-    cand = (
-        left.join(right, on="band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if max_bucket is None:
+        # self-join on disjoint column names: alias-qualified self-joins on
+        # the same lineage resolve ambiguously in Spark — rename BEFORE
+        # joining
+        left = banded.select(F.col(id_col).alias("id_a"), "band_key")
+        right = banded.select(F.col(id_col).alias("id_b"), "band_key")
+        cand = (
+            left.join(right, on="band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        from pyspark.sql import Window
+
+        # deterministic in-bucket order (md5 spreads adversarial id runs;
+        # the raw id breaks md5 ties), then fixed-size chunks — the window
+        # sorts within the same band_key partitioning the join needs anyway
+        w = Window.partitionBy("band_key").orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        pos = F.row_number().over(w) - F.lit(1)
+        chunked = banded.select(
+            F.col(id_col),
+            "band_key",
+            (pos / max_bucket).cast("int").alias("chunk"),
+            (pos % max_bucket == 0).alias("is_head"),
+        ).persist()
+        left = chunked.select(F.col(id_col).alias("id_a"), "band_key", "chunk")
+        right = chunked.select(F.col(id_col).alias("id_b"), "band_key", "chunk")
+        within = (
+            left.join(right, on=["band_key", "chunk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        heads = chunked.filter(F.col("is_head")).select(
+            F.col(id_col).alias("_hid"), "band_key", "chunk"
+        )
+        chain = (
+            heads.select(F.col("_hid").alias("id_a"), "band_key", F.col("chunk").alias("_c"))
+            .join(
+                heads.select(
+                    F.col("_hid").alias("id_b"), "band_key", (F.col("chunk") - 1).alias("_c")
+                ),
+                on=["band_key", "_c"],
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+        )
+        cand = within.union(chain).dropDuplicates(["id_a", "id_b"])
     # shingle sets re-enter only for the verified candidates, keyed by id —
     # and are COMPUTED only for candidate docs: prune the corpus with a
     # semi-join on the (tiny) candidate id set before the shingle

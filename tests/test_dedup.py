@@ -276,3 +276,68 @@ def test_winnowing_guarantee_on_constructed_docs(spark):
     assert 4 not in by_doc
     # density sanity: ~2/(w+1) of grams get selected, never more than G
     assert 0 < len(by_doc[1]) <= 8
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups = {}
+    for x in list(parent):
+        groups.setdefault(find(x), set()).add(x)
+    return list(groups.values())
+
+
+def test_bucket_cap_noop_on_benign_corpus(spark):
+    """With every bucket under the cap, capped output == uncapped output
+    exactly (the cap must not change semantics until it has to)."""
+    docs = _docs(spark)
+    base = sorted(map(tuple, D.minhash_lsh_pairs(docs, min_jaccard=0.1).collect()))
+    capped = sorted(
+        map(tuple, D.minhash_lsh_pairs(docs, min_jaccard=0.1, max_bucket=10).collect())
+    )
+    assert capped == base
+
+
+def test_bucket_cap_bounds_supercluster_and_keeps_it_connected(spark):
+    """The adversarial 100 TB shape: one boilerplate template repeated N
+    times puts all N docs in ONE bucket of every band. Uncapped that is
+    C(N,2) candidate pairs; with max_bucket=B the output must be O(N*B)
+    — chunks of ≤B plus a head-chain — while the verified pairs still
+    connect the whole super-cluster into one component."""
+    n = 60
+    rows = [(i, BASE) for i in range(n)] + [(1000, FAR), (1001, FAR + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D.minhash_lsh_pairs(docs, min_jaccard=0.5, max_bucket=5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # identical docs: every candidate verifies at jaccard 1.0, so the
+    # verified count IS the candidate count: 12 chunks × C(5,2) + 11 chain
+    # edges = 131 (identical signatures ⇒ identical chunking every band)
+    cluster_pairs = {p for p in pairs if p[0] < 1000 and p[1] < 1000}
+    assert len(cluster_pairs) == 131, len(cluster_pairs)
+    assert all(r["jaccard"] == 1.0 for r in got if r["id_a"] < 1000)
+    # vastly below the uncapped quadratic blow-up
+    assert len(cluster_pairs) < n * (n - 1) / 2 / 10
+    comps = _union_find_components(cluster_pairs)
+    assert len(comps) == 1 and comps[0] == set(range(n))
+    # the unrelated docs never entangle with the super-cluster
+    assert not any((a < 1000) != (b < 1000) for a, b in pairs)
+
+
+def test_bucket_cap_deterministic(spark):
+    n = 25
+    rows = [(i, BASE) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(map(tuple, D.minhash_lsh_pairs(docs, min_jaccard=0.5, max_bucket=4).collect()))
+    two = sorted(map(tuple, D.minhash_lsh_pairs(docs, min_jaccard=0.5, max_bucket=4).collect()))
+    assert one == two and one
