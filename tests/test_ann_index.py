@@ -1,0 +1,110 @@
+"""Persisted IVF index: build/query/append over the snapshot-table format.
+
+The serving-path contract: the index is built ONCE, queries read only the
+probed cells' files (manifest pruning), and appends absorb new vectors
+against the stored centroids with exactly-once merge semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_engineering_project_spark.operators.ann_index import (
+    append_to_ivf_index,
+    build_ivf_index,
+    query_ivf_index,
+)
+from data_engineering_project_spark.sinks import snapshot_table as snap
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _brute_topk(emb_rows, qvec, k, scale=1000):
+    """Driver-side exact cosine top-k on the SAME quantized representation
+    the index stores (np.cumsum fold — the scorer's bit-exact twin)."""
+    qq = np.array([round(float(v) * scale) for v in qvec], dtype=np.float64)
+    out = []
+    for r in emb_rows:
+        v = np.array([round(float(x) * scale) for x in r["embedding"]], dtype=np.float64)
+        dot = np.cumsum(v * qq)[-1]
+        nv = np.sqrt(np.cumsum(v * v)[-1])
+        nq = np.sqrt(np.cumsum(qq * qq)[-1])
+        out.append((r["vec_id"], dot / (nv * nq)))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return [vid for vid, _ in out[:k]]
+
+
+def test_full_probe_query_equals_brute_force(spark, emb, tmp_path):
+    """With nprobe == k (every cell read) the index search IS exact — any
+    mismatch would be a partition/pruning bug, not an ANN approximation."""
+    table = str(tmp_path / "ivf")
+    build_ivf_index(emb, table, k=8)
+    rows = emb.collect()
+    qvec = [float(v) for v in rows[0]["embedding"]]
+    got = [r["vec_id"] for r in query_ivf_index(spark, table, qvec, k=10, nprobe=8).collect()]
+    assert got == _brute_topk(rows, qvec, 10)
+
+
+def test_probe_reads_only_the_probed_cells_files(spark, emb, tmp_path):
+    """The 100 TB property: a probe must not touch the whole index. The
+    manifest's per-file cell stats prune each single-cell read to a strict
+    subset of the data files, and every returned row is from that cell."""
+    table = str(tmp_path / "ivf")
+    build_ivf_index(emb, table, k=8)
+    m = snap.read_manifest(table)
+    total = len(m.files)
+    assert total > 1, "range-partitioned build must produce multiple files"
+    seen_cells = set()
+    for c in range(8):
+        kept = snap.prune_files(m, "cell", c, c)
+        assert len(kept) < total, f"cell {c} probe read the whole index"
+        for f in kept:
+            lo, hi = f["stats"]["cell"]
+            assert lo <= c <= hi
+        seen_cells.add(c)
+    assert seen_cells == set(range(8))
+
+
+def test_query_results_come_from_probed_cells_only(spark, emb, tmp_path):
+    table = str(tmp_path / "ivf")
+    build_ivf_index(emb, table, k=8)
+    qvec = [float(v) for v in emb.collect()[3]["embedding"]]
+    got = query_ivf_index(spark, table, qvec, k=10, nprobe=2).collect()
+    assert got and len({r["cell"] for r in got}) <= 2
+
+
+def test_append_absorbs_and_redelivery_replaces(spark, emb, tmp_path):
+    table = str(tmp_path / "ivf")
+    base = emb.filter("vec_id < 400")
+    build_ivf_index(base, table, k=8)
+    n0 = snap.read_table(spark, table).count()
+    newer = emb.filter("vec_id >= 400")
+    append_to_ivf_index(newer, table)
+    n1 = snap.read_table(spark, table).count()
+    assert n1 == n0 + newer.count()
+    # a new vector is findable: query WITH its own embedding, full probe
+    target = emb.filter("vec_id = 450").collect()[0]
+    got = [
+        r["vec_id"]
+        for r in query_ivf_index(
+            spark, table, [float(v) for v in target["embedding"]], k=1, nprobe=8
+        ).collect()
+    ]
+    assert got == [450]
+    # exactly-once: redelivering the same batch must not duplicate
+    append_to_ivf_index(newer, table)
+    assert snap.read_table(spark, table).count() == n1
+
+
+def test_build_is_deterministic(spark, emb, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_ivf_index(emb, a, k=4)
+    build_ivf_index(emb, b, k=4)
+    da = sorted((r["vec_id"], r["cell"]) for r in snap.read_table(spark, a).collect())
+    db = sorted((r["vec_id"], r["cell"]) for r in snap.read_table(spark, b).collect())
+    assert da == db
