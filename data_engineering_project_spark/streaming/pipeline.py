@@ -1818,3 +1818,52 @@ def dedup_manifest_deltas(
     return manifest_from_components(
         members, docs, id_col=id_col, quality_col=quality_col
     )
+
+
+def upsert_ivf_index(
+    table_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 1000,
+) -> Callable:
+    """foreachBatch writer maintaining the PERSISTED IVF serving index
+    (operators/ann_index.py) from a stream of embedding rows.
+
+    The first non-empty batch fits the coarse quantizer (full build);
+    every later batch is assigned against the STORED centroids and
+    merge-upserted by id — append-without-refit, the standard IVF ingest
+    pattern (recall decays only as the distribution drifts; rebuild
+    cadence is an operational job, measured in-engine the way
+    ``emb_ivf_recall`` does).
+
+    Exactly-once: a redelivered batch re-assigns to identical cells
+    (centroids are already committed) and the merge by id replaces, so a
+    crash-replay commits identical content — the set-state idempotence
+    family, no batch_id protocol. Crash between the build's data commit
+    and its centroid commit leaves the centroid table absent, so the
+    replay simply rebuilds with ``overwrite`` — no torn state survives.
+    """
+    from data_engineering_project_spark.operators import ann_index
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bootstrap = (
+            st.current_version(ann_index._centroid_table(table_dir)) is None
+        )
+        if bootstrap:
+            ann_index.build_ivf_index(
+                batch_df, table_dir, id_col=id_col, vec_col=vec_col,
+                k=k, n_iter=n_iter, scale=scale,
+            )
+        else:
+            ann_index.append_to_ivf_index(
+                batch_df, table_dir, id_col=id_col, vec_col=vec_col,
+                scale=scale,
+            )
+
+    return _write

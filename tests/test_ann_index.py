@@ -108,3 +108,65 @@ def test_build_is_deterministic(spark, emb, tmp_path):
     da = sorted((r["vec_id"], r["cell"]) for r in snap.read_table(spark, a).collect())
     db = sorted((r["vec_id"], r["cell"]) for r in snap.read_table(spark, b).collect())
     assert da == db
+
+
+def test_streaming_ingest_into_serving_index(spark, emb, tmp_path):
+    """Drive upsert_ivf_index through a real readStream → foreachBatch →
+    availableNow pipeline: batch 1 bootstraps the quantizer, batch 2
+    appends against the stored centroids, and a second run over the same
+    checkpoint consumes nothing new (exactly-once input)."""
+    import os
+    import time as _time
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        upsert_ivf_index,
+    )
+
+    src = tmp_path / "emb_in"
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "ivf")
+    src.mkdir()
+    schema = "vec_id bigint, embedding array<double>, label bigint"
+
+    first = emb.filter("vec_id < 300").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as embedding", "label"
+    )
+    second = emb.filter("vec_id >= 300").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as embedding", "label"
+    )
+    first.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    second.coalesce(1).write.parquet(str(src / "b2.parquet"))
+    base = _time.time() - 3600
+    for i, name in enumerate(sorted(os.listdir(src))):
+        for f in os.listdir(src / name):
+            os.utime(src / name / f, (base + 10 * i, base + 10 * i))
+        os.utime(src / name, (base + 10 * i, base + 10 * i))
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert_ivf_index(table, k=8))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run()
+    assert snap.read_table(spark, table).count() == emb.count()
+    # a vector from the APPENDED batch is servable
+    target = emb.filter("vec_id = 450").collect()[0]
+    got = [
+        r["vec_id"]
+        for r in query_ivf_index(
+            spark, table, [float(v) for v in target["embedding"]], k=1, nprobe=8
+        ).collect()
+    ]
+    assert got == [450]
+    v1 = snap.current_version(table)
+    _run()  # no new files → no new version
+    assert snap.current_version(table) == v1
