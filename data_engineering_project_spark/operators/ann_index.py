@@ -150,3 +150,52 @@ def append_to_ivf_index(
         "vec_id", F.col("cluster").alias("cell"), "q"
     )
     snap.merge_upsert(spark, table, updates, ["vec_id"], stats_cols=["cell"])
+
+
+def ivf_index_recall(
+    spark: SparkSession,
+    table: str,
+    query_vecs: list[list[float]],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """In-engine recall@k of the probed search against brute force over the
+    SAME index contents — the operational monitor for append-without-refit:
+    as appended data drifts away from the stored centroids, this number
+    decays and tells the pipeline when a rebuild is due (the persisted-index
+    analog of the catalog's ``emb_ivf_recall``).
+
+    ``query_vecs`` is a bounded evaluation sample (tens, not the corpus):
+    each query costs one full map-only scan (brute force) plus one probed
+    read — O(sample · index), driver state O(k) per query."""
+    if not query_vecs:
+        raise ValueError("ivf_index_recall: empty query sample")
+    hits = total = 0
+    for qv in query_vecs:
+        qq = [float(round(float(v) * scale)) for v in qv]
+        full = snap.read_table(spark, table).withColumn(
+            "qe", F.array(*[F.lit(v) for v in qq])
+        )
+        exact = {
+            r["vec_id"]
+            for r in score_cosine_vectorized(
+                full, vec_col="q", query_vec_col="qe", keep_cols=("vec_id",)
+            )
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k)
+            .collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in query_ivf_index(
+                spark, table, qv, k=k, nprobe=nprobe, scale=scale
+            ).collect()
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    return spark.createDataFrame(
+        [(len(query_vecs), k, nprobe, round(hits / total, 6))],
+        "n_queries int, k int, nprobe int, recall double",
+    )

@@ -170,3 +170,20 @@ def test_streaming_ingest_into_serving_index(spark, emb, tmp_path):
     v1 = snap.current_version(table)
     _run()  # no new files → no new version
     assert snap.current_version(table) == v1
+
+
+def test_index_recall_monitor(spark, emb, tmp_path):
+    """recall@k == 1.0 at full probe (it IS brute force then) and is a
+    valid fraction at nprobe=1; the monitor is the rebuild-cadence signal
+    for append-without-refit."""
+    from data_engineering_project_spark.operators.ann_index import (
+        ivf_index_recall,
+    )
+
+    table = str(tmp_path / "ivf")
+    build_ivf_index(emb, table, k=8)
+    sample = [[float(v) for v in r["embedding"]] for r in emb.limit(3).collect()]
+    full = ivf_index_recall(spark, table, sample, k=5, nprobe=8).collect()[0]
+    assert full["recall"] == 1.0
+    narrow = ivf_index_recall(spark, table, sample, k=5, nprobe=1).collect()[0]
+    assert 0.0 <= narrow["recall"] <= 1.0
