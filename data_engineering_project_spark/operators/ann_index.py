@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from data_engineering_project_spark.operators.clustering import (
     _assign,
     _lloyd,
+    _pq_code,
     quantize_vec,
 )
 from data_engineering_project_spark.operators.similarity import (
@@ -198,4 +199,176 @@ def ivf_index_recall(
     return spark.createDataFrame(
         [(len(query_vecs), k, nprobe, round(hits / total, 6))],
         "n_queries int, k int, nprobe int, recall double",
+    )
+
+
+def _pq_side_tables(table: str) -> tuple[str, str]:
+    base = table.rstrip("/")
+    return base + "__pq_centroids", base + "__pq_codebooks"
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    n_sub: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    scale: int = 1000,
+) -> None:
+    """Materialize the residual IVF-PQ serving index: the codes-only form
+    that makes billion-vector search fit storage budgets — each data row is
+    ``(vec_id, cell, n_sub small codes)``, never the vector itself.
+
+    Same fit discipline as ``operators/clustering.ivfpq_topk`` (which stays
+    the one-shot/driver-hashable twin): learned Lloyd cells, INTEGER cell
+    centroids from exact sums, integer residuals, global per-subspace
+    residual codebooks, codes as literal projections. Side tables hold the
+    complete serving state — integer cell centroids (+ the quantization
+    scale and subspace width, so a query needs no out-of-band config) and
+    the residual codebooks.
+    """
+    import math as _math
+
+    spark = emb.sparkSession
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(F.col(vec_col), scale).alias("q"),
+    ).persist()
+    try:
+        assigned, _ = _lloyd(pts, k_cells, n_iter)
+        if assigned is None:
+            raise ValueError("build_ivfpq_index: empty embedding frame")
+        assigned = assigned.withColumnRenamed("cluster", "cell").persist()
+        # integer cell centroids from exact integer sums (Lloyd's float
+        # centroids only seeded the partition; the serving quantizer is the
+        # integer snap, same as ivfpq_topk)
+        cstats = (
+            assigned.select("cell", F.posexplode("q").alias("dim", "qv"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        dim = len(assigned.take(1)[0]["q"])
+        if dim % n_sub:
+            raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+        sub = dim // n_sub
+        cent_int: dict[int, list[int]] = {}
+        for r in cstats:
+            cent_int.setdefault(r["cell"], [0] * dim)[r["dim"]] = int(
+                _math.floor(r["s"] / r["n"] + 0.5)
+            )
+        cents_df = spark.createDataFrame(
+            [(c, v, scale, sub) for c, v in sorted(cent_int.items())],
+            "cell int, cvec array<bigint>, scale int, sub int",
+        )
+        res = assigned.join(F.broadcast(cents_df.select("cell", "cvec")), "cell").select(
+            "vec_id",
+            "cell",
+            F.zip_with("q", "cvec", lambda a, b: a - b).alias("r"),
+        ).persist()
+        books: list[dict[int, list[float]]] = []
+        for s in range(n_sub):
+            rs = res.select(
+                "vec_id", F.slice("r", s * sub + 1, sub).alias("q")
+            ).persist()
+            _, cents = _lloyd(rs, k_codes, n_iter)
+            rs.unpersist()
+            books.append(cents)
+        data = res.select(
+            "vec_id",
+            "cell",
+            F.array(
+                *[_pq_code(F.col("r"), s, sub, books[s]) for s in range(n_sub)]
+            ).alias("codes"),
+        ).repartitionByRange(k_cells, "cell")
+        ctab, btab = _pq_side_tables(table)
+        snap.write_table(data, table, mode="overwrite", stats_cols=["cell"])
+        snap.write_table(cents_df, ctab, mode="overwrite")
+        bdf = spark.createDataFrame(
+            [
+                (s, cid, books[s][cid])
+                for s in range(n_sub)
+                for cid in sorted(books[s])
+            ],
+            "sub int, code int, cvec array<double>",
+        )
+        snap.write_table(bdf, btab, mode="overwrite")
+        res.unpersist()
+        assigned.unpersist()
+    finally:
+        pts.unpersist()
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    table: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ADC scan over the probed cells' CODE files: per-(cell, subspace)
+    lookup tables from the query's residual, map-only projection, top-k by
+    (adc, vec_id). The vectors themselves exist nowhere in the index —
+    cost per query is nprobe cells × n_sub map lookups per code row."""
+    ctab, btab = _pq_side_tables(table)
+    crows = snap.read_table(spark, ctab).collect()
+    if not crows:
+        raise FileNotFoundError(f"no PQ centroid state under {ctab!r}")
+    scale, sub = crows[0]["scale"], crows[0]["sub"]
+    cent_int = {r["cell"]: [int(v) for v in r["cvec"]] for r in crows}
+    brows = snap.read_table(spark, btab).collect()
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in brows:
+        books.setdefault(r["sub"], {})[r["code"]] = [float(v) for v in r["cvec"]]
+    n_sub = len(books)
+    q0 = [int(round(float(v) * scale)) for v in query_vec]
+    probes = sorted(
+        cent_int,
+        key=lambda c: (
+            sum((a - b) * (a - b) for a, b in zip(q0, cent_int[c])),
+            c,
+        ),
+    )[:nprobe]
+
+    def _lookup(cell: int, s: int):
+        rq = [q0[i] - cent_int[cell][i] for i in range(s * sub, (s + 1) * sub)]
+        tab = {}
+        for cid in sorted(books[s]):
+            acc = 0.0
+            for a, b in zip(rq, books[s][cid]):
+                d = a - b
+                acc += d * d
+            tab[cid] = acc
+        m = F.create_map(
+            *[x for cid in sorted(tab) for x in (F.lit(cid), F.lit(tab[cid]))]
+        )
+        return m[F.element_at(F.col("codes"), s + 1)]
+
+    parts = [
+        snap.read_pruned(spark, table, "cell", c, c).filter(F.col("cell") == c)
+        for c in probes
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    adc = None
+    for cell in probes:
+        cell_adc = _lookup(cell, 0)
+        for s in range(1, n_sub):
+            cell_adc = cell_adc + _lookup(cell, s)
+        adc = (
+            F.when(F.col("cell") == int(cell), cell_adc)
+            if adc is None
+            else adc.when(F.col("cell") == int(cell), cell_adc)
+        )
+    return (
+        cand.withColumn("adc", adc)
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", "cell", F.round("adc", 4).alias("adc"))
     )

@@ -187,3 +187,83 @@ def test_index_recall_monitor(spark, emb, tmp_path):
     assert full["recall"] == 1.0
     narrow = ivf_index_recall(spark, table, sample, k=5, nprobe=1).collect()[0]
     assert 0.0 <= narrow["recall"] <= 1.0
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """5 far-apart cluster centers × 40 members with tiny noise, dim 16 —
+    the shape where a correct residual encoder is unambiguous."""
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-1, 1, size=(5, 16)) * 10
+    rows = []
+    vid = 0
+    for ci in range(5):
+        for _ in range(40):
+            v = centers[ci] + rng.uniform(-0.05, 0.05, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivfpq_index_stores_codes_not_vectors(spark, clustered, tmp_path):
+    from data_engineering_project_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+
+    table = str(tmp_path / "pq")
+    build_ivfpq_index(clustered, table, k_cells=5, n_sub=4, k_codes=8)
+    t = snap.read_table(spark, table)
+    assert set(t.columns) == {"vec_id", "cell", "codes"}
+    row = t.take(1)[0]
+    assert len(row["codes"]) == 4 and all(0 <= c < 8 for c in row["codes"])
+
+
+def test_ivfpq_query_finds_the_querys_own_cluster(spark, clustered, tmp_path):
+    from data_engineering_project_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    table = str(tmp_path / "pq")
+    build_ivfpq_index(clustered, table, k_cells=5, n_sub=4, k_codes=8)
+    # query with a member of cluster 2 (vec_ids 80..119): every top-10
+    # neighbor must come from the same tight cluster, any probe width
+    target = clustered.filter("vec_id = 85").collect()[0]
+    got = query_ivfpq_index(
+        spark, table, [float(v) for v in target["embedding"]], k=10, nprobe=5
+    ).collect()
+    assert len(got) == 10
+    assert all(80 <= r["vec_id"] < 120 for r in got), [r["vec_id"] for r in got]
+
+
+def test_ivfpq_probe_prunes_files(spark, clustered, tmp_path):
+    from data_engineering_project_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+
+    table = str(tmp_path / "pq")
+    build_ivfpq_index(clustered, table, k_cells=5, n_sub=4, k_codes=8)
+    m = snap.read_manifest(table)
+    assert len(m.files) > 1
+    cells = {r["cell"] for r in snap.read_table(spark, table).collect()}
+    for c in cells:
+        assert len(snap.prune_files(m, "cell", c, c)) < len(m.files)
+
+
+def test_ivfpq_build_deterministic(spark, clustered, tmp_path):
+    from data_engineering_project_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_ivfpq_index(clustered, a, k_cells=5)
+    build_ivfpq_index(clustered, b, k_cells=5)
+    da = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in snap.read_table(spark, a).collect()
+    )
+    db = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in snap.read_table(spark, b).collect()
+    )
+    assert da == db
