@@ -138,6 +138,33 @@ def make_parser() -> argparse.ArgumentParser:
         "cluster_size) as its own snapshot table",
     )
 
+    ix = sub.add_parser(
+        "index",
+        help="persisted ANN serving index over a snapshot table: build "
+        "once, append without refit, query with manifest-pruned cell "
+        "reads, monitor recall (operators/ann_index.py)",
+    )
+    ix.add_argument("action", choices=("build", "append", "query", "recall"))
+    ix.add_argument("table", help="index table directory")
+    ix.add_argument(
+        "--sf-dir", required=True,
+        help="parquet table directory (embeddings source / query vectors)",
+    )
+    ix.add_argument(
+        "--pq", action="store_true",
+        help="codes-only residual IVF-PQ (build/query; append needs the "
+        "IVF form — PQ absorbs new data by rebuild)",
+    )
+    ix.add_argument("--k-cells", type=int, default=8)
+    ix.add_argument("--nprobe", type=int, default=2)
+    ix.add_argument("--topk", type=int, default=10)
+    ix.add_argument(
+        "--query-id", type=int, default=0,
+        help="vec_id whose embedding is the query vector (query/recall "
+        "sample start)",
+    )
+    ix.add_argument("--master", default="local[*]")
+
     tg = sub.add_parser(
         "tag",
         help="manage snapshot-table version tags (pin a version against "
@@ -242,6 +269,8 @@ def main(argv: list[str] | None = None) -> int:
                 result.show(args.limit, truncate=False)
         elif args.mode == "dedup":
             _run_dedup(spark, args)
+        elif args.mode == "index":
+            return _run_index(spark, args)
         elif args.mode == "load":
             _run_load(spark, args)
         elif args.mode == "batch":
@@ -433,6 +462,52 @@ def _run_dedup(spark, args) -> None:
     kept = deduped.count()
     total = docs.count()
     print(f"{args.out} v{out.version} ({kept}/{total} docs kept, flavor={args.flavor})")
+
+
+def _run_index(spark, args) -> int:
+    """Ops surface for the persisted ANN serving index. Query vectors come
+    from the embeddings table by vec_id — the CLI is an operator's tool,
+    not a float-array parser."""
+    from data_engineering_project_spark.operators import ann_index as ai
+    from data_engineering_project_spark.sinks import snapshot_table as st
+    from data_engineering_project_spark.sources.tables import load_table
+
+    emb = load_table(spark, args.sf_dir, "embeddings")
+
+    def _vec(vid: int) -> list[float]:
+        rows = emb.filter(f"vec_id = {int(vid)}").take(1)
+        if not rows:
+            raise SystemExit(f"vec_id {vid} not found in {args.sf_dir}")
+        return [float(v) for v in rows[0]["embedding"]]
+
+    if args.action == "build":
+        if args.pq:
+            ai.build_ivfpq_index(emb, args.table, k_cells=args.k_cells)
+        else:
+            ai.build_ivf_index(emb, args.table, k=args.k_cells)
+        v = st.current_version(args.table)
+        kind = "ivfpq" if args.pq else "ivf"
+        print(f"{args.table} v{v} ({kind}, k_cells={args.k_cells})")
+    elif args.action == "append":
+        if args.pq:
+            print("append: PQ indexes absorb new data by rebuild", file=sys.stderr)
+            return 2
+        ai.append_to_ivf_index(emb, args.table)
+        print(f"{args.table} v{st.current_version(args.table)}")
+    elif args.action == "query":
+        fn = ai.query_ivfpq_index if args.pq else ai.query_ivf_index
+        fn(spark, args.table, _vec(args.query_id), k=args.topk, nprobe=args.nprobe).show(
+            args.topk, truncate=False
+        )
+    else:  # recall
+        sample = [
+            [float(v) for v in r["embedding"]]
+            for r in emb.filter(f"vec_id >= {args.query_id}").orderBy("vec_id").limit(5).collect()
+        ]
+        ai.ivf_index_recall(
+            spark, args.table, sample, k=args.topk, nprobe=args.nprobe
+        ).show(truncate=False)
+    return 0
 
 
 if __name__ == "__main__":

@@ -267,3 +267,38 @@ def test_ivfpq_build_deterministic(spark, clustered, tmp_path):
         for r in snap.read_table(spark, b).collect()
     )
     assert da == db
+
+
+def test_serving_query_paths_are_shuffle_free(spark, emb, clustered, tmp_path):
+    """The per-query cost model the module docstring claims: probed cell
+    scans → map-only scoring → distributed TakeOrdered. No exchange of any
+    kind may appear — a shuffle here would mean the serving path re-keys
+    the index per query."""
+    from data_engineering_project_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb, ivf, k=8)
+    qvec = [float(v) for v in emb.limit(1).collect()[0]["embedding"]]
+    plan = (
+        query_ivf_index(spark, ivf, qvec, k=10, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+    pq = str(tmp_path / "pq")
+    build_ivfpq_index(clustered, pq, k_cells=5)
+    qvec2 = [float(v) for v in clustered.limit(1).collect()[0]["embedding"]]
+    plan2 = (
+        query_ivfpq_index(spark, pq, qvec2, k=10, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan2, plan2
+    assert "TakeOrderedAndProject" in plan2
