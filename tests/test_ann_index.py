@@ -302,3 +302,33 @@ def test_serving_query_paths_are_shuffle_free(spark, emb, clustered, tmp_path):
     )
     assert "Exchange" not in plan2, plan2
     assert "TakeOrderedAndProject" in plan2
+
+
+def test_build_on_empty_frame_raises(spark, tmp_path):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty embedding frame"):
+        build_ivf_index(empty, str(tmp_path / "e"))
+    from data_engineering_project_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+
+    with pytest.raises(ValueError, match="empty embedding frame"):
+        build_ivfpq_index(empty, str(tmp_path / "e2"))
+
+
+def test_query_against_missing_index_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        query_ivf_index(spark, str(tmp_path / "nope"), [0.0] * 4)
+
+
+def test_ivfpq_rejects_indivisible_dim(spark, tmp_path):
+    from data_engineering_project_spark.operators.ann_index import (
+        build_ivfpq_index,
+    )
+
+    odd = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        build_ivfpq_index(odd, str(tmp_path / "odd"), n_sub=2)
