@@ -87,8 +87,10 @@ def build_ivf_index(
         pts.unpersist()
 
 
-def _load_centroids(spark: SparkSession, table: str) -> dict[int, list[float]]:
-    rows = snap.read_table(spark, _centroid_table(table)).collect()
+def _load_centroids(
+    spark: SparkSession, table: str, tag: str | None = None
+) -> dict[int, list[float]]:
+    rows = snap.read_table(spark, _centroid_table(table), tag=tag).collect()
     return {r["cell"]: [float(v) for v in r["centroid"]] for r in rows}
 
 
@@ -100,13 +102,16 @@ def query_ivf_index(
     k: int = 10,
     nprobe: int = 2,
     scale: int = 1000,
+    tag: str | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors reading only the ``nprobe`` probed cells.
 
     Cell ranking happens driver-side over the k stored centroids (same L2
     metric the build's Lloyd assignment used, quantized units on both
-    sides); ties break toward the smaller cell id, mirroring ``_assign``."""
-    centroids = _load_centroids(spark, table)
+    sides); ties break toward the smaller cell id, mirroring ``_assign``.
+    ``tag`` resolves a :func:`promote_index` pin — serving reads keep
+    answering from the pinned generation while a rebuild commits."""
+    centroids = _load_centroids(spark, table, tag)
     qq = [float(round(float(v) * scale)) for v in query_vec]
     ranked = sorted(
         (sum((a - b) ** 2 for a, b in zip(qq, c)), cid)
@@ -114,7 +119,9 @@ def query_ivf_index(
     )
     probed = [cid for _, cid in ranked[:nprobe]]
     parts = [
-        snap.read_pruned(spark, table, "cell", c, c).filter(F.col("cell") == c)
+        snap.read_pruned(spark, table, "cell", c, c, tag=tag).filter(
+            F.col("cell") == c
+        )
         for c in probed
     ]
     cells = parts[0]
@@ -310,18 +317,20 @@ def query_ivfpq_index(
     *,
     k: int = 10,
     nprobe: int = 2,
+    tag: str | None = None,
 ) -> DataFrame:
     """ADC scan over the probed cells' CODE files: per-(cell, subspace)
     lookup tables from the query's residual, map-only projection, top-k by
     (adc, vec_id). The vectors themselves exist nowhere in the index —
-    cost per query is nprobe cells × n_sub map lookups per code row."""
+    cost per query is nprobe cells × n_sub map lookups per code row.
+    ``tag`` resolves a :func:`promote_index` pin."""
     ctab, btab = _pq_side_tables(table)
-    crows = snap.read_table(spark, ctab).collect()
+    crows = snap.read_table(spark, ctab, tag=tag).collect()
     if not crows:
         raise FileNotFoundError(f"no PQ centroid state under {ctab!r}")
     scale, sub = crows[0]["scale"], crows[0]["sub"]
     cent_int = {r["cell"]: [int(v) for v in r["cvec"]] for r in crows}
-    brows = snap.read_table(spark, btab).collect()
+    brows = snap.read_table(spark, btab, tag=tag).collect()
     books: dict[int, dict[int, list[float]]] = {}
     for r in brows:
         books.setdefault(r["sub"], {})[r["code"]] = [float(v) for v in r["cvec"]]
@@ -350,7 +359,9 @@ def query_ivfpq_index(
         return m[F.element_at(F.col("codes"), s + 1)]
 
     parts = [
-        snap.read_pruned(spark, table, "cell", c, c).filter(F.col("cell") == c)
+        snap.read_pruned(spark, table, "cell", c, c, tag=tag).filter(
+            F.col("cell") == c
+        )
         for c in probes
     ]
     cand = parts[0]
@@ -372,3 +383,26 @@ def query_ivfpq_index(
         .limit(k)
         .select("vec_id", "cell", F.round("adc", 4).alias("adc"))
     )
+
+
+def promote_index(table: str, *, name: str = "serving") -> dict[str, int]:
+    """Zero-downtime rebuild pointer: pin the CURRENT version of the index
+    data table and every existing side table under one tag name. Readers
+    that query with ``tag=name`` keep resolving the pinned generation while
+    a rebuild commits new versions on top (vacuum retains every pinned
+    file for as long as the tag exists); one promote moves the pointer.
+
+    The per-table tag writes are sequential, not a cross-table transaction:
+    a reader that starts MID-promote can resolve a mixed serving set. Both
+    generations' files stay alive through the move (old pins are replaced,
+    not deleted first), so the exposure is one inconsistent read, never a
+    missing file — promote between query batches, or re-run the query.
+    """
+    versions: dict[str, int] = {}
+    side = [_centroid_table(table), *_pq_side_tables(table)]
+    for t in [table, *side]:
+        if snap.current_version(t) is not None:
+            versions[t] = snap.create_tag(t, name, replace=True)
+    if not versions:
+        raise FileNotFoundError(f"no committed index under {table!r}")
+    return versions

@@ -439,11 +439,23 @@ def prune_files(m: Manifest, col: str, lo, hi) -> list[dict]:
 
 
 def read_pruned(
-    spark: SparkSession, table: str, col: str, lo, hi
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    *,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read only the files that can contain ``col`` in [lo, hi] — the
-    caller still applies the exact predicate; pruning is a superset."""
-    m = read_manifest(table)
+    caller still applies the exact predicate; pruning is a superset.
+    ``version``/``tag`` resolve exactly as in :func:`read_table`."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version OR tag, not both")
+        version = read_tag(table, tag)
+    m = read_manifest(table, version)
     keep = prune_files(m, col, lo, hi)
     if not keep:
         return read_table(spark, table).filter(F.lit(False))

@@ -332,3 +332,59 @@ def test_ivfpq_rejects_indivisible_dim(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not divisible"):
         build_ivfpq_index(odd, str(tmp_path / "odd"), n_sub=2)
+
+
+def test_promote_pins_a_serving_generation_across_rebuild(spark, emb, tmp_path):
+    """Zero-downtime rebuild: promote pins the current generation under a
+    tag; a rebuild on different data commits new versions; tagged queries
+    keep answering from the pinned generation (even after vacuum), while
+    untagged queries see the rebuild."""
+    from data_engineering_project_spark.operators.ann_index import (
+        promote_index,
+    )
+
+    table = str(tmp_path / "ivf")
+    gen0 = emb.filter("vec_id < 250")
+    build_ivf_index(gen0, table, k=4)
+    versions = promote_index(table)
+    assert versions[table] == 0 and len(versions) == 2  # data + centroids
+    qvec = [float(v) for v in emb.filter("vec_id = 7").collect()[0]["embedding"]]
+    pinned_before = [
+        (r["vec_id"], r["cosine"])
+        for r in query_ivf_index(spark, table, qvec, k=5, nprobe=4, tag="serving").collect()
+    ]
+
+    # rebuild on a DIFFERENT corpus slice (new quantizer, new data files)
+    gen1 = emb.filter("vec_id >= 250")
+    build_ivf_index(gen1, table, k=4)
+    # untagged query serves the rebuild: vec 7 no longer exists
+    fresh = {r["vec_id"] for r in query_ivf_index(spark, table, qvec, k=5, nprobe=4).collect()}
+    assert fresh and all(v >= 250 for v in fresh)
+    # tagged query still serves generation 0, identical results
+    pinned_after = [
+        (r["vec_id"], r["cosine"])
+        for r in query_ivf_index(spark, table, qvec, k=5, nprobe=4, tag="serving").collect()
+    ]
+    assert pinned_after == pinned_before
+    # vacuum must not reclaim the pinned generation's files
+    snap.vacuum(table, keep_versions=1)
+    assert [
+        (r["vec_id"], r["cosine"])
+        for r in query_ivf_index(spark, table, qvec, k=5, nprobe=4, tag="serving").collect()
+    ] == pinned_before
+    # move the pointer: tagged now serves the rebuild
+    promote_index(table)
+    moved = {
+        r["vec_id"]
+        for r in query_ivf_index(spark, table, qvec, k=5, nprobe=4, tag="serving").collect()
+    }
+    assert moved == fresh
+
+
+def test_promote_missing_index_raises(tmp_path):
+    from data_engineering_project_spark.operators.ann_index import (
+        promote_index,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        promote_index(str(tmp_path / "nothing"))
