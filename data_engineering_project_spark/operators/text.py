@@ -66,3 +66,101 @@ def jaccard(a_tokens: Column, b_tokens: Column) -> Column:
     inter = F.size(F.array_intersect(a_tokens, b_tokens))
     union = F.size(a_tokens) + F.size(b_tokens) - inter
     return inter.cast("double") / union
+
+
+def bpe_train(words, rounds: int) -> list[tuple[int, str, str, int, str]]:
+    """Learn the first ``rounds`` BPE merge rules over a (word, cnt) table.
+
+    Distributed Sennrich-style byte-pair-encoding training (the tokenizer-
+    training step of an LLM data pipeline), relationally:
+
+    1. symbolize each word into (word, cnt, pos, sym) character rows;
+    2. per round: count adjacent symbol pairs weighted by word count
+       (one tiny groupBy), take the argmax pair with a deterministic
+       (count DESC, left ASC, right ASC) tie-break — a bounded 1-row
+       action, like the k-centroid collects;
+    3. apply the merge greedy-leftmost inside every word: overlapping
+       matches (only possible when left == right, e.g. 'aaa' + (a,a))
+       are resolved by island parity — consecutive match positions are
+       grouped (pos - row_number gaps-and-islands) and even offsets win;
+    4. renumber positions and iterate, localCheckpoint-truncating lineage
+       per round exactly like the pagerank loop.
+
+    Scale shape: the corpus is scanned ONCE to build the word-frequency
+    table (map-side-combined groupBy; callers cap it to a top-V vocab the
+    way SentencePiece samples sentences). Every iteration then runs over
+    that bounded vocab table — windows partition by word (thousands of
+    tiny groups, never a global sort) and the only global operation is the
+    1-row argmax. At 100 TB the loop cost is independent of corpus size.
+
+    Returns the learned merge table
+    ``[(round, left_sym, right_sym, pair_count, merged), ...]`` as plain
+    Python values (each round's argmax is already driver-side); rounds
+    with no remaining adjacent pair stop early.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        words.select(
+            "word",
+            "cnt",
+            F.posexplode(F.split(F.col("word"), r"(?!^)")).alias("pos", "sym"),
+        )
+        # Java split keeps a trailing empty string for the zero-width match
+        # at end-of-input; DuckDB's string_split does not — drop it
+        .where(F.col("sym") != "")
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[int, str, str, int, str]] = []
+    w_word = Window.partitionBy("word").orderBy("pos")
+    for r in range(1, rounds + 1):
+        pairs = sym.withColumn("nxt", F.lead("sym").over(w_word))
+        best = (
+            pairs.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .first()
+        )
+        if best is None:
+            break
+        a, b, n = best["sym"], best["nxt"], best["pair_count"]
+        merges.append((r, a, b, n, a + b))
+
+        matched = pairs.withColumn(
+            "m",
+            F.col("nxt").isNotNull() & (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b)),
+        )
+        # gaps-and-islands over match positions; greedy leftmost == even
+        # offset within each island of consecutive matches
+        w_runs = Window.partitionBy("word", "m").orderBy("pos")
+        marked = matched.withColumn(
+            "island",
+            F.when(F.col("m"), F.col("pos") - F.row_number().over(w_runs)),
+        )
+        w_island = Window.partitionBy("word", "m", "island").orderBy("pos")
+        sel = marked.withColumn(
+            "selected",
+            F.when(
+                F.col("m"), (F.row_number().over(w_island) - 1) % 2 == 0
+            ).otherwise(F.lit(False)),
+        )
+        rebuilt = (
+            sel.withColumn(
+                "consumed",
+                F.coalesce(F.lag("selected").over(w_word), F.lit(False)),
+            )
+            .where(~F.col("consumed"))
+            .select(
+                "word",
+                "cnt",
+                F.row_number().over(w_word).alias("pos"),
+                F.when(F.col("selected"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        sym = rebuilt.localCheckpoint(eager=True)
+    return merges

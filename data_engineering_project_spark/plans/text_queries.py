@@ -972,3 +972,116 @@ def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro_nats"), "w1", "w2")
         .limit(50)
     )
+
+
+_BPE_ROUNDS = 6
+_BPE_TOPV = 1500
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE training round (see operators/text.py:bpe_train for
+    the algorithm; this is its token-for-token SQL restatement)."""
+    return f"""
+pairs{i} AS (
+  SELECT word, cnt, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM sym{i - 1}
+),
+best{i} AS (
+  SELECT sym AS a, nxt AS b, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM pairs{i} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY pair_count DESC, a ASC, b ASC
+  LIMIT 1
+),
+matched{i} AS (
+  SELECT p.word, p.cnt, p.pos, p.sym, p.nxt,
+         (p.nxt IS NOT NULL AND p.sym = best{i}.a AND p.nxt = best{i}.b) AS m
+  FROM pairs{i} p, best{i}
+),
+sel{i} AS (
+  SELECT word, cnt, pos, sym, nxt,
+         CASE WHEN m THEN
+           (row_number() OVER (PARTITION BY word, m, island ORDER BY pos) - 1)
+             % 2 = 0
+         ELSE FALSE END AS selected
+  FROM (
+    SELECT *,
+           CASE WHEN m THEN
+             pos - row_number() OVER (PARTITION BY word, m ORDER BY pos)
+           END AS island
+    FROM matched{i}
+  )
+),
+sym{i} AS (
+  SELECT word, cnt,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN selected THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT *,
+           coalesce(lag(selected) OVER (PARTITION BY word ORDER BY pos),
+                    FALSE) AS consumed
+    FROM sel{i}
+  )
+  WHERE NOT consumed
+)"""
+
+
+def _bpe_oracle_sql(rounds: int, topv: int) -> str:
+    head = f"""
+WITH words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY w
+  ORDER BY cnt DESC, word ASC
+  LIMIT {topv}
+),
+sym0 AS (
+  SELECT word, cnt,
+         generate_subscripts(string_split(word, ''), 1) AS pos,
+         unnest(string_split(word, '')) AS sym
+  FROM words
+)"""
+    body = head + "," + ",".join(_bpe_round_sql(i) for i in range(1, rounds + 1))
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_round, a AS left_sym,"
+        f" b AS right_sym, pair_count, a || b AS merged FROM best{i}"
+        for i in range(1, rounds + 1)
+    )
+    return f"{body}\n{union} ORDER BY merge_round"
+
+
+@register(
+    "docs_bpe_merges",
+    sql=_bpe_oracle_sql(_BPE_ROUNDS, _BPE_TOPV),
+    doc="Distributed BPE tokenizer training: the first 6 merge rules learned "
+    "over the corpus word-frequency table (top-1500 vocab cap — the "
+    "SentencePiece-style sampling analog). Each round counts adjacent symbol "
+    "pairs weighted by word count, takes the deterministic argmax, and "
+    "applies the merge greedy-leftmost (island-parity overlap resolution). "
+    "All-integer/string arithmetic — no float terms anywhere. The corpus is "
+    "scanned once; iterations run on the bounded vocab table "
+    "(operators/text.py:bpe_train).",
+    tags=("text", "tokens", "iterative"),
+)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_BPE_TOPV)
+    )
+    merges = T.bpe_train(words, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges,
+        schema="merge_round bigint, left_sym string, right_sym string, "
+        "pair_count bigint, merged string",
+    )
