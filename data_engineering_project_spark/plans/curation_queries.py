@@ -412,3 +412,80 @@ def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("seq_tokens"),
         F.sum("doc_id").cast("bigint").alias("packed_doc_sum"),
     ).withColumn("shard", F.col("shard").cast("bigint"))
+
+
+#: k-anonymity audit thresholds — the privacy-release gates a curation
+#: pipeline reports before publishing a derived dataset
+K_ANONYMITY_KS = (2, 5, 10)
+
+
+@register(
+    "customers_k_anonymity",
+    sql="""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000)
+                   // 100000 AS bal_bucket,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(count(*) FILTER (WHERE class_size < k) AS BIGINT)
+               AS n_violating_classes,
+           CAST(coalesce(sum(class_size) FILTER (WHERE class_size < k), 0)
+                AS BIGINT) AS n_violating_rows,
+           CAST((coalesce(sum(class_size) FILTER (WHERE class_size < k), 0)
+                 * 1000000) // sum(class_size) AS BIGINT)
+               AS suppression_ppm
+    FROM classes, (VALUES (2), (5), (10)) ks(k)
+    GROUP BY k
+    """,
+    doc="k-anonymity release audit over quasi-identifiers (nation, market "
+    "segment, 1000-unit balance bucket): for each privacy threshold k, the "
+    "number of equivalence classes and rows that would need suppression "
+    "before release, plus the suppression rate in integer ppm. One hash "
+    "aggregation builds the class-size table; the per-k rollup folds a "
+    "3-row literal spine over it — class count is bounded by the QI "
+    "domain, so the audit costs one groupBy at any corpus size. Balance "
+    "snaps to integer cents (+1000.00 offset keeps the bucket division "
+    "in positive truncating-div territory where Spark and DuckDB agree).",
+    tags=("curation", "privacy"),
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.functions.scalars import decimal_units
+
+    c = load_table(spark, sf_dir, "customer")
+    classes = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            decimal_units(F.col("c_acctbal"), 100).alias("bal_cents"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            # integer div on BOTH sides (cf. customers_balance_deciles):
+            # float-divide-then-cast could land on an exactness edge
+            F.expr("(bal_cents + 100000) div 100000").alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").cast("bigint").alias("class_size"))
+    )
+    ks = spark.createDataFrame([(k,) for k in K_ANONYMITY_KS], "k int")
+    joined = classes.crossJoin(F.broadcast(ks))
+    viol = F.when(F.col("class_size") < F.col("k"), F.col("class_size")).otherwise(
+        F.lit(0)
+    )
+    return joined.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum((F.col("class_size") < F.col("k")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.sum(viol).cast("bigint").alias("n_violating_rows"),
+        F.expr(
+            "CAST((sum(CASE WHEN class_size < k THEN class_size ELSE 0 END)"
+            " * 1000000) div sum(class_size) AS BIGINT)"
+        ).alias("suppression_ppm"),
+    )
