@@ -181,6 +181,23 @@ def make_parser() -> argparse.ArgumentParser:
     tg.add_argument(
         "--list", action="store_true", help="print tags as JSON"
     )
+
+    ch = sub.add_parser(
+        "changes",
+        help="CDF read: net row changes between two snapshot-table "
+        "versions (_change in insert|delete); cost ∝ files that differ",
+    )
+    ch.add_argument("table", help="snapshot table directory")
+    ch.add_argument(
+        "--from", dest="v_from", type=int, required=True,
+        help="base version of the diff",
+    )
+    ch.add_argument(
+        "--to", dest="v_to", type=int, default=None,
+        help="target version (default: newest)",
+    )
+    ch.add_argument("--limit", type=int, default=50)
+    ch.add_argument("--master", default="local[*]")
     return parser
 
 
@@ -267,6 +284,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{args.save} v{manifest.version}")
             else:
                 result.show(args.limit, truncate=False)
+        elif args.mode == "changes":
+            from data_engineering_project_spark.sinks import snapshot_table as st
+
+            st.read_changes(spark, args.table, args.v_from, args.v_to).show(
+                args.limit, truncate=False
+            )
         elif args.mode == "dedup":
             _run_dedup(spark, args)
         elif args.mode == "index":

@@ -462,6 +462,90 @@ def read_pruned(
     return spark.read.parquet(*[os.path.join(table, f["path"]) for f in keep])
 
 
+def _read_file_subset(
+    spark: SparkSession, table: str, rel_paths: Sequence[str], schema_json: str | None
+) -> DataFrame:
+    """Read a subset of a table's data files projected onto a manifest
+    schema (files written before a column existed read it as null), or an
+    empty frame of that schema when the subset is empty."""
+    from pyspark.sql import types as T
+
+    want = (
+        T.StructType.fromJson(json.loads(schema_json))
+        if schema_json is not None
+        else None
+    )
+    if not rel_paths:
+        if want is None:
+            raise ValueError("empty file subset on a schema-less manifest")
+        return spark.createDataFrame([], want)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table, p) for p in rel_paths]
+    )
+    if want is None:
+        return df
+    have = {f.name for f in df.schema.fields}
+    return df.select(
+        *[
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in want.fields
+        ]
+    )
+
+
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Net row-level changes between two committed versions (Delta
+    change-data-feed semantics, recovered from the immutable file sets):
+    the result carries every column of ``v_to``'s schema plus ``_change``
+    in {'insert', 'delete'} such that
+
+        read_table(v_from) + inserts - deletes == read_table(v_to)
+
+    as multisets. Copy-on-write rewrites (merge_upsert / delete_where)
+    carry unchanged rows into new files; those reappear on both sides of
+    the file diff and cancel through ``exceptAll``, so only genuinely
+    changed rows are emitted. An in-place UPDATE surfaces as
+    delete(old row) + insert(new row).
+
+    Scale shape: only files that differ between the two manifests are
+    read (cost ∝ churn, not table size — the same pruning argument as
+    merge_upsert), followed by one hash-aggregate pair for the two
+    ``exceptAll`` sides over those rows. Downstream CDC consumers poll
+    this instead of re-reading snapshots.
+
+    Both versions must still be retained (vacuum prunes old versions
+    unless tagged); ``v_to`` defaults to the newest version. Reading
+    FORWARD (``v_from`` older) gives the usual feed; swapping the
+    arguments yields the exact inverse diff.
+    """
+    if v_to is None:
+        v_to = current_version(table)
+        if v_to is None:
+            raise FileNotFoundError(f"no committed version in {table!r}")
+    m_from = read_manifest(table, v_from)
+    m_to = read_manifest(table, v_to)
+    from_paths = {f["path"] for f in m_from.files}
+    to_paths = {f["path"] for f in m_to.files}
+    added = sorted(to_paths - from_paths)
+    removed = sorted(from_paths - to_paths)
+    ins = _read_file_subset(spark, table, added, m_to.schema)
+    dels = _read_file_subset(spark, table, removed, m_to.schema)
+    return (
+        ins.exceptAll(dels)
+        .withColumn("_change", F.lit("insert"))
+        .unionByName(
+            dels.exceptAll(ins).withColumn("_change", F.lit("delete"))
+        )
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     table: str,

@@ -494,3 +494,71 @@ def test_list_tags_sweeps_stale_create_tag_tmps(spark, tmp_path):
     assert list(tags) == ["rel1"]
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)
+
+
+class TestReadChanges:
+    """CDF-style net row diffs between versions (read_changes)."""
+
+    def _changes(self, spark, table, a, b):
+        rows = st.read_changes(spark, table, a, b).collect()
+        return (
+            {(r.k, r.v) for r in rows if r._change == "insert"},
+            {(r.k, r.v) for r in rows if r._change == "delete"},
+        )
+
+    def test_append_yields_pure_inserts(self, spark, table):
+        st.write_table(_rows(spark, [(1, "a"), (2, "b")]), table)
+        st.write_table(_rows(spark, [(3, "c")]), table, mode="append")
+        ins, dels = self._changes(spark, table, 0, 1)
+        assert ins == {(3, "c")} and dels == set()
+
+    def test_upsert_emits_only_net_changes(self, spark, table):
+        # cancel check: the rewritten file carries (11, "y") unchanged —
+        # it must NOT appear on either side of the diff
+        st.write_table(
+            _rows(spark, [(1, "a"), (10, "x"), (11, "y")]).repartitionByRange(
+                2, "k"
+            ),
+            table,
+            stats_cols=("k",),
+        )
+        st.merge_upsert(
+            spark,
+            table,
+            _rows(spark, [(10, "X"), (12, "new")]),
+            key_cols=("k",),
+            stats_cols=("k",),
+        )
+        ins, dels = self._changes(spark, table, 0, 1)
+        assert ins == {(10, "X"), (12, "new")}
+        assert dels == {(10, "x")}
+
+    def test_delete_where_emits_pure_deletes(self, spark, table):
+        st.write_table(_rows(spark, [(1, "a"), (2, "b"), (3, "c")]), table)
+        st.delete_where(spark, table, F.col("k") == 2)
+        ins, dels = self._changes(spark, table, 0, 1)
+        assert ins == set() and dels == {(2, "b")}
+
+    def test_roundtrip_identity_and_inverse(self, spark, table):
+        st.write_table(_rows(spark, [(1, "a"), (2, "b")]), table)
+        st.merge_upsert(spark, table, _rows(spark, [(2, "B")]), key_cols=("k",))
+        st.write_table(_rows(spark, [(4, "d")]), table, mode="append")
+        # v0 + inserts - deletes == v2 (multiset identity over the jump)
+        ins, dels = self._changes(spark, table, 0, 2)
+        v0 = {(r.k, r.v) for r in st.read_table(spark, table, version=0).collect()}
+        v2 = {(r.k, r.v) for r in st.read_table(spark, table, version=2).collect()}
+        assert (v0 | ins) - dels == v2
+        # reverse diff is the exact inverse
+        rins, rdels = self._changes(spark, table, 2, 0)
+        assert (rins, rdels) == (dels, ins)
+
+    def test_same_version_diff_is_empty(self, spark, table):
+        st.write_table(_rows(spark, [(1, "a")]), table)
+        assert st.read_changes(spark, table, 0, 0).count() == 0
+
+    def test_schema_evolution_projects_old_rows(self, spark, table):
+        st.write_table(_rows(spark, [(1, "a")]), table)
+        widened = spark.createDataFrame([(2, "b", 7)], "k int, v string, w int")
+        st.write_table(widened, table, mode="append")
+        rows = st.read_changes(spark, table, 0, 1).collect()
+        assert [(r.k, r.v, r.w, r._change) for r in rows] == [(2, "b", 7, "insert")]
