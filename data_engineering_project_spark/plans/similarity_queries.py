@@ -1272,3 +1272,98 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap") / 10.0, 2).alias("recall_at_10"),
     )
+
+
+# --- two-stage serving: ADC shortlist -> exact re-rank ----------------------
+
+#: candidate-list width for the exact re-rank stage; ~5x the final k is the
+#: standard production ratio (FAISS's k_factor)
+RERANK_SHORTLIST = 50
+
+# widen the ADC scan's final cut to the shortlist size; the assert pins the
+# single-occurrence assumption the textual substitution relies on
+assert _IPQ_SQL.count("LIMIT 10") == 1
+_IPQ_SHORTLIST_SQL = _IPQ_SQL.replace("LIMIT 10", f"LIMIT {RERANK_SHORTLIST}")
+
+
+@register(
+    "emb_ivfpq_rerank_topk",
+    sql=f"""
+    WITH cand AS (SELECT vec_id FROM ({_IPQ_SHORTLIST_SQL}) c),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(list_zip(e.embedding, q.qe),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+    )
+    SELECT vec_id, ROUND(c, 6) AS cosine
+    FROM scored WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    doc=f"Two-stage ANN serving: the residual IVF-PQ ADC scan shortlists "
+    f"{RERANK_SHORTLIST} candidates, then the TRUE vectors of just those "
+    "candidates are fetched and exactly re-ranked (FAISS's k_factor "
+    "refine / IndexRefineFlat — the deployed mitigation for ADC "
+    "quantization error, here over the documented 4x8-code capacity "
+    "ceiling of `emb_pq_recall`). Scale shape: stage 1 is the existing "
+    "shuffle-free probed-cell code scan; stage 2 is a broadcast semi-join "
+    "of the bounded candidate id list against the vector table (point "
+    "lookups — at index scale the ids prune to their cells' files) "
+    "followed by the same map-only exact scorer as `emb_cosine_topk`. "
+    "Exact-rescore cost is per-query O(shortlist), independent of corpus "
+    "size.",
+    tags=("similarity", "ann", "quantization"),
+)
+def emb_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.operators.clustering import (
+        ivfpq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = ivfpq_topk(
+        e, vec_col="embedding", id_col="vec_id", cell_col="label",
+        query_id=0, dim=EMB_DIM, n_sub=PQ_S, k=PQ_K, n_iter=PQ_ITER,
+        scale=KM_SCALE, nprobe=IPQ_NPROBE, topk=RERANK_SHORTLIST,
+    ).select("vec_id")
+    base = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(cand), "vec_id", "left_semi"
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_embedding")
+    )
+    top = S.topk_cosine_vectorized(base, q, 10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "emb_ivfpq_rerank_recall",
+    sql=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+           ROUND(count(*) / 10.0, 2) AS recall_at_10
+    FROM ({_Q["emb_cosine_topk"].sql}) e
+    JOIN ({_Q["emb_ivfpq_rerank_topk"].sql}) a USING (vec_id)
+    """,
+    doc="Recall@10 of the re-ranked two-stage pipeline against exact "
+    "brute force — read alongside `emb_ivfpq_recall` (same probe, ADC "
+    "ranking only): the delta is exactly what the exact-rescore stage "
+    "recovers of ADC's quantization error; the residual gap to 1.0 is "
+    "the probe's cell-pruning ceiling (`emb_ivf_recall`'s number), which "
+    "re-ranking cannot cross by construction. In-engine, both oracle "
+    "SQLs composed verbatim like the other recall monitors.",
+    tags=("similarity", "ann", "evaluation"),
+)
+def emb_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = emb_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = emb_ivfpq_rerank_topk(spark, sf_dir).select("vec_id")
+    overlap = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_overlap")
+    )
+    return overlap.select(
+        "n_overlap",
+        F.round(F.col("n_overlap") / 10.0, 2).alias("recall_at_10"),
+    )
