@@ -76,3 +76,22 @@ def test_bpe_train_overlap_is_greedy_leftmost(spark):
     merges = _spark_bpe(spark, {"aaaaa": 1}, 2)
     assert merges[0] == (1, "a", "a", 4, "aa")
     assert merges[1] == (2, "aa", "a", 1, "aaa")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# two-letter alphabet maximizes repeated-pair/overlap density per example;
+# small word set keeps each Spark round cheap
+_CORPORA = st.dictionaries(
+    st.text(alphabet="ab", min_size=1, max_size=7),
+    st.integers(min_value=1, max_value=9),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(corpus=_CORPORA)
+@settings(max_examples=10, deadline=None)
+def test_bpe_train_property_matches_bruteforce(spark, corpus):
+    assert _spark_bpe(spark, corpus, 3) == _py_bpe(corpus, 3)
