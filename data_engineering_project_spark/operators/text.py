@@ -68,7 +68,7 @@ def jaccard(a_tokens: Column, b_tokens: Column) -> Column:
     return inter.cast("double") / union
 
 
-def bpe_train(words, rounds: int) -> list[tuple[int, str, str, int, str]]:
+def bpe_train(words, rounds: int, *, return_symbols: bool = False):
     """Learn the first ``rounds`` BPE merge rules over a (word, cnt) table.
 
     Distributed Sennrich-style byte-pair-encoding training (the tokenizer-
@@ -97,6 +97,12 @@ def bpe_train(words, rounds: int) -> list[tuple[int, str, str, int, str]]:
     ``[(round, left_sym, right_sym, pair_count, merged), ...]`` as plain
     Python values (each round's argmax is already driver-side); rounds
     with no remaining adjacent pair stop early.
+
+    ``return_symbols=True`` additionally returns the POST-training
+    symbolization frame ``(word, cnt, pos, sym)`` — the trained
+    dictionary an encode stage joins against (see
+    ``docs_bpe_encode_stats``): tokenizing a corpus is then one
+    vocab-sized dictionary join, never a per-document merge loop.
     """
     from pyspark.sql import Window
 
@@ -163,4 +169,6 @@ def bpe_train(words, rounds: int) -> list[tuple[int, str, str, int, str]]:
             )
         )
         sym = rebuilt.localCheckpoint(eager=True)
+    if return_symbols:
+        return merges, sym
     return merges

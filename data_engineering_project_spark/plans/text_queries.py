@@ -1085,3 +1085,88 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="merge_round bigint, left_sym string, right_sym string, "
         "pair_count bigint, merged string",
     )
+
+
+def _bpe_encode_oracle_sql(rounds: int, topv: int) -> str:
+    """Train (same unrolled CTE chain as docs_bpe_merges) then ENCODE: the
+    per-word post-merge token count becomes a dictionary joined back onto
+    the full word frequency table; out-of-vocab words stay
+    character-tokenized (length fallback)."""
+    base = _bpe_oracle_sql(rounds, topv)
+    # shared CTE chain = everything before the merge-table UNION final
+    head = base.split("\nSELECT CAST(1")[0]
+    return f"""{head},
+tok AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+  FROM sym{rounds} GROUP BY word
+),
+allwords AS (
+  SELECT source, w AS word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents WHERE text IS NOT NULL)
+  GROUP BY source, w
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS total_words,
+       CAST(sum(c * coalesce(n_tok, length(word))) AS BIGINT)
+           AS total_bpe_tokens,
+       CAST((sum(c * coalesce(n_tok, length(word))) * 10000) // sum(c)
+            AS BIGINT) AS tokens_per_word_x10000
+FROM allwords LEFT JOIN tok USING (word)
+GROUP BY source
+"""
+
+
+@register(
+    "docs_bpe_encode_stats",
+    sql=_bpe_encode_oracle_sql(_BPE_ROUNDS, _BPE_TOPV),
+    doc="Train-then-apply BPE composition: after the 6 learned merges, the "
+    "per-word token count becomes a bounded DICTIONARY (vocab-sized) that "
+    "encodes the whole corpus through one broadcast join — per-source "
+    "total words, total BPE tokens, and tokens-per-word in integer "
+    "x10000 units. Out-of-vocab words stay character-tokenized "
+    "(length fallback), stated honestly rather than hidden. Scale shape: "
+    "corpus pays one scan + one narrow (source, word) groupBy; the "
+    "trained dictionary joins broadcast; nothing re-runs the merge loop "
+    "per document — tokenization cost is independent of rounds.",
+    tags=("text", "tokens", "iterative"),
+)
+def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_BPE_TOPV)
+    )
+    _, symf = T.bpe_train(words, _BPE_ROUNDS, return_symbols=True)
+    tok = symf.groupBy("word").agg(F.count("*").cast("long").alias("n_tok"))
+    allw = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    joined = allw.join(F.broadcast(tok), "word", "left").withColumn(
+        "tok_w",
+        F.col("c") * F.coalesce(F.col("n_tok"), F.length("word").cast("long")),
+    )
+    return joined.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("total_words"),
+        F.sum("tok_w").cast("bigint").alias("total_bpe_tokens"),
+        F.expr("CAST((sum(tok_w) * 10000) div sum(c) AS BIGINT)").alias(
+            "tokens_per_word_x10000"
+        ),
+    )
