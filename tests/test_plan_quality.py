@@ -829,3 +829,17 @@ def test_winnowing_fp_join_shuffles_exclude_text(spark, sf_dir):
     assert fp_exchanges, text[:2000]
     for blk in fp_exchanges:
         assert "Input [2]:" in blk, blk
+
+
+def test_rerank_rescore_stage_is_broadcast_point_lookup(plans):
+    """Two-stage serving (emb_ivfpq_rerank_topk): the exact-rescore stage
+    must fetch candidate vectors through a BROADCAST semi join of the
+    bounded shortlist — a shuffle join here would re-partition the vector
+    corpus per query. The ADC stage's shuffle-free contract is inherited
+    (test_ivfpq_candidate_path_is_shuffle_free)."""
+    plan = plans("emb_ivfpq_rerank_topk")
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan

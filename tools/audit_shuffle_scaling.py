@@ -68,6 +68,16 @@ PAIR_WHITELIST = {
     "parts_triangle_affinity",
     "graph_clustering_coeff",
     "graph_adamic_adar",
+    # Iterative graph queries shuffle O(E) per round — linear in the GRAPH.
+    # The superlinearity enters through edge GENERATION: the co-purchase /
+    # co-supplier edge sets are pair-shaped (measured on this corpus:
+    # distinct co-supplier edges 4,950 at sf0.01 -> 453,588 at sf0.1, x92
+    # over x10 data, because the small supplier pool densifies toward the
+    # complete graph). Same disposition as the pair generators above.
+    "graph_pagerank_trade",
+    "graph_bfs_hops_trade",
+    "graph_kcore_trade",
+    "graph_lpa_communities",
 }
 
 
@@ -162,7 +172,9 @@ def main(only: list[str]) -> int:
                 flags.append(f"{name}: SPILL {rec['lo_spill_mb']}/{rec['hi_spill_mb']} MB")
         report[name] = rec
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "shuffle_scaling.json")
+    # subset spot-checks must not clobber the canonical full-catalog artifact
+    fname = "shuffle_scaling.json" if not only else "shuffle_scaling_subset.json"
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     with open(out_path, "w") as f:
         json.dump({"sf_lo": SF_LO, "sf_hi": SF_HI, "queries": report}, f, indent=1, sort_keys=True)
 
