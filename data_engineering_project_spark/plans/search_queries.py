@@ -489,3 +489,61 @@ def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(_RRF_TOP)
+
+
+_PROX_A, _PROX_B = "data", "stream"
+_PROX_WINDOW = 3
+
+
+@register(
+    "docs_proximity_search",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token,
+               generate_subscripts(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+'), 1) AS pos
+        FROM documents WHERE text IS NOT NULL
+    ),
+    a AS (SELECT doc_id, pos FROM toks WHERE token = '{_PROX_A}'),
+    b AS (SELECT doc_id, pos FROM toks WHERE token = '{_PROX_B}')
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_prox,
+           CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+    FROM a JOIN b USING (doc_id)
+    WHERE abs(a.pos - b.pos) <= {_PROX_WINDOW}
+    GROUP BY a.doc_id
+    ORDER BY n_prox DESC, a.doc_id LIMIT 20
+    """,
+    doc=f"Positional proximity search: documents where '{_PROX_A}' and "
+    f"'{_PROX_B}' occur within {_PROX_WINDOW} tokens, ranked by the number "
+    "of proximate pairs — the phrase/NEAR operator keyword search can't "
+    "express (search family's positional upgrade). Scale shape: the two "
+    "positional posting lists are term-filtered BEFORE the shuffle (each "
+    "is O(term frequency), never the corpus), the doc-keyed equi-join "
+    "carries only (doc_id, pos), and the window predicate bounds the "
+    "per-doc pair fan-out. Token positions come from the same "
+    "regexp-extraction on both engines, so distances are exact integers.",
+    tags=("search", "text"),
+)
+def docs_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("pos", "token"),
+    )
+    a = toks.where(F.col("token") == _PROX_A).select("doc_id", F.col("pos").alias("pa"))
+    b = toks.where(F.col("token") == _PROX_B).select("doc_id", F.col("pos").alias("pb"))
+    prox = a.join(b, "doc_id").where(
+        F.abs(F.col("pa") - F.col("pb")) <= _PROX_WINDOW
+    )
+    return (
+        prox.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_prox"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("bigint").alias("min_dist"),
+        )
+        .orderBy(F.desc("n_prox"), F.asc("doc_id"))
+        .limit(20)
+    )
