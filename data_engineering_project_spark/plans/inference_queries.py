@@ -1424,3 +1424,103 @@ def events_cmh_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ad_micro").cast("double") / F.sum("bc_micro"), 6
         ).alias("mh_odds_ratio"),
     )
+
+
+# --- in-engine model training: logistic regression by full-batch GD --------
+
+_GLM_ITERS = 3
+
+
+def _logreg_iter_sql(t: int) -> str:
+    prev = f"b{t - 1}"
+    sig = (
+        f"1/(1+exp(-({prev}.b0/1000000.0 + {prev}.b1/1000000.0 * x)))"
+    )
+    return f"""
+g{t} AS (
+  SELECT CAST(sum(CAST(floor((y - {sig})*1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS g0,
+         CAST(sum(CAST(floor((y - {sig})*x*1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS g1,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts CROSS JOIN {prev}
+),
+b{t} AS (
+  SELECT {prev}.b0 + CAST(floor(CAST(g0 AS DOUBLE)/n + 0.5) AS BIGINT) AS b0,
+         {prev}.b1 + CAST(floor(CAST(g1 AS DOUBLE)/n + 0.5) AS BIGINT) AS b1
+  FROM g{t}, {prev}
+)"""
+
+
+def _logreg_oracle_sql(iters: int) -> str:
+    head = """WITH pts AS (
+  SELECT CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y,
+         value/100.0 AS x
+  FROM events WHERE value IS NOT NULL
+),
+b0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1)"""
+    body = head + "," + ",".join(_logreg_iter_sql(t) for t in range(1, iters + 1))
+    union = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS iter, b{t}.b0 AS beta0_micro,"
+        f" b{t}.b1 AS beta1_micro, g{t}.g0 AS grad0_micro,"
+        f" g{t}.g1 AS grad1_micro FROM b{t}, g{t}"
+        for t in range(1, iters + 1)
+    )
+    return f"{body}\n{union} ORDER BY iter"
+
+
+@register(
+    "events_logreg_purchase_gd",
+    sql=_logreg_oracle_sql(_GLM_ITERS),
+    doc="In-engine model training: logistic regression (is-purchase on the "
+    "scaled event value) by 3 unrolled full-batch gradient-descent "
+    "iterations — the distributed GLM/quality-classifier training "
+    "primitive of a data pipeline, done relationally. Determinism "
+    "discipline: coefficients live in integer MICRO-units between "
+    "iterations; each row's gradient contribution is micro-quantized "
+    "BEFORE the sum (order-independent integer adds — the same device as "
+    "the entropy/KS/ANOVA queries), and the per-iteration update "
+    "floor-quantizes the mean gradient, so every engine walks the "
+    "identical integer coefficient path. Scale shape: one narrow "
+    "scan + one 2-long-column aggregate per iteration (map-side "
+    "combined); coefficients are driver-side literals per round exactly "
+    "like the Lloyd/argmax collects — nothing iterates over rows in "
+    "Python.",
+    tags=("inference", "training", "iterative"),
+)
+def events_logreg_purchase_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pts = e.where(F.col("value").isNotNull()).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        (F.col("value") / F.lit(100.0)).alias("x"),
+    )
+    import math
+
+    b0m, b1m = 0, 0
+    out: list[tuple[int, int, int, int, int]] = []
+    for t in range(1, _GLM_ITERS + 1):
+        p = 1 / (
+            1 + F.exp(-(F.lit(b0m / 1e6) + F.lit(b1m / 1e6) * F.col("x")))
+        )
+        row = pts.agg(
+            F.sum(F.floor((F.col("y") - p) * 1000000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("g0"),
+            F.sum(
+                F.floor((F.col("y") - p) * F.col("x") * 1000000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("g1"),
+            F.count("*").cast("long").alias("n"),
+        ).first()
+        g0, g1, n = row["g0"], row["g1"], row["n"]
+        b0m += math.floor(g0 / n + 0.5)
+        b1m += math.floor(g1 / n + 0.5)
+        out.append((t, b0m, b1m, g0, g1))
+    return spark.createDataFrame(
+        out,
+        schema="iter bigint, beta0_micro bigint, beta1_micro bigint, "
+        "grad0_micro bigint, grad1_micro bigint",
+    )
