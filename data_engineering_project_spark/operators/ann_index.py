@@ -385,6 +385,50 @@ def query_ivfpq_index(
     )
 
 
+def query_ivfpq_index_rerank(
+    spark: SparkSession,
+    table: str,
+    query_vec: list[float],
+    vectors: DataFrame,
+    *,
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 2,
+    tag: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage serving over the codes-only index: the ADC scan shortlists
+    ``shortlist`` candidates (:func:`query_ivfpq_index`), then their TRUE
+    vectors are fetched from ``vectors`` — the source corpus table the
+    index was built from, which the codes-only index deliberately does not
+    duplicate — by a broadcast semi-join and exactly re-scored (FAISS's
+    refine / k_factor stage; in the catalog twin this lifts recall@10 to
+    exactly the probe ceiling).
+
+    Scale shape: stage 1 inherits the manifest-pruned map-only code scan;
+    stage 2 touches O(shortlist) vectors — broadcast the bounded id list,
+    never shuffle the corpus — and re-scores with the same deterministic
+    vectorized scorer as the brute-force baseline. Returns
+    ``(vec_id, cosine)`` rows, top-``k`` by exact cosine.
+    """
+    from data_engineering_project_spark.operators.similarity import (
+        topk_cosine_vectorized,
+    )
+
+    cand = query_ivfpq_index(
+        spark, table, query_vec, k=shortlist, nprobe=nprobe, tag=tag
+    ).select(F.col("vec_id").alias(id_col))
+    base = vectors.join(F.broadcast(cand), id_col, "left_semi")
+    qdf = spark.createDataFrame(
+        [(list(float(v) for v in query_vec),)], f"query_embedding array<double>"
+    )
+    top = topk_cosine_vectorized(
+        base, qdf, k, id_col=id_col, vec_col=vec_col
+    )
+    return top.select(id_col, F.round("cosine", 6).alias("cosine"))
+
+
 def promote_index(table: str, *, name: str = "serving") -> dict[str, int]:
     """Zero-downtime rebuild pointer: pin the CURRENT version of the index
     data table and every existing side table under one tag name. Readers

@@ -388,3 +388,67 @@ def test_promote_missing_index_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         promote_index(str(tmp_path / "nothing"))
+
+
+def test_ivfpq_rerank_matches_exact_on_candidates(spark, clustered, tmp_path):
+    """Two-stage serving: the exact re-rank over the codes-only index must
+    return exactly the brute-force exact-cosine ranking whenever the
+    shortlist covers the true top-k (here: full probe + shortlist >= the
+    query's whole cluster)."""
+    from data_engineering_project_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index_rerank,
+    )
+
+    table = str(tmp_path / "pqr")
+    build_ivfpq_index(clustered, table, k_cells=5, n_sub=4, k_codes=8)
+    target = clustered.filter("vec_id = 85").collect()[0]
+    qvec = [float(v) for v in target["embedding"]]
+
+    got = query_ivfpq_index_rerank(
+        spark, table, qvec, clustered, k=10, shortlist=60, nprobe=5
+    ).collect()
+    assert [r["vec_id"] for r in got][:1] == [85]  # the query itself wins
+
+    # exact brute-force on the RAW vectors (the re-rank stage's contract)
+    import numpy as np
+
+    rows = clustered.collect()
+    qq = np.asarray(qvec)
+    exact = sorted(
+        (
+            (
+                r["vec_id"],
+                float(
+                    np.cumsum(np.asarray(r["embedding"]) * qq)[-1]
+                    / (
+                        np.sqrt(np.cumsum(np.asarray(r["embedding"]) ** 2)[-1])
+                        * np.sqrt(np.cumsum(qq * qq)[-1])
+                    )
+                ),
+            )
+            for r in rows
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [r["vec_id"] for r in got] == [v for v, _ in exact]
+
+
+def test_ivfpq_rerank_rescore_touches_only_shortlist(spark, clustered, tmp_path):
+    """The stage-2 semi-join must be broadcast (bounded id list), never a
+    shuffle of the vector corpus."""
+    from data_engineering_project_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index_rerank,
+    )
+
+    table = str(tmp_path / "pqp")
+    build_ivfpq_index(clustered, table, k_cells=5, n_sub=4, k_codes=8)
+    target = clustered.filter("vec_id = 85").collect()[0]
+    df = query_ivfpq_index_rerank(
+        spark, table, [float(v) for v in target["embedding"]], clustered,
+        k=5, shortlist=20, nprobe=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
