@@ -1516,6 +1516,13 @@ def events_logreg_purchase_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
         ).first()
         g0, g1, n = row["g0"], row["g1"], row["n"]
+        if n == 0 or g0 is None or g1 is None:
+            # Zero training rows: SUM over an empty frame is NULL, and the
+            # oracle's b{t} = b{t-1} + floor(NULL/0) stays NULL for every
+            # iteration — degrade to the same all-NULL coefficient path
+            # instead of dividing None (catalog-wide empty-input contract).
+            out = [(i, None, None, None, None) for i in range(1, _GLM_ITERS + 1)]
+            break
         b0m += math.floor(g0 / n + 0.5)
         b1m += math.floor(g1 / n + 0.5)
         out.append((t, b0m, b1m, g0, g1))
