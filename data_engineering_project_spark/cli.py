@@ -477,11 +477,15 @@ def _run_dedup(spark, args) -> None:
     manifest = canonical_selection(
         pairs, docs.select("doc_id", "n_chars")
     )
+    # Full-corpus materializations: overwrite so a re-run replaces the
+    # snapshot instead of appending a second full copy by reference.
     if args.manifest_out:
-        m = write_table(manifest, args.manifest_out, stats_cols=("doc_id",))
+        m = write_table(
+            manifest, args.manifest_out, mode="overwrite", stats_cols=("doc_id",)
+        )
         print(f"{args.manifest_out} v{m.version} ({manifest.count()} removals)")
     deduped = docs.join(manifest.select("doc_id"), "doc_id", "left_anti")
-    out = write_table(deduped, args.out, stats_cols=("doc_id",))
+    out = write_table(deduped, args.out, mode="overwrite", stats_cols=("doc_id",))
     kept = deduped.count()
     total = docs.count()
     print(f"{args.out} v{out.version} ({kept}/{total} docs kept, flavor={args.flavor})")

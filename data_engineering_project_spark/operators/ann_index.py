@@ -112,6 +112,11 @@ def query_ivf_index(
     ``tag`` resolves a :func:`promote_index` pin — serving reads keep
     answering from the pinned generation while a rebuild commits."""
     centroids = _load_centroids(spark, table, tag)
+    if not centroids:
+        raise FileNotFoundError(
+            f"no IVF centroid state under {_centroid_table(table)!r} — "
+            "build_ivf_index must run before queries"
+        )
     qq = [float(round(float(v) * scale)) for v in query_vec]
     ranked = sorted(
         (sum((a - b) ** 2 for a, b in zip(qq, c)), cid)
@@ -203,8 +208,11 @@ def ivf_index_recall(
         }
         hits += len(exact & approx)
         total += len(exact)
+    # An empty index yields an empty exact top-k for every query: recall is
+    # undefined — surface NULL for the monitor rather than ZeroDivisionError.
+    recall = round(hits / total, 6) if total else None
     return spark.createDataFrame(
-        [(len(query_vecs), k, nprobe, round(hits / total, 6))],
+        [(len(query_vecs), k, nprobe, recall)],
         "n_queries int, k int, nprobe int, recall double",
     )
 

@@ -458,7 +458,9 @@ def read_pruned(
     m = read_manifest(table, version)
     keep = prune_files(m, col, lo, hi)
     if not keep:
-        return read_table(spark, table).filter(F.lit(False))
+        # Keep the resolved version: a tag-pinned reader must get the pinned
+        # generation's schema even mid-rebuild, not the current version's.
+        return read_table(spark, table, version=version).filter(F.lit(False))
     return spark.read.parquet(*[os.path.join(table, f["path"]) for f in keep])
 
 

@@ -274,9 +274,10 @@ def psql_report_batch(
     NULL-coalesce semantics and the same T4 replace-window idempotence
     (both transports execute the identical pinned statement plan).
 
-    ``session_factory()`` returns a ``PsqlSession`` per batch (driver-side,
-    like the JDBC connection factory); the existing-window read goes
-    through the same session, so no second connection pool exists."""
+    ``session_factory()`` returns a ``PsqlSession`` per use (driver-side,
+    like the JDBC connection factory); each is closed before the batch
+    returns, so a long-running stream holds zero psql subprocesses between
+    micro-batches."""
     from data_engineering_project_spark.sinks.psql_transport import (
         load_report_psql,
     )
@@ -284,20 +285,30 @@ def psql_report_batch(
 
     def _read_existing(spark, lo, hi) -> DataFrame:
         session = session_factory()
-        rows = session.fetch_rows(
-            f'SELECT "datetime", "impression_count", "click_count" '
-            f"FROM {_q(spec.target)} WHERE \"datetime\" "
-            f"BETWEEN TIMESTAMP '{lo}' AND TIMESTAMP '{hi}'"
-        )
+        try:
+            rows = session.fetch_rows(
+                f'SELECT "datetime", "impression_count", "click_count" '
+                f"FROM {_q(spec.target)} WHERE \"datetime\" "
+                f"BETWEEN TIMESTAMP '{lo}' AND TIMESTAMP '{hi}'"
+            )
+        finally:
+            session.close()
+        # psql -At renders SQL NULL as an empty string; tolerate counts
+        # written out of band as NULL the same way the JDBC twin does.
         return spark.createDataFrame(
-            [(r[0], int(r[1]), int(r[2])) for r in rows],
+            [
+                (r[0], int(r[1]) if r[1] else 0, int(r[2]) if r[2] else 0)
+                for r in rows
+            ],
             "datetime string, impression_count long, click_count long",
         ).withColumn("datetime", F.to_timestamp("datetime"))
 
     def _load(report: DataFrame) -> None:
-        load_report_psql(
-            report, spec, session_factory(), scratch_dir=scratch_dir
-        )
+        session = session_factory()
+        try:
+            load_report_psql(report, spec, session, scratch_dir=scratch_dir)
+        finally:
+            session.close()
 
     return _report_merge_writer(
         spec, _read_existing, _load, impression_type, click_type

@@ -321,6 +321,44 @@ def test_query_against_missing_index_raises(spark, tmp_path):
         query_ivf_index(spark, str(tmp_path / "nope"), [0.0] * 4)
 
 
+def test_recall_monitor_on_empty_index_returns_null(spark, tmp_path):
+    """Recall over an empty index is undefined: the monitor must surface
+    NULL, not ZeroDivisionError (ADVICE r6)."""
+    from data_engineering_project_spark.operators.ann_index import (
+        ivf_index_recall,
+    )
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    table = str(tmp_path / "ivf_empty")
+    empty = spark.createDataFrame(
+        [], "vec_id long, cell int, q array<double>"
+    )
+    st.write_table(empty, table, stats_cols=("cell",))
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "cell int, centroid array<double>"
+    )
+    st.write_table(cent, table.rstrip("/") + "__centroids")
+    row = ivf_index_recall(spark, table, [[0.1] * 4], k=3, nprobe=1).collect()[0]
+    assert row["recall"] is None
+
+
+def test_query_against_empty_centroid_table_raises(spark, tmp_path):
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    table = str(tmp_path / "ivf_nocent")
+    st.write_table(
+        spark.createDataFrame([], "vec_id long, cell int, q array<double>"),
+        table,
+        stats_cols=("cell",),
+    )
+    st.write_table(
+        spark.createDataFrame([], "cell int, centroid array<double>"),
+        table.rstrip("/") + "__centroids",
+    )
+    with pytest.raises(FileNotFoundError, match="no IVF centroid state"):
+        query_ivf_index(spark, table, [0.0] * 4)
+
+
 def test_ivfpq_rejects_indivisible_dim(spark, tmp_path):
     from data_engineering_project_spark.operators.ann_index import (
         build_ivfpq_index,

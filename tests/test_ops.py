@@ -298,3 +298,19 @@ def test_cli_dedup_materializes_corpus_and_manifest(spark, sf_dir, tmp_path, cap
     assert kept | removed == all_ids
     assert kept & removed == set()
     assert removed  # the fixture corpus has real shared substrings
+
+    # re-running with the same targets must REPLACE the snapshots, not
+    # append a second full copy of every row (ADVICE r6)
+    rc = main(
+        [
+            "dedup", "--sf-dir", sf_dir, "--flavor", "substring",
+            "--out", out, "--manifest-out", man, "--master", "local[4]",
+        ]
+    )
+    assert rc in (0, None)
+    kept2 = [r["doc_id"] for r in st.read_table(spark, out).select("doc_id").collect()]
+    removed2 = [
+        r["doc_id"] for r in st.read_table(spark, man).select("doc_id").collect()
+    ]
+    assert sorted(kept2) == sorted(kept)  # no duplicated rows
+    assert sorted(removed2) == sorted(removed)

@@ -114,6 +114,25 @@ def test_stats_pruning_skips_files_and_keeps_answers(spark, table):
     )
 
 
+def test_empty_prune_fallback_keeps_the_pinned_schema(spark, table):
+    """A tag-pinned reader whose prune matches zero files must get the
+    PINNED generation's schema, even after a schema-changing rebuild."""
+    st.write_table(_rows(spark, [(1, "a")]), table, stats_cols=("k",))
+    st.create_tag(table, "serving")
+    st.write_table(
+        spark.createDataFrame([(9, "z", 1.5)], "k int, v string, extra double"),
+        table,
+        mode="overwrite",
+        stats_cols=("k",),
+    )
+    out = st.read_pruned(spark, table, "k", 1000, 2000, tag="serving")
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]  # not the current version's 3 columns
+    # current-version reader still sees the new schema
+    cur = st.read_pruned(spark, table, "k", 1000, 2000)
+    assert cur.columns == ["k", "v", "extra"]
+
+
 def test_vacuum_expires_old_versions(spark, table):
     st.write_table(_rows(spark, [(1, "a")]), table)
     st.write_table(_rows(spark, [(2, "b")]), table, mode="overwrite")

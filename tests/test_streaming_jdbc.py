@@ -137,3 +137,56 @@ def test_stream_lands_and_revises_through_jdbc_merge(spark, tmp_path, derby):
     assert _table(spark, derby, "client_report") == {
         ("2022-05-26 11:00:00", 7, 2)
     }
+
+
+def test_psql_report_batch_closes_sessions_and_tolerates_null_counts(
+    spark, tmp_path, monkeypatch
+):
+    """The psql writer must not leak a psql subprocess per micro-batch
+    (every session closed before the batch returns) and must parse
+    ``psql -At``'s empty-string rendering of NULL counts like the JDBC
+    twin tolerates NULLs (ADVICE r6)."""
+    from data_engineering_project_spark.sinks import psql_transport
+    from data_engineering_project_spark.streaming.pipeline import (
+        psql_report_batch,
+    )
+
+    created = []
+
+    class FakeSession:
+        def __init__(self):
+            self.closed = False
+            created.append(self)
+
+        def fetch_rows(self, sql):
+            # target already holds this hour with NULL counts written out
+            # of band — psql -At renders NULL as ''
+            return [["2022-05-26 11:00:00", "", ""]]
+
+        def close(self):
+            self.closed = True
+
+    landed = {}
+    monkeypatch.setattr(
+        psql_transport,
+        "load_report_psql",
+        lambda df, spec, session, *, scratch_dir: landed.update(
+            rows=df.collect(), session=session
+        ),
+    )
+    writer = psql_report_batch(
+        SPEC, FakeSession, scratch_dir=str(tmp_path / "scratch")
+    )
+    batch = spark.createDataFrame(
+        [("impressions", "2022-05-26", 11, 4)],
+        "event_type string, date string, hour int, n long",
+    )
+    writer(batch, 0)
+
+    assert len(created) == 2  # one read session + one load session
+    assert all(s.closed for s in created)
+    (row,) = landed["rows"]
+    # clicks not revised by this batch: coalesce falls back to the
+    # target's NULL-parsed-as-0, not a ValueError
+    assert (row["impression_count"], row["click_count"]) == (4, 0)
+    assert landed["session"] in created
