@@ -377,6 +377,7 @@ def jaccard_prefix_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_jaccard: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs token-set Jaccard ≥ t via prefix filtering (the
     AllPairs/PPJoin family) — the no-false-negative complement to MinHash.
@@ -393,6 +394,24 @@ def jaccard_prefix_pairs(
     carrying only (id, token)), then a by-id join to bring token sets back
     for exact verification — same narrow-payload discipline as
     minhash_lsh_pairs.
+
+    ``max_bucket``: the prefix filter shortens hot buckets (frequent tokens
+    sort LAST, so they rarely enter a prefix) but cannot bound them — a
+    corpus of n short docs sharing one rare-ish token still emits ~n²/2
+    candidates from that token's bucket, the super-linear growth
+    ``tools/shuffle_scaling.json`` measured (exponent 1.62 sf0.01→0.1).
+    With ``max_bucket=B``, each token bucket is deterministically ordered
+    (md5 of the id, then the id) and cut into chunks of ≤B docs; candidates
+    generate within chunks plus a chain edge between consecutive chunk
+    HEADS — O(n·B) output per bucket, and a genuine duplicate cluster stays
+    one connected component downstream. The trade, stated honestly: two
+    docs whose ONLY shared prefix token lands them in different chunks are
+    not candidates here — with near-identical sets (J ≥ t means the sets
+    are mostly shared tokens) the prefixes share ~|prefix| tokens, and each
+    shared token re-blocks the pair independently, so the redundancy that
+    recovers chunk-split pairs grows exactly where prefixes do. ``None``
+    (default) preserves the exact-complete prefix-filter theorem the
+    catalog oracle restates.
     """
     # explicit-count spread before the tokenization/explode (AQE's
     # byte-based coalescing would single-thread the CPU-heavy stages of a
@@ -423,21 +442,81 @@ def jaccard_prefix_pairs(
     # quadratic candidate generation); pin its parallelism explicitly or
     # AQE coalesces the small-bytes inputs to ~1 task
     pref = pref.repartition(n_par, "tok")
-    left = pref.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok")
-    right = pref.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok")
-    # PPJoin length filter: J(x,y) >= t forces t*|x| <= |y| <= |x|/t, so
-    # size-incompatible candidates drop inside the join, before the
-    # (expensive) token-set verification join ships any arrays
-    cand = (
-        left.join(right, "tok")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("sz_b") >= F.lit(min_jaccard) * F.col("sz_a"))
-            & (F.col("sz_a") >= F.lit(min_jaccard) * F.col("sz_b"))
+    if max_bucket is None:
+        left = pref.select(
+            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok"
         )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        right = pref.select(
+            F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+        )
+        # PPJoin length filter: J(x,y) >= t forces t*|x| <= |y| <= |x|/t, so
+        # size-incompatible candidates drop inside the join, before the
+        # (expensive) token-set verification join ships any arrays
+        cand = (
+            left.join(right, "tok")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("sz_b") >= F.lit(min_jaccard) * F.col("sz_a"))
+                & (F.col("sz_a") >= F.lit(min_jaccard) * F.col("sz_b"))
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        from pyspark.sql import Window
+
+        # same chunked sub-bucketing as minhash_lsh_pairs(max_bucket=...):
+        # deterministic in-bucket order, ≤B-doc chunks, head-chain edges —
+        # the window sorts within the token partitioning the join needs
+        w = Window.partitionBy("tok").orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        pos = F.row_number().over(w) - F.lit(1)
+        chunked = pref.select(
+            F.col(id_col),
+            "sz",
+            "tok",
+            (pos / max_bucket).cast("int").alias("chunk"),
+            (pos % max_bucket == 0).alias("is_head"),
+        ).persist()
+        left = chunked.select(
+            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok", "chunk"
+        )
+        right = chunked.select(
+            F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok", "chunk"
+        )
+        within = (
+            left.join(right, on=["tok", "chunk"])
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("sz_b") >= F.lit(min_jaccard) * F.col("sz_a"))
+                & (F.col("sz_a") >= F.lit(min_jaccard) * F.col("sz_b"))
+            )
+            .select("id_a", "id_b")
+        )
+        heads = chunked.filter(F.col("is_head")).select(
+            F.col(id_col).alias("_hid"), "tok", "chunk"
+        )
+        # chain edges skip the length filter: they are O(n/B) per bucket and
+        # exact verification drops under-threshold pairs anyway
+        chain = (
+            heads.select(
+                F.col("_hid").alias("id_a"), "tok", F.col("chunk").alias("_c")
+            )
+            .join(
+                heads.select(
+                    F.col("_hid").alias("id_b"),
+                    "tok",
+                    (F.col("chunk") - 1).alias("_c"),
+                ),
+                on=["tok", "_c"],
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+        )
+        cand = within.union(chain).dropDuplicates(["id_a", "id_b"])
     ts_by_id = base.select(F.col(id_col).alias("_ts_id"), F.col("ts").alias("_ts"))
     verified = (
         cand.join(ts_by_id, cand["id_a"] == ts_by_id["_ts_id"])

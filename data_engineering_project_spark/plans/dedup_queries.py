@@ -145,6 +145,88 @@ def docs_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_pairs(d, min_jaccard=_PREFIX_T)
 
 
+_CAP_B = 64
+
+_CAPPED_SQL = f"""
+    WITH ts AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(ts) AS tok FROM ts),
+    freq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+    ordered AS (
+        SELECT t.doc_id,
+               list_transform(list_sort(list({{'df': f.df, 'tok': t.tok}})),
+                              s -> s.tok) AS ot
+        FROM tok t JOIN freq f USING (tok)
+        GROUP BY t.doc_id
+    ),
+    pref AS (
+        SELECT doc_id, len(ot) AS sz,
+               unnest(ot[1:(len(ot) - CAST(ceil({_PREFIX_T} * len(ot)) AS INT) + 1)])
+                   AS tok
+        FROM ordered
+    ),
+    chunked AS (
+        SELECT doc_id, tok,
+               CAST(floor((row_number() OVER w - 1) / {_CAP_B}) AS INT) AS chunk,
+               ((row_number() OVER w - 1) % {_CAP_B} = 0) AS is_head
+        FROM pref
+        WINDOW w AS (PARTITION BY tok
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+    ),
+    within AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM chunked a JOIN chunked b ON a.tok = b.tok AND a.chunk = b.chunk
+        WHERE a.doc_id < b.doc_id
+    ),
+    chain AS (
+        SELECT least(a.doc_id, b.doc_id) AS id_a,
+               greatest(a.doc_id, b.doc_id) AS id_b
+        FROM chunked a JOIN chunked b
+          ON a.tok = b.tok AND a.chunk = b.chunk - 1 AND a.is_head AND b.is_head
+    ),
+    cand AS (
+        SELECT DISTINCT id_a, id_b
+        FROM (SELECT * FROM within UNION ALL SELECT * FROM chain)
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)
+               / (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
+                   AS j
+        FROM cand
+        JOIN ts sa ON sa.doc_id = cand.id_a
+        JOIN ts sb ON sb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    FROM verified WHERE j >= {_PREFIX_T}
+"""
+
+
+@register(
+    "docs_jaccard_capped_pairs",
+    sql=_CAPPED_SQL,
+    doc="Skew-bounded exact-Jaccard pairs: the prefix-filter join of "
+    "docs_jaccard_near_pairs with max_bucket=64 chunked sub-bucketing — "
+    "each hot prefix-token bucket is md5-ordered, cut into ≤64-doc chunks, "
+    "candidates generate within chunks plus head-chain edges, bounding a "
+    "duplicate super-cluster's output at O(n·64) instead of C(n,2) (the "
+    "shuffle audit's exponent-1.62 grower; the testdata corpus really has "
+    "a ~64-doc template cluster, so the cap ENGAGES here and the oracle "
+    "restates the chunking deterministically — window over md5(id), "
+    "row_number arithmetic, head chain — byte-identical). The uncapped "
+    "twin stays the completeness-guaranteed catalog row; this is the "
+    "100 TB manifest-feeder shape: connectivity-sufficient pairs, not "
+    "all-pairs.",
+    tags=("dedup", "jaccard", "skew"),
+)
+def docs_jaccard_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_prefix_pairs(d, min_jaccard=_PREFIX_T, max_bucket=_CAP_B)
+
+
 @register(
     "docs_minhash_signature_profile",
     sql=f"""

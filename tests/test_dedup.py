@@ -341,3 +341,63 @@ def test_bucket_cap_deterministic(spark):
     one = sorted(map(tuple, D.minhash_lsh_pairs(docs, min_jaccard=0.5, max_bucket=4).collect()))
     two = sorted(map(tuple, D.minhash_lsh_pairs(docs, min_jaccard=0.5, max_bucket=4).collect()))
     assert one == two and one
+
+
+def test_prefix_cap_noop_on_benign_corpus(spark):
+    """With every prefix-token bucket under the cap, capped output ==
+    uncapped output exactly (the cap must not change semantics until it
+    has to) — the equivalence that justifies the catalog query's cap."""
+    docs = _docs(spark)
+    for t in (0.3, 0.5, 0.9):
+        base = sorted(
+            map(tuple, D.jaccard_prefix_pairs(docs, min_jaccard=t).collect())
+        )
+        capped = sorted(
+            map(
+                tuple,
+                D.jaccard_prefix_pairs(
+                    docs, min_jaccard=t, max_bucket=10
+                ).collect(),
+            )
+        )
+        assert capped == base, t
+
+
+def test_prefix_cap_bounds_hot_token_bucket_and_keeps_it_connected(spark):
+    """The adversarial shape the shuffle audit flagged (exponent 1.62):
+    N near-identical docs put all N into every shared prefix token's
+    bucket — C(N,2) candidates uncapped. With max_bucket=B the cluster's
+    verified pairs must be O(N*B) while still forming ONE component."""
+    n = 60
+    rows = [(i, BASE) for i in range(n)] + [(1000, FAR), (1001, FAR + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D.jaccard_prefix_pairs(docs, min_jaccard=0.5, max_bucket=5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    cluster_pairs = {p for p in pairs if p[0] < 1000 and p[1] < 1000}
+    # identical docs ⇒ identical md5-ordered chunking in every prefix
+    # token's bucket: 12 chunks × C(5,2) + 11 chain edges = 131
+    assert len(cluster_pairs) == 131, len(cluster_pairs)
+    assert all(r["jaccard"] == 1.0 for r in got if r["id_a"] < 1000)
+    assert len(cluster_pairs) < n * (n - 1) / 2 / 10  # ≪ quadratic
+    comps = _union_find_components(cluster_pairs)
+    assert len(comps) == 1 and comps[0] == set(range(n))
+    assert not any((a < 1000) != (b < 1000) for a, b in pairs)
+
+
+def test_prefix_cap_deterministic(spark):
+    n = 25
+    rows = [(i, BASE) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(
+        map(
+            tuple,
+            D.jaccard_prefix_pairs(docs, min_jaccard=0.5, max_bucket=4).collect(),
+        )
+    )
+    two = sorted(
+        map(
+            tuple,
+            D.jaccard_prefix_pairs(docs, min_jaccard=0.5, max_bucket=4).collect(),
+        )
+    )
+    assert one == two and one
