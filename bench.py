@@ -93,7 +93,10 @@ HEADLINE = (
     "graph_kcore_trade",
     "events_bloom_prune_witness",
     "events_balanced_downsample",
-    "emb_matryoshka_overlap",
+    # emb_matryoshka_overlap retired r7 (vector class held 5 of 46 slots);
+    # replaced by the round-6 BPE-training flagship, which had correctness
+    # rows but zero committed wall-time evidence
+    "docs_bpe_merges",
     # tenth wave (round 4): the flagship text-dedup pipeline, after the
     # codegen-cliff fix (expression-form signatures evaluated interpreted)
     "docs_minhash_pairs",
@@ -143,6 +146,56 @@ def _stage_totals(spark) -> dict[str, int] | None:
             "diskBytesSpilled", 0
         )
     return tot
+
+
+def _serving_index_latency(spark) -> dict:
+    """Build-once/query-many serving path (operators/ann_index.py): the
+    persisted IVF and codes-only IVF-PQ indexes are built UNTIMED over the
+    embeddings table, then each query path's per-query latency is the
+    median over a small query sample — the number a serving user would
+    latency-test, which the per-query catalog fits deliberately don't
+    measure (they re-fit per run). Goes to BENCH_DETAIL.json only; the
+    driver line stays catalog-queries-only."""
+    import shutil
+    import tempfile
+
+    try:
+        from data_engineering_project_spark.operators import ann_index as ai
+        from data_engineering_project_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        qvs = [
+            [float(v) for v in r["embedding"]] for r in emb.limit(8).collect()
+        ]
+        tmp = tempfile.mkdtemp(prefix="bench_serving_")
+        out: dict = {"n_queries": len(qvs), "k": 10, "nprobe": 2}
+        try:
+            for kind, build, query in (
+                ("ivf", ai.build_ivf_index, ai.query_ivf_index),
+                ("ivfpq", ai.build_ivfpq_index, ai.query_ivfpq_index),
+            ):
+                path = os.path.join(tmp, kind)
+                t0 = time.perf_counter()
+                if kind == "ivf":
+                    build(emb, path, k=16)
+                else:
+                    build(emb, path, k_cells=16)
+                out[f"{kind}_build_sec"] = round(time.perf_counter() - t0, 3)
+                query(spark, path, qvs[0], k=10, nprobe=2).collect()  # warmup
+                samples = []
+                for q in qvs:
+                    t0 = time.perf_counter()
+                    query(spark, path, q, k=10, nprobe=2).collect()
+                    samples.append(time.perf_counter() - t0)
+                samples.sort()
+                out[f"{kind}_query_sec_median"] = round(
+                    samples[len(samples) // 2], 4
+                )
+            return out
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as exc:  # never let the serving probe kill the bench
+        return {"err": str(exc)[:200]}
 
 
 def _duckdb_conn(sf_dir: str):
@@ -304,6 +357,7 @@ def main() -> None:
     }
     detail = dict(
         line,
+        serving_index=_serving_index_latency(spark),
         spread_max_minus_min=spreads,
         per_run_mb=shuffle_mb,
         runs_per_query=runs,

@@ -144,7 +144,9 @@ def make_parser() -> argparse.ArgumentParser:
         "once, append without refit, query with manifest-pruned cell "
         "reads, monitor recall (operators/ann_index.py)",
     )
-    ix.add_argument("action", choices=("build", "append", "query", "recall"))
+    ix.add_argument(
+        "action", choices=("build", "append", "query", "recall", "optimize")
+    )
     ix.add_argument("table", help="index table directory")
     ix.add_argument(
         "--sf-dir", required=True,
@@ -526,6 +528,13 @@ def _run_index(spark, args) -> int:
         fn(spark, args.table, _vec(args.query_id), k=args.topk, nprobe=args.nprobe).show(
             args.topk, truncate=False
         )
+    elif args.action == "optimize":
+        # the codes table is the data table for --pq (same `cell` column)
+        m = ai.optimize_index(spark, args.table)
+        if m is None:
+            print(f"{args.table} already compact (no commit)")
+        else:
+            print(f"{args.table} v{m.version} ({len(m.files)} files)")
     else:  # recall
         sample = [
             [float(v) for v in r["embedding"]]

@@ -165,6 +165,56 @@ def append_to_ivf_index(
     snap.merge_upsert(spark, table, updates, ["vec_id"], stats_cols=["cell"])
 
 
+def optimize_index(
+    spark: SparkSession,
+    table: str,
+    *,
+    target_files: int | None = None,
+    min_files_to_compact: int = 2,
+):
+    """Table service for the serving index — the OPTIMIZE pass that keeps
+    append-without-refit prunable.
+
+    Each :func:`append_to_ivf_index` (or streaming upsert) commit lands the
+    batch's rows as NEW files spanning many cells, so after k appends a
+    probe's manifest prune matches ~k extra files per cell — read
+    amplification that grows with ingest, not with data. This pass
+    re-clusters the CURRENT version by ``cell`` in one
+    ``snapshot_table.optimize`` commit (single-column Z-order ==
+    range-partition + sort by cell — the build's original layout), so
+    probes prune to ~one file per probed cell again. Copy-on-write
+    semantics come free from the format: tag-pinned readers keep serving
+    the pre-compaction generation (``promote_index`` pins), the swap is
+    one atomic manifest commit, and a concurrent append either commits
+    before (gets compacted) or wins the race (next OPTIMIZE sweeps it).
+
+    Works on the IVF data table and the IVF-PQ codes table alike — both
+    carry ``cell``. Returns the new manifest, or None when the table is
+    already compact (idempotent: running twice never churns versions).
+
+    ``target_files`` defaults to the index's distinct cell count — one
+    file ≈ one cell, matching the build. At 100 TB size by bytes instead
+    (files ≈ table_bytes / 128 MiB, still clustered by cell).
+    """
+    cur = snap.current_version(table)
+    if cur is not None and snap.read_manifest(table, cur).operation == "optimize":
+        # nothing landed since the last compaction — any append/merge
+        # commit resets `operation`, so this check is exactly "no churn"
+        return None
+    if target_files is None:
+        target_files = (
+            snap.read_table(spark, table).select("cell").distinct().count() or 1
+        )
+    return snap.optimize(
+        spark,
+        table,
+        target_files=target_files,
+        min_files_to_compact=min_files_to_compact,
+        stats_cols=("cell",),
+        zorder_cols=("cell",),
+    )
+
+
 def ivf_index_recall(
     spark: SparkSession,
     table: str,

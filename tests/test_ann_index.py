@@ -490,3 +490,51 @@ def test_ivfpq_rerank_rescore_touches_only_shortlist(spark, clustered, tmp_path)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_optimize_index_restores_pruning_after_appends(spark, emb, tmp_path):
+    """The serving-ops composition (r6 verdict #9): appends land as
+    merge-upsert commits whose files interleave cells — probe read
+    amplification grows with ingest. optimize_index re-clusters by cell
+    in one commit: identical query results, per-cell prune back to ~1
+    file, pre-optimize tag still serves the old generation, and a second
+    pass is a no-op."""
+    from data_engineering_project_spark.operators.ann_index import (
+        optimize_index,
+        promote_index,
+    )
+
+    table = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter("vec_id < 300"), table, k=8)
+    append_to_ivf_index(emb.filter("vec_id >= 300 and vec_id < 400"), table)
+    append_to_ivf_index(emb.filter("vec_id >= 400"), table)
+
+    m_before = snap.read_manifest(table)
+    worst_before = max(
+        len(snap.prune_files(m_before, "cell", c, c)) for c in range(8)
+    )
+    assert worst_before > 1, "appends should have eroded per-cell pruning"
+
+    qvec = [float(v) for v in emb.collect()[5]["embedding"]]
+    before = [
+        tuple(r) for r in query_ivf_index(spark, table, qvec, k=10, nprobe=8).collect()
+    ]
+    pinned = promote_index(table, name="pre_compact")
+
+    m_after = optimize_index(spark, table)
+    assert m_after is not None and m_after.operation == "optimize"
+    worst_after = max(
+        len(snap.prune_files(m_after, "cell", c, c)) for c in range(8)
+    )
+    assert worst_after <= 2 and worst_after < worst_before
+    after = [
+        tuple(r) for r in query_ivf_index(spark, table, qvec, k=10, nprobe=8).collect()
+    ]
+    assert after == before  # bit-identical serving results
+
+    # the pinned pre-compaction generation still reads (old file set)
+    tagged = snap.read_table(spark, table, tag="pre_compact")
+    assert tagged.count() == snap.read_table(spark, table).count()
+
+    # idempotent: already-compact table → no version churn
+    assert optimize_index(spark, table) is None

@@ -314,3 +314,27 @@ def test_cli_dedup_materializes_corpus_and_manifest(spark, sf_dir, tmp_path, cap
     ]
     assert sorted(kept2) == sorted(kept)  # no duplicated rows
     assert sorted(removed2) == sorted(removed)
+
+
+def test_cli_index_lifecycle_with_optimize(spark, sf_dir, tmp_path, capsys):
+    """`index` subcommand ops loop: build → append (new vectors absorbed
+    without refit) → optimize (re-cluster commit) → optimize again (no
+    churn) → query still serves."""
+    from data_engineering_project_spark.cli import main
+    from data_engineering_project_spark.sinks import snapshot_table as st
+
+    table = str(tmp_path / "ivf")
+    common = ["--sf-dir", sf_dir, "--master", "local[4]"]
+    assert main(["index", "build", table, *common, "--k-cells", "4"]) in (0, None)
+    assert main(["index", "append", table, *common]) in (0, None)
+    v_before = st.current_version(table)
+    assert main(["index", "optimize", table, *common]) in (0, None)
+    assert st.current_version(table) == v_before + 1
+    assert st.read_manifest(table).operation == "optimize"
+    out1 = capsys.readouterr().out
+    assert "files)" in out1
+    assert main(["index", "optimize", table, *common]) in (0, None)
+    assert st.current_version(table) == v_before + 1  # idempotent
+    assert "already compact" in capsys.readouterr().out
+    assert main(["index", "query", table, *common, "--query-id", "3"]) in (0, None)
+    assert "vec_id" in capsys.readouterr().out
