@@ -118,6 +118,57 @@ HEADLINE = (
 )
 
 
+# Fixed-work calibration sentinel (round-7 verdict #1). Totals rose
+# 27.6 -> 31.0 -> 38.2 s across rounds 5-7 on mostly-untouched code; with no
+# instrument, "cross-session spread" and "real regression" were
+# indistinguishable. The sentinel is a constant synthetic workload — no I/O,
+# no catalog dependence, no parquet, fixed row counts — timed the same way as
+# the headliners (warmup + median of `runs`). If the sentinel moves with the
+# headline total, the drift is environment (JVM/JIT/CPU clock/container
+# noise); if the sentinel stays flat while queries rise, the regression is
+# real and bisectable. Two phases so CPU drift and shuffle-machinery drift
+# are separable:
+#   cpu     — sum(xxhash64) over range(400M): pure whole-stage-codegen
+#             compute, zero exchange
+#   shuffle — groupBy(id % 64Ki) over range(2^24) then re-hash: one
+#             fixed-size exchange (~64Ki groups) through the shuffle service
+SENTINEL_CPU_ROWS = 400_000_000
+SENTINEL_SHUFFLE_ROWS = 1 << 24
+SENTINEL_SHUFFLE_KEYS = 1 << 16
+
+
+def _calibration_sentinel(spark, runs: int) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    # bit_xor, not sum: summing 64-bit hashes overflows a long under the
+    # ANSI-mode default, and the sentinel must never depend on session conf
+    def cpu() -> None:
+        spark.range(SENTINEL_CPU_ROWS, numPartitions=int(CPUS) * 2).select(
+            F.bit_xor(F.xxhash64("id")).alias("h")
+        ).collect()
+
+    def shuffle() -> None:
+        spark.range(
+            SENTINEL_SHUFFLE_ROWS, numPartitions=int(CPUS) * 2
+        ).groupBy((F.col("id") % SENTINEL_SHUFFLE_KEYS).alias("k")).agg(
+            F.bit_xor(F.xxhash64("id")).alias("s")
+        ).select(F.bit_xor(F.xxhash64("k", "s")).alias("h")).collect()
+
+    out: dict[str, float] = {}
+    for name, fn in (("cpu", cpu), ("shuffle", shuffle)):
+        fn()  # warmup: codegen JIT, same protocol as the headliners
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        out[f"{name}_sec"] = round(samples[len(samples) // 2], 3)
+        out[f"{name}_spread"] = round(samples[-1] - samples[0], 3)
+    out["total_sec"] = round(out["cpu_sec"] + out["shuffle_sec"], 3)
+    return out
+
+
 def _stage_totals(spark) -> dict[str, int] | None:
     """Cumulative shuffle/spill bytes across all completed stages, from the
     UI REST API (the stable public surface for executor metrics). Shuffle
@@ -164,8 +215,12 @@ def _serving_index_latency(spark) -> dict:
         from data_engineering_project_spark.sources.tables import load_table
 
         emb = load_table(spark, SF_DIR, "embeddings")
+        # orderBy pins the evaluation sample: limit without ordering is
+        # nondeterministic in Spark, which would put each run's latency
+        # median over a different query set (round-7 advice)
         qvs = [
-            [float(v) for v in r["embedding"]] for r in emb.limit(8).collect()
+            [float(v) for v in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(8).collect()
         ]
         tmp = tempfile.mkdtemp(prefix="bench_serving_")
         out: dict = {"n_queries": len(qvs), "k": 10, "nprobe": 2}
@@ -282,6 +337,9 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # calibration BEFORE the headline loops: same session, same JVM state
+    # the queries are about to run in
+    sentinel = _calibration_sentinel(spark, runs)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     shuffle_mb: dict[str, dict[str, float] | None] = {}
@@ -355,8 +413,22 @@ def main() -> None:
         "duckdb": duck,
         "ratio_spark_over_duckdb": ratio,
     }
+    # second sentinel pass AFTER the timed loops: if within-run drift (warm
+    # JVM heats up, GC pressure accumulates) is significant, the before/after
+    # delta shows it — one run per phase, cheap
+    sentinel_after = _calibration_sentinel(spark, 1)
     detail = dict(
         line,
+        sentinel=sentinel,
+        sentinel_after=sentinel_after,
+        # per-query wall divided by the sentinel total: the unit-free number
+        # to compare across rounds. If sentinel_sec moved between rounds, raw
+        # per-query deltas at the same normalized value are environment, not
+        # regression.
+        queries_per_sentinel={
+            k: round(v / max(sentinel["total_sec"], 1e-3), 3)
+            for k, v in timings.items()
+        },
         serving_index=_serving_index_latency(spark),
         spread_max_minus_min=spreads,
         per_run_mb=shuffle_mb,
@@ -392,6 +464,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": _sf_from_dir(SF_DIR),
+        # fixed-work calibration on the line so every round's driver artifact
+        # carries its own environment denominator: value_norm = value /
+        # sentinel_sec is the cross-round comparable number
+        "sentinel_sec": sentinel["total_sec"],
+        "value_norm": round(total / max(sentinel["total_sec"], 1e-3), 2),
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
     out = json.dumps(line, separators=(",", ":"))

@@ -30,6 +30,8 @@ def test_worst_case_driver_line_fits_the_tail_window():
         "value": 9999.999,
         "unit": "sec",
         "sf": 0.1,
+        "sentinel_sec": 999.999,
+        "value_norm": 9999.99,
         "queries": {k: 999.99 for k in bench.HEADLINE},
     }
     out = json.dumps(line, separators=(",", ":"))
