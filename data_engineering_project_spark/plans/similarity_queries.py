@@ -1367,3 +1367,135 @@ def emb_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap") / 10.0, 2).alias("recall_at_10"),
     )
+
+
+# --- persisted IVF serving path (operators/ann_index.py) --------------------
+
+IVF_SERVE_NQ, IVF_SERVE_K, IVF_SERVE_NPROBE = 4, 10, 2
+
+_IVF_SERVE_SQL = f"""
+    WITH pts AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    init AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+                   AS cid, q
+        FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {KM_K}
+    ),
+    cents0 AS (
+        SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS cvec FROM init
+    ),
+    {_km_assign('cents0', 1)},
+    {_km_recompute('assigned1', 'cents0', 1)},
+    {_km_assign('cents1', 2)},
+    {_km_recompute('assigned2', 'cents1', 2)},
+    {_km_assign('cents2', 3)},
+    qv AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {KM_SCALE})
+                             AS DOUBLE)) AS qq
+        FROM embeddings WHERE vec_id < {IVF_SERVE_NQ}
+    ),
+    cdist AS (
+        SELECT v.query_id, v.qq, c.cid,
+               list_sum(list_transform(generate_series(1, {KM_DIM}),
+                   i -> (v.qq[i] - c.cvec[i]) * (v.qq[i] - c.cvec[i]))) AS d
+        FROM qv v CROSS JOIN cents2 c
+    ),
+    probe AS (
+        SELECT query_id, qq, cid FROM (
+            SELECT query_id, qq, cid,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, cid) AS rn
+            FROM cdist)
+        WHERE rn <= {IVF_SERVE_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, a.cid AS cell,
+               list_sum(list_transform(list_zip(a.q, p.qq),
+                        z -> CAST(z[1] AS DOUBLE) * z[2]))
+               / (sqrt(list_sum(list_transform(a.q,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(p.qq, x -> x * x)))) AS c
+        FROM probe p JOIN assigned3 a ON a.cid = p.cid
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(rn AS INT) AS rank,
+           vec_id,
+           CAST(cell AS INT) AS cell,
+           ROUND(c, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {IVF_SERVE_K}
+"""
+
+
+@register(
+    "emb_ivf_index_serving",
+    sql=_IVF_SERVE_SQL,
+    doc="The PERSISTED serving path end-to-end, driver-hashable: "
+    "build_ivf_index materializes the cell-clustered snapshot index "
+    "(quantized Lloyd fit, k=8, one file per cell with footer stats), "
+    "then a fixed 4-query probe set runs through query_ivf_index — "
+    "driver-side cell ranking over the k stored centroids, manifest-"
+    "pruned reads of only the nprobe=2 winning cells, Arrow-vectorized "
+    "in-cell cosine, top-10 per query. The oracle restates the whole "
+    "pipeline in SQL: the emb_kmeans_clusters Lloyd unroll supplies "
+    "cents2 (= the STORED centroid state, _lloyd returns the post-"
+    "recompute generation) and assigned3 (= the persisted cell "
+    "assignments); probe ranking is L2 on quantized vectors with the "
+    "(d, cid) tie-break; in-cell scoring is the proven exact-integer "
+    "cosine device. The result frame is rebuilt from the collected "
+    "top-k rows (<= nq*k = 40 by construction) so the temp index dir "
+    "can be reclaimed eagerly — the distributed work (fit, assignment "
+    "write, pruned scans, scoring) all happens through the index.",
+    tags=("similarity", "ann", "ivf", "serving"),
+)
+def emb_ivf_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from data_engineering_project_spark.operators import ann_index as ai
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < IVF_SERVE_NQ).orderBy("vec_id").collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_serving_")
+    table = os.path.join(tmp, "index")
+    rows = []
+    try:
+        ai.build_ivf_index(
+            e, table, k=KM_K, n_iter=KM_ITER, scale=KM_SCALE
+        )
+        for qr in qrows:
+            hits = ai.query_ivf_index(
+                spark,
+                table,
+                [float(v) for v in qr["embedding"]],
+                k=IVF_SERVE_K,
+                nprobe=IVF_SERVE_NPROBE,
+                scale=KM_SCALE,
+            ).collect()
+            rows.extend(
+                (
+                    int(qr["vec_id"]),
+                    rank0 + 1,
+                    int(h["vec_id"]),
+                    int(h["cell"]),
+                    float(h["cosine"]),
+                )
+                for rank0, h in enumerate(hits)
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "query_id int, rank int, vec_id bigint, cell int, cosine double",
+    )
