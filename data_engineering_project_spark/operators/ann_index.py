@@ -197,10 +197,16 @@ def optimize_index(
     (files ≈ table_bytes / 128 MiB, still clustered by cell).
     """
     cur = snap.current_version(table)
-    if cur is not None and snap.read_manifest(table, cur).operation == "optimize":
-        # nothing landed since the last compaction — any append/merge
-        # commit resets `operation`, so this check is exactly "no churn"
-        return None
+    if cur is not None:
+        m = snap.read_manifest(table, cur)
+        if m.operation == "optimize":
+            # nothing landed since the last compaction — any append/merge
+            # commit resets `operation`, so this check is exactly "no churn"
+            return None
+        if not m.files or sum(f.get("rows", 0) for f in m.files) == 0:
+            # committed-but-empty index: nothing to compact, and the
+            # target_files probe below would raise on a zero-file manifest
+            return None
     if target_files is None:
         target_files = (
             snap.read_table(spark, table).select("cell").distinct().count() or 1

@@ -142,6 +142,132 @@ def band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
     )
 
 
+#: sub-buckets per hot bucket in the ``max_bucket`` cap paths — the window
+#: that orders a bucket partitions by (bucket, sub), so the max task input
+#: is ~|bucket|/N_SALT instead of |bucket|
+N_SALT = 16
+
+
+def _salted_chunks(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+    n_salt: int = N_SALT,
+) -> DataFrame:
+    """Two-level skew-bounded chunk assignment for the ``max_bucket`` cap
+    paths. A single ``Window.partitionBy(bucket)`` bounded the cap's OUTPUT
+    but sorted an entire pathological bucket in one task — at 100 TB a
+    million-doc boilerplate bucket serializes one straggler. Here rows of a
+    bucket OVER the cap salt into ``hash(id) % n_salt`` sub-buckets first
+    (md5-derived so the DuckDB oracle restates the assignment bit-for-bit),
+    and the ordering window partitions by (bucket, sub): no task ever sorts
+    more than ~|bucket|/n_salt rows (ids hash uniformly; the salt is
+    independent of the bucket key). Buckets AT or UNDER the cap keep sub=0 —
+    one chunk holding the whole bucket, so capped output equals uncapped
+    output exactly until a bucket overflows. Within a sub-bucket the order
+    is (md5(id), id) and chunks hold ≤max_bucket docs, exactly as before.
+
+    Connectivity across the split is preserved by TWO chain families the
+    callers emit: consecutive chunk HEADS within each sub-bucket, and the
+    FIRST row of each non-empty sub-bucket chained in sub-rank order (that
+    ranking window sees ≤n_salt rows per bucket — bounded by construction).
+    Adds (sub, chunk, is_head, is_first) to ``df``'s columns.
+    """
+    from pyspark.sql import Window
+
+    # buckets at or under the cap keep sub=0 — one chunk, ALL pairs — so
+    # the cap stays a strict no-op until a bucket actually overflows (the
+    # tested semantics contract). The count is a parallel partial-agg
+    # groupBy, never a whole-bucket window; the attach join is skew-safe
+    # (AQE splits a hot bucket's partition — the build side is one row per
+    # bucket key)
+    cnt = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    hash_sub = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 17, 8), 16, 10
+        ).cast("long")
+        % n_salt
+    ).cast("int")
+    salted = (
+        df.join(cnt, on=list(bucket_cols))
+        .withColumn(
+            "sub",
+            F.when(F.col("_bn") <= max_bucket, F.lit(0)).otherwise(hash_sub),
+        )
+        .drop("_bn")
+    )
+    w = Window.partitionBy(*bucket_cols, "sub").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    pos = F.row_number().over(w) - F.lit(1)
+    return salted.select(
+        "*",
+        (pos / max_bucket).cast("int").alias("chunk"),
+        (pos % max_bucket == 0).alias("is_head"),
+        (pos == 0).alias("is_first"),
+    )
+
+
+def _chain_edges(
+    chunked: DataFrame, bucket_cols: list[str], id_col: str
+) -> DataFrame:
+    """The connectivity edges over a :func:`_salted_chunks` frame: head
+    chains within each sub-bucket plus the cross-sub first-row chain.
+    Output is O(n/max_bucket + n_salt) per bucket — negligible next to the
+    within-chunk candidates."""
+    from pyspark.sql import Window
+
+    heads = chunked.filter(F.col("is_head")).select(
+        F.col(id_col).alias("_hid"), *bucket_cols, "sub", "chunk"
+    )
+    within_sub = (
+        heads.select(
+            F.col("_hid").alias("id_a"),
+            *bucket_cols,
+            "sub",
+            F.col("chunk").alias("_c"),
+        )
+        .join(
+            heads.select(
+                F.col("_hid").alias("id_b"),
+                *bucket_cols,
+                "sub",
+                (F.col("chunk") - 1).alias("_c"),
+            ),
+            on=[*bucket_cols, "sub", "_c"],
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(*bucket_cols).orderBy("sub")
+    )
+    firsts = chunked.filter(F.col("is_first")).select(
+        F.col(id_col).alias("_fid"), *bucket_cols, rk.alias("_rk")
+    )
+    cross_sub = (
+        firsts.select(
+            F.col("_fid").alias("id_a"), *bucket_cols, F.col("_rk").alias("_r")
+        )
+        .join(
+            firsts.select(
+                F.col("_fid").alias("id_b"),
+                *bucket_cols,
+                (F.col("_rk") - 1).alias("_r"),
+            ),
+            on=[*bucket_cols, "_r"],
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    return within_sub.unionByName(cross_sub)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -168,17 +294,21 @@ def minhash_lsh_pairs(
 
     ``max_bucket``: a bucket of n docs (one boilerplate template repeated a
     million times) makes the self-join emit ~n²/2 candidate rows — quadratic
-    in exactly the place a 100 TB corpus is skewed. With ``max_bucket=B`` each
-    bucket is deterministically ordered (md5 of the id, then the id) and cut
-    into chunks of ≤B docs; candidates are generated within chunks plus a
-    chain edge between consecutive chunk HEADS, bounding the bucket's output
-    at O(n·B) rows while a genuine near-dup super-cluster stays one connected
-    component downstream (every chunk's members verify against their head's
-    chain). The trade, stated honestly: two docs that share ONLY this bucket
-    and land in different chunks are not candidates here — multi-band
-    redundancy is what recovers such pairs, exactly as it does for docs split
-    across buckets by an unlucky band. ``None`` (default) preserves the exact
-    uncapped semantics the catalog oracle restates.
+    in exactly the place a 100 TB corpus is skewed. With ``max_bucket=B``
+    each bucket first salts into ``hash(id) % N_SALT`` sub-buckets, each
+    sub-bucket is deterministically ordered (md5 of the id, then the id) and
+    cut into chunks of ≤B docs (:func:`_salted_chunks` — both the OUTPUT and
+    every task's INPUT are bounded: no task sorts more than ~n/N_SALT rows
+    of a pathological bucket); candidates are generated within chunks plus
+    the :func:`_chain_edges` families (consecutive chunk heads within a
+    sub-bucket, first rows across sub-buckets), bounding the bucket's output
+    at O(n·B) rows while a genuine near-dup super-cluster stays one
+    connected component downstream. The trade, stated honestly: two docs
+    that share ONLY this bucket and land in different chunks are not
+    candidates here — multi-band redundancy is what recovers such pairs,
+    exactly as it does for docs split across buckets by an unlucky band.
+    ``None`` (default) preserves the exact uncapped semantics the catalog
+    oracle restates.
     """
     rows_per_band = n_hashes // n_bands
     sh = shingles(F.col(text_col), shingle_k)
@@ -213,45 +343,32 @@ def minhash_lsh_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
-        from pyspark.sql import Window
-
-        # deterministic in-bucket order (md5 spreads adversarial id runs;
-        # the raw id breaks md5 ties), then fixed-size chunks — the window
-        # sorts within the same band_key partitioning the join needs anyway
-        w = Window.partitionBy("band_key").orderBy(
-            F.md5(F.col(id_col).cast("string")), F.col(id_col)
-        )
-        pos = F.row_number().over(w) - F.lit(1)
-        chunked = banded.select(
-            F.col(id_col),
-            "band_key",
-            (pos / max_bucket).cast("int").alias("chunk"),
-            (pos % max_bucket == 0).alias("is_head"),
+        # salted two-level assignment: sub-bucket by hash(id), order within
+        # (band_key, sub) — no task sorts a whole pathological bucket
+        chunked = _salted_chunks(
+            banded, ["band_key"], id_col, max_bucket
         ).persist()
-        left = chunked.select(F.col(id_col).alias("id_a"), "band_key", "chunk")
-        right = chunked.select(F.col(id_col).alias("id_b"), "band_key", "chunk")
+        left = chunked.select(
+            F.col(id_col).alias("id_a"), "band_key", "sub", "chunk"
+        )
+        right = chunked.select(
+            F.col(id_col).alias("id_b"), "band_key", "sub", "chunk"
+        )
         within = (
-            left.join(right, on=["band_key", "chunk"])
+            left.join(right, on=["band_key", "sub", "chunk"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
-        heads = chunked.filter(F.col("is_head")).select(
-            F.col(id_col).alias("_hid"), "band_key", "chunk"
-        )
-        chain = (
-            heads.select(F.col("_hid").alias("id_a"), "band_key", F.col("chunk").alias("_c"))
-            .join(
-                heads.select(
-                    F.col("_hid").alias("id_b"), "band_key", (F.col("chunk") - 1).alias("_c")
-                ),
-                on=["band_key", "_c"],
-            )
-            .select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
-            )
-        )
+        chain = _chain_edges(chunked, ["band_key"], id_col)
         cand = within.union(chain).dropDuplicates(["id_a", "id_b"])
+        # candidates are tiny by construction (O(n·B) per bucket): pin them
+        # eagerly and release the two cached wide frames NOW, so repeated
+        # invocations in a long-lived session don't accumulate cache
+        # (round-7 advice); graph queries already accept localCheckpoint
+        # lineage-truncation semantics
+        cand = cand.localCheckpoint(eager=True)
+        chunked.unpersist()
+        banded.unpersist()
     # shingle sets re-enter only for the verified candidates, keyed by id —
     # and are COMPUTED only for candidate docs: prune the corpus with a
     # semi-join on the (tiny) candidate id set before the shingle
@@ -400,11 +517,13 @@ def jaccard_prefix_pairs(
     corpus of n short docs sharing one rare-ish token still emits ~n²/2
     candidates from that token's bucket, the super-linear growth
     ``tools/shuffle_scaling.json`` measured (exponent 1.62 sf0.01→0.1).
-    With ``max_bucket=B``, each token bucket is deterministically ordered
-    (md5 of the id, then the id) and cut into chunks of ≤B docs; candidates
-    generate within chunks plus a chain edge between consecutive chunk
-    HEADS — O(n·B) output per bucket, and a genuine duplicate cluster stays
-    one connected component downstream. The trade, stated honestly: two
+    With ``max_bucket=B``, each token bucket salts into ``hash(id) %
+    N_SALT`` sub-buckets, each sub-bucket is deterministically ordered (md5
+    of the id, then the id) and cut into chunks of ≤B docs
+    (:func:`_salted_chunks` — output AND per-task input both bounded);
+    candidates generate within chunks plus the :func:`_chain_edges`
+    families — O(n·B) output per bucket, and a genuine duplicate cluster
+    stays one connected component downstream. The trade, stated honestly: two
     docs whose ONLY shared prefix token lands them in different chunks are
     not candidates here — with near-identical sets (J ≥ t means the sets
     are mostly shared tokens) the prefixes share ~|prefix| tokens, and each
@@ -463,30 +582,28 @@ def jaccard_prefix_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
-        from pyspark.sql import Window
-
-        # same chunked sub-bucketing as minhash_lsh_pairs(max_bucket=...):
-        # deterministic in-bucket order, ≤B-doc chunks, head-chain edges —
-        # the window sorts within the token partitioning the join needs
-        w = Window.partitionBy("tok").orderBy(
-            F.md5(F.col(id_col).cast("string")), F.col(id_col)
-        )
-        pos = F.row_number().over(w) - F.lit(1)
-        chunked = pref.select(
-            F.col(id_col),
-            "sz",
-            "tok",
-            (pos / max_bucket).cast("int").alias("chunk"),
-            (pos % max_bucket == 0).alias("is_head"),
+        # same salted two-level sub-bucketing as minhash_lsh_pairs: order
+        # within (tok, sub), ≤B-doc chunks, head + cross-sub chain edges —
+        # no task sorts an entire hot token's bucket
+        chunked = _salted_chunks(
+            pref, ["tok"], id_col, max_bucket
         ).persist()
         left = chunked.select(
-            F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok", "chunk"
+            F.col(id_col).alias("id_a"),
+            F.col("sz").alias("sz_a"),
+            "tok",
+            "sub",
+            "chunk",
         )
         right = chunked.select(
-            F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok", "chunk"
+            F.col(id_col).alias("id_b"),
+            F.col("sz").alias("sz_b"),
+            "tok",
+            "sub",
+            "chunk",
         )
         within = (
-            left.join(right, on=["tok", "chunk"])
+            left.join(right, on=["tok", "sub", "chunk"])
             .filter(
                 (F.col("id_a") < F.col("id_b"))
                 & (F.col("sz_b") >= F.lit(min_jaccard) * F.col("sz_a"))
@@ -494,29 +611,15 @@ def jaccard_prefix_pairs(
             )
             .select("id_a", "id_b")
         )
-        heads = chunked.filter(F.col("is_head")).select(
-            F.col(id_col).alias("_hid"), "tok", "chunk"
-        )
-        # chain edges skip the length filter: they are O(n/B) per bucket and
-        # exact verification drops under-threshold pairs anyway
-        chain = (
-            heads.select(
-                F.col("_hid").alias("id_a"), "tok", F.col("chunk").alias("_c")
-            )
-            .join(
-                heads.select(
-                    F.col("_hid").alias("id_b"),
-                    "tok",
-                    (F.col("chunk") - 1).alias("_c"),
-                ),
-                on=["tok", "_c"],
-            )
-            .select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
-            )
-        )
+        # chain edges skip the length filter: they are O(n/B + N_SALT) per
+        # bucket and exact verification drops under-threshold pairs anyway
+        chain = _chain_edges(chunked, ["tok"], id_col)
         cand = within.union(chain).dropDuplicates(["id_a", "id_b"])
+        # eager-pin the (tiny) candidate set and release the cached wide
+        # frame immediately — repeated catalog/bench invocations in one
+        # session must not accumulate cache (round-7 advice)
+        cand = cand.localCheckpoint(eager=True)
+        chunked.unpersist()
     ts_by_id = base.select(F.col(id_col).alias("_ts_id"), F.col("ts").alias("_ts"))
     verified = (
         cand.join(ts_by_id, cand["id_a"] == ts_by_id["_ts_id"])

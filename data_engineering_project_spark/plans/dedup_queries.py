@@ -146,6 +146,7 @@ def docs_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CAP_B = 64
+_CAP_SALT = 16  # must equal operators/dedup.py:N_SALT
 
 _CAPPED_SQL = f"""
     WITH ts AS (
@@ -168,28 +169,50 @@ _CAPPED_SQL = f"""
                    AS tok
         FROM ordered
     ),
-    chunked AS (
+    salted AS (
         SELECT doc_id, tok,
-               CAST(floor((row_number() OVER w - 1) / {_CAP_B}) AS INT) AS chunk,
-               ((row_number() OVER w - 1) % {_CAP_B} = 0) AS is_head
+               CASE WHEN count(*) OVER (PARTITION BY tok) <= {_CAP_B} THEN 0
+                    ELSE CAST(CAST('0x' ||
+                              substr(md5(CAST(doc_id AS VARCHAR)), 17, 8)
+                              AS BIGINT) % {_CAP_SALT} AS INT) END AS sub
         FROM pref
-        WINDOW w AS (PARTITION BY tok
+    ),
+    chunked AS (
+        SELECT doc_id, tok, sub,
+               CAST(floor((row_number() OVER w - 1) / {_CAP_B}) AS INT) AS chunk,
+               ((row_number() OVER w - 1) % {_CAP_B} = 0) AS is_head,
+               (row_number() OVER w = 1) AS is_first
+        FROM salted
+        WINDOW w AS (PARTITION BY tok, sub
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
     ),
     within AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM chunked a JOIN chunked b ON a.tok = b.tok AND a.chunk = b.chunk
+        FROM chunked a JOIN chunked b
+          ON a.tok = b.tok AND a.sub = b.sub AND a.chunk = b.chunk
         WHERE a.doc_id < b.doc_id
     ),
     chain AS (
         SELECT least(a.doc_id, b.doc_id) AS id_a,
                greatest(a.doc_id, b.doc_id) AS id_b
         FROM chunked a JOIN chunked b
-          ON a.tok = b.tok AND a.chunk = b.chunk - 1 AND a.is_head AND b.is_head
+          ON a.tok = b.tok AND a.sub = b.sub AND a.chunk = b.chunk - 1
+             AND a.is_head AND b.is_head
+    ),
+    firsts AS (
+        SELECT doc_id, tok,
+               row_number() OVER (PARTITION BY tok ORDER BY sub) AS rk
+        FROM chunked WHERE is_first
+    ),
+    crosschain AS (
+        SELECT least(a.doc_id, b.doc_id) AS id_a,
+               greatest(a.doc_id, b.doc_id) AS id_b
+        FROM firsts a JOIN firsts b ON a.tok = b.tok AND a.rk = b.rk - 1
     ),
     cand AS (
         SELECT DISTINCT id_a, id_b
-        FROM (SELECT * FROM within UNION ALL SELECT * FROM chain)
+        FROM (SELECT * FROM within UNION ALL SELECT * FROM chain
+              UNION ALL SELECT * FROM crosschain)
     ),
     verified AS (
         SELECT id_a, id_b,
@@ -209,17 +232,20 @@ _CAPPED_SQL = f"""
     "docs_jaccard_capped_pairs",
     sql=_CAPPED_SQL,
     doc="Skew-bounded exact-Jaccard pairs: the prefix-filter join of "
-    "docs_jaccard_near_pairs with max_bucket=64 chunked sub-bucketing — "
-    "each hot prefix-token bucket is md5-ordered, cut into ≤64-doc chunks, "
-    "candidates generate within chunks plus head-chain edges, bounding a "
-    "duplicate super-cluster's output at O(n·64) instead of C(n,2) (the "
-    "shuffle audit's exponent-1.62 grower; the testdata corpus really has "
-    "a ~64-doc template cluster, so the cap ENGAGES here and the oracle "
-    "restates the chunking deterministically — window over md5(id), "
-    "row_number arithmetic, head chain — byte-identical). The uncapped "
-    "twin stays the completeness-guaranteed catalog row; this is the "
-    "100 TB manifest-feeder shape: connectivity-sufficient pairs, not "
-    "all-pairs.",
+    "docs_jaccard_near_pairs with max_bucket=64 SALTED two-level "
+    "sub-bucketing — each hot prefix-token bucket salts into hash(id)%16 "
+    "sub-buckets (so no single task ever sorts a whole pathological "
+    "bucket), each sub-bucket is md5-ordered and cut into ≤64-doc chunks; "
+    "candidates generate within chunks plus two chain families (head "
+    "chains within sub-buckets, first-row chain across sub-buckets), "
+    "bounding a duplicate super-cluster's output at O(n·64) instead of "
+    "C(n,2) (the shuffle audit's exponent-1.62 grower; the testdata "
+    "corpus really has a ~64-doc template cluster, so the cap ENGAGES "
+    "here and the oracle restates the salting + chunking deterministically "
+    "— md5-derived sub assignment, windows over (tok, sub), row_number "
+    "arithmetic, both chains — byte-identical). The uncapped twin stays "
+    "the completeness-guaranteed catalog row; this is the 100 TB "
+    "manifest-feeder shape: connectivity-sufficient pairs, not all-pairs.",
     tags=("dedup", "jaccard", "skew"),
 )
 def docs_jaccard_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

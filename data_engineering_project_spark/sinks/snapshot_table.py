@@ -460,6 +460,11 @@ def read_pruned(
     if not keep:
         # Keep the resolved version: a tag-pinned reader must get the pinned
         # generation's schema even mid-rebuild, not the current version's.
+        if m.schema is not None:
+            # build directly from the manifest's stored schema — routing
+            # through read_table would raise on a legitimately empty
+            # pinned version (no files to infer from)
+            return _read_file_subset(spark, table, [], m.schema)
         return read_table(spark, table, version=version).filter(F.lit(False))
     return spark.read.parquet(*[os.path.join(table, f["path"]) for f in keep])
 
@@ -828,6 +833,11 @@ def optimize(
             raise FileNotFoundError(f"no committed version in {table!r}")
         m = read_manifest(table, base)
         if len(m.files) < min_files_to_compact:
+            return None
+        if sum(f.get("rows", 0) for f in m.files) == 0:
+            # all files empty: an empty table is trivially compact, and a
+            # rewrite would commit a zero-file manifest (breaking readers)
+            # after zorder_write chokes on NULL min/max bounds
             return None
         df = read_table(spark, table, version=base)
         if zorder_cols:

@@ -538,3 +538,25 @@ def test_optimize_index_restores_pruning_after_appends(spark, emb, tmp_path):
 
     # idempotent: already-compact table → no version churn
     assert optimize_index(spark, table) is None
+
+
+def test_optimize_index_noop_on_empty_index(spark, emb, tmp_path):
+    """Round-7 advice: optimize_index over an index whose data table was
+    fully emptied (or committed with zero-row files) must return None and
+    leave the table serving empty results, not raise or commit a
+    zero-file manifest."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.operators.ann_index import (
+        optimize_index,
+    )
+
+    table = str(tmp_path / "empty_idx")
+    build_ivf_index(emb.limit(32), table, k=4)
+    snap.delete_where(spark, table, F.lit(True), stats_cols=["cell"])
+    before = snap.current_version(table)
+    assert optimize_index(spark, table) is None
+    assert snap.current_version(table) == before
+    # the serving read path over the emptied index degrades to zero hits
+    qv = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    assert query_ivf_index(spark, table, qv, k=5, nprobe=2).count() == 0

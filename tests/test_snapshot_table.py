@@ -581,3 +581,56 @@ class TestReadChanges:
         st.write_table(widened, table, mode="append")
         rows = st.read_changes(spark, table, 0, 1).collect()
         assert [(r.k, r.v, r.w, r._change) for r in rows] == [(2, "b", 7, "insert")]
+
+
+def test_optimize_noop_when_all_files_empty(spark, table):
+    """Round-7 advice: OPTIMIZE over a committed version whose files hold
+    zero rows must be a no-op — a rewrite would either crash zorder_write
+    on NULL min/max bounds or commit a zero-file manifest that breaks
+    subsequent readers."""
+    import json as _json
+
+    st.write_table(_rows(spark, [(1, "a"), (2, "b")]).repartition(2), table)
+    # fabricate the committed-but-empty shape: rewrite the manifest's file
+    # entries to claim zero rows (the state an upstream writer of empty
+    # part-files produces)
+    v = st.current_version(table)
+    path = os.path.join(table, "_manifests", f"v{v:08d}.json")
+    raw = _json.load(open(path))
+    assert len(raw["files"]) >= 2
+    for f in raw["files"]:
+        f["rows"] = 0
+    with open(path, "w") as fh:
+        _json.dump(raw, fh)
+    before = st.current_version(table)
+    assert st.optimize(spark, table, target_files=1, zorder_cols=("k",)) is None
+    assert st.current_version(table) == before  # no version churn
+
+
+def test_read_pruned_on_empty_pinned_version_returns_schema_frame(
+    spark, table
+):
+    """Round-7 advice: a prune miss over a legitimately EMPTY pinned
+    version must return an empty frame of the manifest schema instead of
+    routing through read_table's no-files ValueError."""
+    import json as _json
+
+    st.write_table(_rows(spark, [(1, "a"), (5, "b")]), table, stats_cols=["k"])
+    st.delete_where(spark, table, F.lit(True), stats_cols=["k"])  # empty v1
+    m = st.read_manifest(table)
+    assert sum(f["rows"] for f in m.files) == 0
+    out = st.read_pruned(spark, table, "k", 0, 100)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
+    # the stricter shape: a pinned version holding NO files at all — the
+    # empty-prune fallback must build the frame from the manifest schema
+    # instead of routing through read_table's no-files ValueError
+    v = st.current_version(table)
+    path = os.path.join(table, "_manifests", f"v{v:08d}.json")
+    raw = _json.load(open(path))
+    raw["files"] = []
+    with open(path, "w") as fh:
+        _json.dump(raw, fh)
+    out = st.read_pruned(spark, table, "k", 0, 100)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
