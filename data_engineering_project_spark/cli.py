@@ -256,83 +256,93 @@ def main(argv: list[str] | None = None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name=f"dep-spark-{args.mode}", master=args.master)
     try:
-        if args.mode == "sql":
-            from data_engineering_project_spark.sources.tables import (
-                load_tables,
-            )
-
-            load_tables(spark, args.sf_dir)
-            spark.sql(args.statement).show(args.limit, truncate=False)
-        elif args.mode == "query":
-            from data_engineering_project_spark.plans.catalog import queries
-
-            qs = queries()
-            if args.name is None or args.name not in qs:
-                print(
-                    f"unknown query {args.name!r}; use `query --list`",
-                    file=sys.stderr,
-                )
-                return 2
-            if args.sf_dir is None:
-                print("--sf-dir is required to run a query", file=sys.stderr)
-                return 2
-            result = qs[args.name](spark, args.sf_dir)
-            if args.save:
-                from data_engineering_project_spark.sinks.snapshot_table import (
-                    write_table,
-                )
-
-                manifest = write_table(result, args.save)
-                print(f"{args.save} v{manifest.version}")
-            else:
-                result.show(args.limit, truncate=False)
-        elif args.mode == "changes":
-            from data_engineering_project_spark.sinks import snapshot_table as st
-
-            st.read_changes(spark, args.table, args.v_from, args.v_to).show(
-                args.limit, truncate=False
-            )
-        elif args.mode == "dedup":
-            _run_dedup(spark, args)
-        elif args.mode == "index":
-            return _run_index(spark, args)
-        elif args.mode == "load":
-            _run_load(spark, args)
-        elif args.mode == "batch":
-            from data_engineering_project_spark.pipeline import run_daily_report
-
-            result = run_daily_report(
-                spark,
-                args.input_dir,
-                args.output_dir,
-                user_agent=args.user_agent,
-            )
-            for path in result.csv_paths:
-                print(path)
-            n_invalid = result.invalid.count()
-            if n_invalid:
-                print(f"dead-letter rows: {n_invalid}", file=sys.stderr)
-        else:
-            from data_engineering_project_spark.streaming.pipeline import (
-                run_incremental_report,
-            )
-
-            # streaming file sources need a declared schema; pin it from the
-            # files already landed (schema-on-read, but declared — bad later
-            # files fail fast instead of corrupting the aggregate)
-            schema = spark.read.parquet(args.input_dir).schema
-            run_incremental_report(
-                spark,
-                args.input_dir,
-                args.output_dir,
-                args.checkpoint_dir,
-                schema,
-                available_now=args.available_now,
-            )
-        return 0
+        return _dispatch(spark, args)
+    except (ValueError, FileNotFoundError) as exc:
+        # expected operational errors (empty input frame, missing table or
+        # version, bad argument combination) exit cleanly instead of
+        # tracebacking — the CLI is an operator's tool
+        print(f"{args.mode}: {exc}", file=sys.stderr)
+        return 2
     finally:
         if owns_session:
             spark.stop()
+
+
+def _dispatch(spark, args) -> int:
+    if args.mode == "sql":
+        from data_engineering_project_spark.sources.tables import (
+            load_tables,
+        )
+
+        load_tables(spark, args.sf_dir)
+        spark.sql(args.statement).show(args.limit, truncate=False)
+    elif args.mode == "query":
+        from data_engineering_project_spark.plans.catalog import queries
+
+        qs = queries()
+        if args.name is None or args.name not in qs:
+            print(
+                f"unknown query {args.name!r}; use `query --list`",
+                file=sys.stderr,
+            )
+            return 2
+        if args.sf_dir is None:
+            print("--sf-dir is required to run a query", file=sys.stderr)
+            return 2
+        result = qs[args.name](spark, args.sf_dir)
+        if args.save:
+            from data_engineering_project_spark.sinks.snapshot_table import (
+                write_table,
+            )
+
+            manifest = write_table(result, args.save)
+            print(f"{args.save} v{manifest.version}")
+        else:
+            result.show(args.limit, truncate=False)
+    elif args.mode == "changes":
+        from data_engineering_project_spark.sinks import snapshot_table as st
+
+        st.read_changes(spark, args.table, args.v_from, args.v_to).show(
+            args.limit, truncate=False
+        )
+    elif args.mode == "dedup":
+        _run_dedup(spark, args)
+    elif args.mode == "index":
+        return _run_index(spark, args)
+    elif args.mode == "load":
+        _run_load(spark, args)
+    elif args.mode == "batch":
+        from data_engineering_project_spark.pipeline import run_daily_report
+
+        result = run_daily_report(
+            spark,
+            args.input_dir,
+            args.output_dir,
+            user_agent=args.user_agent,
+        )
+        for path in result.csv_paths:
+            print(path)
+        n_invalid = result.invalid.count()
+        if n_invalid:
+            print(f"dead-letter rows: {n_invalid}", file=sys.stderr)
+    else:
+        from data_engineering_project_spark.streaming.pipeline import (
+            run_incremental_report,
+        )
+
+        # streaming file sources need a declared schema; pin it from the
+        # files already landed (schema-on-read, but declared — bad later
+        # files fail fast instead of corrupting the aggregate)
+        schema = spark.read.parquet(args.input_dir).schema
+        run_incremental_report(
+            spark,
+            args.input_dir,
+            args.output_dir,
+            args.checkpoint_dir,
+            schema,
+            available_now=args.available_now,
+        )
+    return 0
 
 
 def _run_ops(args) -> int:

@@ -116,9 +116,16 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read the full catalog and register each table as a temp view so both
-    the DataFrame API and ``spark.sql`` reach the same scans."""
+    the DataFrame API and ``spark.sql`` reach the same scans. Tables whose
+    parquet is absent from ``sf_dir`` are skipped (a partial directory —
+    e.g. documents-only — still serves ad-hoc SQL over what's there, the
+    same contract as the bench's DuckDB twin registration)."""
+    import os
+
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
+        if not os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            continue
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
