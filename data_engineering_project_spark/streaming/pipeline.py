@@ -1839,6 +1839,7 @@ def upsert_ivf_index(
     k: int = 8,
     n_iter: int = 3,
     scale: int = 1000,
+    auto_optimize_files: int | None = None,
 ) -> Callable:
     """foreachBatch writer maintaining the PERSISTED IVF serving index
     (operators/ann_index.py) from a stream of embedding rows.
@@ -1856,6 +1857,18 @@ def upsert_ivf_index(
     family, no batch_id protocol. Crash between the build's data commit
     and its centroid commit leaves the centroid table absent, so the
     replay simply rebuilds with ``overwrite`` — no torn state survives.
+
+    ``auto_optimize_files``: in-line table service. Each append commit
+    lands the batch's rows as new files spanning many cells, so probe
+    read-amplification grows with ingest count; when the manifest's file
+    count reaches this threshold the writer runs
+    :func:`~data_engineering_project_spark.operators.ann_index.optimize_index`
+    (cell-clustered compaction) in the same foreachBatch slot. Zero
+    downtime by the format's copy-on-write contract: tag-pinned readers
+    keep serving their pinned generation, the swap is one atomic manifest
+    commit, and a replayed optimize is a no-op (content-preserving;
+    ``optimize_index`` skips when nothing landed since the last
+    compaction). ``None`` (default) leaves compaction to an external job.
     """
     from data_engineering_project_spark.operators import ann_index
     from data_engineering_project_spark.sinks import snapshot_table as st
@@ -1876,5 +1889,11 @@ def upsert_ivf_index(
                 batch_df, table_dir, id_col=id_col, vec_col=vec_col,
                 scale=scale,
             )
+            if auto_optimize_files is not None:
+                m = st.read_manifest(table_dir)
+                if len(m.files) >= auto_optimize_files:
+                    ann_index.optimize_index(
+                        batch_df.sparkSession, table_dir
+                    )
 
     return _write

@@ -560,3 +560,98 @@ def test_optimize_index_noop_on_empty_index(spark, emb, tmp_path):
     # the serving read path over the emptied index degrades to zero hits
     qv = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
     assert query_ivf_index(spark, table, qv, k=5, nprobe=2).count() == 0
+
+
+def test_streaming_auto_optimize_zero_downtime(spark, emb, tmp_path):
+    """auto_optimize_files wires OPTIMIZE into the ingest loop (round-7
+    verdict #8): appends accumulate files until the threshold, the writer
+    compacts in-line, and a tag pinned BEFORE the compaction keeps serving
+    its exact pre-compaction content afterwards (copy-on-write zero
+    downtime), while current reads see the compacted, pruning-restored
+    layout with identical data."""
+    import os
+    import time as _time
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        upsert_ivf_index,
+    )
+
+    src = tmp_path / "emb_in"
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "ivf")
+    src.mkdir()
+    schema = "vec_id bigint, embedding array<double>, label bigint"
+    slices = [(0, 200), (200, 300), (300, 400), (400, 500)]
+    for i, (lo, hi) in enumerate(slices):
+        emb.filter(f"vec_id >= {lo} and vec_id < {hi}").selectExpr(
+            "vec_id",
+            "transform(embedding, x -> cast(x as double)) as embedding",
+            "label",
+        ).coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+    base = _time.time() - 3600
+    for i, name in enumerate(sorted(os.listdir(src))):
+        for f in os.listdir(src / name):
+            os.utime(src / name / f, (base + 10 * i, base + 10 * i))
+        os.utime(src / name, (base + 10 * i, base + 10 * i))
+
+    # bootstrap on batch 0 only, then pin a tag on the bootstrap version
+    # before the appends arrive
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b0.parquet")
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert_ivf_index(table, k=4))
+        .option("checkpointLocation", str(tmp_path / "ck0"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap.create_tag(table, "pinned")
+    pinned_rows = sorted(
+        (r["vec_id"], r["cell"])
+        for r in snap.read_table(spark, table, tag="pinned").collect()
+    )
+    assert len(pinned_rows) == 200
+
+    # appends with a low threshold: compaction must fire at least once
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_ivf_index(table, k=4, auto_optimize_files=5)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ops = [
+        snap.read_manifest(table, v).operation
+        for v in range(snap.current_version(table) + 1)
+    ]
+    assert "optimize" in ops  # the in-line compaction really fired
+    # all 500 vectors present exactly once; a late vector is servable
+    assert snap.read_table(spark, table).count() == emb.count()
+    target = emb.filter("vec_id = 450").collect()[0]
+    got = [
+        r["vec_id"]
+        for r in query_ivf_index(
+            spark, table, [float(v) for v in target["embedding"]],
+            k=1, nprobe=4,
+        ).collect()
+    ]
+    assert got == [450]
+    # zero downtime: the pre-compaction pin still reads its exact content
+    assert (
+        sorted(
+            (r["vec_id"], r["cell"])
+            for r in snap.read_table(spark, table, tag="pinned").collect()
+        )
+        == pinned_rows
+    )
