@@ -111,6 +111,48 @@ def score_cosine_vectorized(
     return narrowed.mapInPandas(batches, f"{fields}, cosine double")
 
 
+def score_cosine_pairs_vectorized(
+    joined: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_embedding",
+    keep_cols: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """Row-PAIR cosine scorer: like :func:`score_cosine_vectorized` but the
+    query vector varies per row — the kernel of a batched kNN JOIN, where
+    each corpus row arrives already matched to (possibly many) query rows
+    and all pairs score in one numpy pass per Arrow batch. The constant-
+    query scorer would silently misscore here (it lifts the first row's
+    query for the whole batch), so this variant stacks BOTH matrices.
+
+    Bit-exactness: same ``np.cumsum`` strict-left-fold device as the
+    constant-query scorer, so dot, norms, and the final cosine reproduce
+    the SQL oracle's ``list_sum`` doubles exactly.
+    """
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].values).astype(np.float64)
+            Q = np.stack(pdf[query_vec_col].values).astype(np.float64)
+            dots = np.cumsum(V * Q, axis=1)[:, -1]
+            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            nq = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+            out = {c: pdf[c] for c in keep_cols}
+            out["cosine"] = dots / (nv * nq)
+            yield pd.DataFrame(out)
+
+    fields = ", ".join(
+        f"{c} {joined.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    narrowed = joined.select(*keep_cols, vec_col, query_vec_col)
+    return narrowed.mapInPandas(batches, f"{fields}, cosine double")
+
+
 def topk_cosine_vectorized(
     corpus: DataFrame,
     query: DataFrame,

@@ -1499,3 +1499,133 @@ def emb_ivf_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "query_id int, rank int, vec_id bigint, cell int, cosine double",
     )
+
+
+# --- batched kNN join -------------------------------------------------------
+
+KNN_NQ, KNN_K, KNN_NPROBE = 16, 3, 2
+
+_KNN_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+_KNN_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {KNN_NQ}
+    ),
+    expl AS (
+        SELECT label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) u
+    ),
+    cent AS (SELECT label, pos, avg(v) AS c FROM expl GROUP BY label, pos),
+    cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    cscore AS (
+        SELECT q.qid, c.label, {_KNN_COS.format(a='c.cv', b='q.qe')} AS cc
+        FROM cvec c CROSS JOIN q
+    ),
+    probe AS (
+        SELECT qid, label FROM (
+            SELECT qid, label,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cc DESC, label) AS rn
+            FROM cscore)
+        WHERE rn <= {KNN_NPROBE}
+    ),
+    cand AS (
+        SELECT p.qid, e.vec_id, e.label, e.embedding, q.qe
+        FROM embeddings e
+        JOIN probe p ON e.label = p.label
+        JOIN q ON q.qid = p.qid
+        WHERE e.vec_id <> p.qid
+    ),
+    scored AS (
+        SELECT qid, vec_id, label,
+               {_KNN_COS.format(a='embedding', b='qe')} AS c
+        FROM cand
+    )
+    SELECT qid AS query_id,
+           CAST(rn AS INT) AS rank,
+           vec_id, label,
+           ROUND(c, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY c DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {KNN_K}
+"""
+
+
+@register(
+    "emb_knn_join",
+    sql=_KNN_SQL,
+    doc="Batched kNN JOIN — the OFFLINE batch-scoring counterpart of the "
+    "per-query serving loop, and the shape a 100 TB feature pipeline "
+    "actually runs (score a whole query table, not one vector): 16 query "
+    "vectors probe their nprobe=2 nearest label-centroid cells in ONE "
+    "plan — the (qid, label) probe table is built from a 16×n_labels "
+    "crossJoin of two tiny frames, then BROADCAST against the corpus so "
+    "every corpus partition is read once for ALL queries, with zero "
+    "shuffles of the big side; each candidate (corpus row, query) pair "
+    "scores through the row-pair vectorized cosine kernel "
+    "(score_cosine_pairs_vectorized — the constant-query scorer would "
+    "silently lift one query per batch), and top-3 per query falls out "
+    "of one window. Oracle restates centroids, probe ranking, and the "
+    "exact cosine fold per pair.",
+    tags=("similarity", "ann", "knn-join"),
+)
+def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q16 = e.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    expl = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v0")
+    ).select("label", "pos", F.col("v0").cast("double").alias("v"))
+    cent = expl.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    pairs = cvec.crossJoin(F.broadcast(q16)).select(
+        "qid", "label", S.cosine(F.col("cv"), F.col("qe")).alias("cc")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("cc"), F.asc("label"))
+    probe = (
+        pairs.select("qid", "label", F.row_number().over(wp).alias("rn"))
+        .filter(F.col("rn") <= KNN_NPROBE)
+        .select("qid", "label")
+    )
+    cand = (
+        e.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(q16), "qid")
+    )
+    scored = S.score_cosine_pairs_vectorized(
+        cand,
+        vec_col="embedding",
+        query_vec_col="qe",
+        keep_cols=("qid", "vec_id", "label"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.select(
+            "qid", "vec_id", "label", "cosine",
+            F.row_number().over(wk).alias("rn"),
+        )
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rn").cast("int").alias("rank"),
+            "vec_id",
+            "label",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
