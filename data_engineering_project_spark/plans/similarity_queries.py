@@ -1463,10 +1463,17 @@ def emb_ivf_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_engineering_project_spark.operators import ann_index as ai
 
+    out_schema = (
+        "query_id int, rank int, vec_id bigint, cell int, cosine double"
+    )
     e = load_table(spark, sf_dir, "embeddings")
     qrows = (
         e.filter(F.col("vec_id") < IVF_SERVE_NQ).orderBy("vec_id").collect()
     )
+    if not qrows:
+        # empty corpus: nothing to index, nothing to probe — the oracle's
+        # SQL yields zero rows on the same input
+        return spark.createDataFrame([], out_schema)
     tmp = tempfile.mkdtemp(prefix="ivf_serving_")
     table = os.path.join(tmp, "index")
     rows = []
@@ -1497,7 +1504,7 @@ def emb_ivf_index_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         rows,
-        "query_id int, rank int, vec_id bigint, cell int, cosine double",
+        out_schema,
     )
 
 

@@ -843,3 +843,46 @@ def test_rerank_rescore_stage_is_broadcast_point_lookup(plans):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_knn_join_never_shuffles_the_corpus(plans):
+    """emb_knn_join is the batched offline shape: the corpus scan must feed
+    BROADCAST joins against the (tiny) probe table and query frame — at
+    100 TB every corpus partition is read once for ALL queries with zero
+    shuffles of the big side; the only corpus-bearing exchange allowed is
+    the per-query top-k window's hashpartitioning on qid, which carries
+    only the probed candidates."""
+    plan = plans("emb_knn_join")
+    # corpus joins are broadcast, never sort-merge
+    assert "SortMergeJoin" not in plan
+    corpus_scans = [
+        seg for seg in plan.split("FileScan")[1:] if "embeddings" in seg[:300]
+    ]
+    assert corpus_scans, "corpus scan missing"
+    # the query frame is a driver-side local relation, not a corpus scan
+    # (a fact-scan broadcast build is what the broadcast audit flags)
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_serving_index_probe_reads_are_pruned(spark, tmp_path):
+    """query_ivf_index must touch only the probed cells' FILES: with k
+    cells written one-file-per-cell, a 2-probe query's scan lists exactly
+    2 data files — manifest pruning from footer stats, the 100 TB read
+    shape."""
+    from data_engineering_project_spark.operators.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    table = str(tmp_path / "ivf")
+    build_ivf_index(emb, table, k=8)
+    qv = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    df = query_ivf_index(spark, table, qv, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    files = set(re.findall(r"([0-9a-f]+/part-[^\s,\]]+\.parquet)", plan))
+    n_paths = plan.count("InMemoryFileIndex")
+    # two probed cells -> two single-file scans (union of two pruned reads)
+    assert n_paths == 2, plan[:500]
