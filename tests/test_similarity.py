@@ -182,3 +182,44 @@ def test_opq_dim_permutation_is_a_balanced_valid_permutation(spark):
     assert [r.asDict() for r in plain.collect()] == [
         r.asDict() for r in ident.collect()
     ]
+
+
+def test_rowpair_scorer_bit_identical_to_expression_cosine(spark):
+    """score_cosine_pairs_vectorized (the batched kNN-join kernel, query
+    varies per row) must reproduce the expression path's doubles exactly
+    for every pair — and must NOT exhibit the constant-query scorer's
+    lift-first-row behavior."""
+    from data_engineering_project_spark.operators.similarity import (
+        cosine,
+        score_cosine_pairs_vectorized,
+    )
+
+    e = _corpus(spark, n=60)
+    # every corpus row paired with a DIFFERENT query (cyclic shift by 7)
+    pairs = (
+        e.alias("a")
+        .join(
+            e.select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qe"),
+            ).alias("b"),
+            F.col("a.vec_id") == (F.col("qid") + 7) % 60,
+        )
+        .select("vec_id", "qid", "embedding", "qe")
+    )
+    expr = {
+        (r["vec_id"], r["qid"]): r["c"]
+        for r in pairs.select(
+            "vec_id", "qid", cosine(F.col("embedding"), F.col("qe")).alias("c")
+        ).collect()
+    }
+    vec = {
+        (r["vec_id"], r["qid"]): r["cosine"]
+        for r in score_cosine_pairs_vectorized(
+            pairs,
+            vec_col="embedding",
+            query_vec_col="qe",
+            keep_cols=("vec_id", "qid"),
+        ).collect()
+    }
+    assert expr == vec and len(vec) == 60  # exact float equality, all pairs
