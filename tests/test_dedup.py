@@ -476,3 +476,23 @@ def test_prefix_cap_deterministic(spark):
         )
     )
     assert one == two and one
+
+
+def test_salted_chunks_cap_boundary(spark):
+    """The salt gate is exact at the boundary: a bucket of B docs keeps
+    sub=0 / one chunk (strict noop shape); B+1 docs salt across
+    sub-buckets. Checked at B-1, B, B+1."""
+    import pyspark.sql.functions as F
+
+    B = 8
+    for n, expect_salted in ((B - 1, False), (B, False), (B + 1, True)):
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit("k").alias("bk")
+        )
+        rows = D._salted_chunks(df, ["bk"], "doc_id", max_bucket=B).collect()
+        subs = {r["sub"] for r in rows}
+        chunks = {(r["sub"], r["chunk"]) for r in rows}
+        if expect_salted:
+            assert len(subs) > 1, n  # 9 ids over 16 sub-buckets: spread
+        else:
+            assert subs == {0} and chunks == {(0, 0)}, n
