@@ -1170,3 +1170,90 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_word_x10000"
         ),
     )
+
+
+# --- feature hashing (the stateless vectorizer) -----------------------------
+
+FH_BUCKETS = 16
+
+
+@register(
+    "docs_feature_hash_vectors",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(term), 17, 8) AS BIGINT)
+                    % {FH_BUCKETS} AS INT) AS b
+        FROM tok
+    ),
+    counts AS (
+        SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        FROM bucketed GROUP BY doc_id, b
+    ),
+    dense AS (
+        SELECT d.doc_id, g.b, COALESCE(c.c, 0) AS c
+        FROM (SELECT DISTINCT doc_id FROM counts) d
+        CROSS JOIN (SELECT unnest(range({FH_BUCKETS})) AS b) g
+        LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = g.b
+    )
+    SELECT doc_id,
+           array_to_string(list(c ORDER BY b), ',') AS fvec,
+           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+    FROM dense GROUP BY doc_id
+    """,
+    doc="Feature hashing (the hashing trick, Weinberger et al. '09) — the "
+    "STATELESS vectorizer a 100 TB pipeline uses when a vocabulary join "
+    "is the bottleneck: term -> md5-derived bucket (portable hash, the "
+    "repo's md5_hash64 high half, so the oracle restates every bucket "
+    "bit-for-bit), per-doc dense 16-bucket count vector + active-bucket "
+    "count. No vocabulary state, no dictionary broadcast, no fit pass — "
+    "one explode + one (doc, bucket) count + a map-side densify via "
+    "map_from_entries/transform(sequence), so the only shuffle carries "
+    "(doc_id, bucket) pairs. Contrast docs_tfidf_top_terms, which joins "
+    "a corpus-wide document-frequency table.",
+    tags=("text", "vectorizer", "hashing"),
+)
+def docs_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    bucketed = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("term"), 17, 8), 16, 10).cast("long")
+            % FH_BUCKETS
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    counts = bucketed.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # densify map-side: bucket->count map per doc, then a fixed 16-slot
+    # projection — no second shuffle, no cross join
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(FH_BUCKETS - 1)),
+                    lambda b: F.coalesce(
+                        F.element_at(F.col("m"), b.cast("int")),
+                        F.lit(0).cast("bigint"),
+                    ),
+                ),
+                ",",
+            ).alias("fvec"),
+            F.size("m").cast("bigint").alias("n_active"),
+        )
+    )
