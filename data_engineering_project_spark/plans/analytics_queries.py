@@ -215,8 +215,11 @@ def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(different HLL implementations), so the query emits the exact count "
     "AND the error-bound PREDICATE |approx-exact|/exact <= 5% as columns — "
     "the oracle asserts the exact count and that the bound holds (literal "
-    "TRUE), so a broken HLL flips the hash. At 100 TB approx_count_distinct "
-    "is the default; exact countDistinct is the audit path.",
+    "TRUE), so a broken HLL flips the hash. The sketch runs at rsd=0.01, so "
+    "the 5%% predicate is a ~5-sigma bound — a deterministic margin, not a "
+    "1-sigma coin flip (the default rsd=0.05 flipped it at sf0.1). At "
+    "100 TB approx_count_distinct is the default; exact countDistinct is "
+    "the audit path.",
     tags=("agg", "approx"),
 )
 def user_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +227,7 @@ def user_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
         .select(

@@ -103,7 +103,7 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(ts AS DATE) AS d,
                CAST(floor(ln(value) / ln({_LOG_BASE})) AS BIGINT) AS bin,
                count(*) AS n
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value > 0 GROUP BY 1, 2
     ),
     merged AS (SELECT bin, sum(n) AS n FROM binned GROUP BY bin),
     cum AS (
@@ -127,7 +127,10 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "quantile", "timeseries"),
 )
 def events_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # the geometric sketch is defined on the POSITIVE support (same guard
+    # as events_cusum_drift_alarm): Spark's ln(<=0) is NULL but DuckDB's
+    # ln(0) raises — sf0.1 has a zero-valued event and found the hole
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     binned = ev.groupBy(
         F.col("ts").cast("date").alias("d"),
         F.floor(F.ln("value") / F.lit(math.log(_LOG_BASE)))

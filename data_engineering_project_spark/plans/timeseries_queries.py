@@ -45,8 +45,16 @@ UNIT = 10_000
     joined AS (
         SELECT s.event_type, s.h,
                coalesce(hourly.n, 0) AS n_events,
-               CASE WHEN hourly.n IS NOT NULL
-                    THEN round(hourly.units / (hourly.n * {UNIT}.0), 4)
+               -- half-away-from-zero to 4dp from the EXACT integer pair
+               -- (units, n): round(units/(n*UNIT), 4) on the raw double
+               -- flips on .00005 boundaries between engines (sf0.1 found
+               -- three such hours)
+               CASE WHEN hourly.n IS NOT NULL THEN round(
+                   (CASE WHEN hourly.units < 0
+                         THEN -floor((-2 * hourly.units + hourly.n)
+                                     / (2 * hourly.n))
+                         ELSE floor((2 * hourly.units + hourly.n)
+                                    / (2 * hourly.n)) END) / {UNIT}.0, 4)
                END AS hour_avg
         FROM spine s
         LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
@@ -91,9 +99,24 @@ def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "h",
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        # half-away-from-zero to 4dp from the exact integer (units, n)
+        # pair — the double-boundary-immune twin of the oracle's CASE
         F.when(
             F.col("n").isNotNull(),
-            F.round(F.col("units") / (F.col("n") * float(UNIT)), 4),
+            F.round(
+                F.when(
+                    F.col("units") < 0,
+                    -F.floor(
+                        (-2 * F.col("units") + F.col("n")) / (2 * F.col("n"))
+                    ),
+                ).otherwise(
+                    F.floor(
+                        (2 * F.col("units") + F.col("n")) / (2 * F.col("n"))
+                    )
+                )
+                / UNIT,
+                4,
+            ),
         ).alias("hour_avg"),
     )
     return joined.select(

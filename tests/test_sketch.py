@@ -119,21 +119,27 @@ def test_hll_estimate_close_to_exact_and_deterministic(spark, sf_dir):
     assert wit and all(r.sketch_within_5pct for r in wit)
 
 
-def test_hll_daily_union_equals_direct_sketch(spark, sf_dir):
-    # mergeability: folding 30 per-day sketches must give the SAME estimate
-    # as sketching the whole range in one pass — the property that lets a
-    # warehouse persist per-partition sketches and roll up arbitrary ranges
+def test_hll_daily_union_within_bound_of_exact(spark, sf_dir):
+    # mergeability: folding 30 per-day sketches answers within the error
+    # bound of the exact distinct count without re-scanning raw data — the
+    # property that lets a warehouse persist per-partition sketches and
+    # roll up arbitrary ranges. NOTE the old equality form (daily-union
+    # estimate == one-pass estimate) is NOT a DataSketches HLL property:
+    # a stream-built sketch answers via the HIP estimator while a union
+    # result falls back to the composite estimator; they coincide only
+    # while every sketch is still in coupon mode (true at tiny SF, false
+    # at sf0.1 — found by the sf0.1 parity sweep).
     from pyspark.sql import functions as F
 
     from data_engineering_project_spark.plans.catalog import queries
     from data_engineering_project_spark.sources.tables import load_table
 
     row = queries()["events_hll_daily_rollup"](spark, sf_dir).collect()[0]
-    assert row.union_equals_direct  # daily-union estimate == one-pass estimate
+    assert row.direct_within_5pct
     assert row.union_within_5pct
     assert row.n_days > 1  # the rollup actually merged multiple sketches
 
-    # independently recompute the union path and compare to a direct sketch
+    # independently recompute the union path against exact ground truth
     ev = load_table(spark, sf_dir, "events")
     daily_union = (
         ev.groupBy(F.to_date("ts").alias("day"))
@@ -141,10 +147,16 @@ def test_hll_daily_union_equals_direct_sketch(spark, sf_dir):
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u"))
         .collect()[0]["u"]
     )
-    direct = ev.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("d")
-    ).collect()[0]["d"]
-    assert daily_union == direct
+    exact = ev.select("user_id").distinct().count()
+    assert abs(daily_union - exact) / exact <= 0.05
+    # determinism: the union path itself is repeatable bit-for-bit
+    again = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u"))
+        .collect()[0]["u"]
+    )
+    assert daily_union == again
 
 
 def test_misra_gries_bounds_hold_under_forced_decrements(spark):
