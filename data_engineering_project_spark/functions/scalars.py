@@ -103,8 +103,65 @@ def exact_decimal_sum(expr: Column, scale: int, out_dp: int = 2) -> Column:
     ``floor(n+ε+0.5) = n = ROUND(n+ε)`` for either sign — the half-way
     cases where the two differ on negatives cannot arise. Bonus:
     ``floor`` yields LONG, so the running sum is exact to 2^63, not 2^53.
+
+    The FINAL rounding goes through :func:`half_up_div` when ``out_dp`` is
+    below the unit width: ``ROUND(su/scale, 2)`` on the raw double flips
+    on .xx5 boundaries (su ≡ half mod div puts the double just under the
+    true half; Spark's shortest-decimal BigDecimal rounds up, binary
+    engines round down — the sf0.1 parity sweep caught q9 doing exactly
+    this), while integer half-up from the exact unit sum is
+    engine-independent. SQL twin: :func:`sql_exact_sum`.
     """
-    return F.round(F.sum(decimal_units(expr, scale)) / scale, out_dp)
+    return half_up_div(F.sum(decimal_units(expr, scale)), scale, out_dp)
+
+
+def half_up_div(units: Column, scale: int, out_dp: int = 2) -> Column:
+    """Exact integer 1/``scale`` units → value rounded HALF-AWAY-FROM-ZERO
+    to ``out_dp`` decimals, entirely in integer arithmetic — immune to the
+    representable-boundary divergence between Spark's shortest-decimal
+    rounding and binary-double rounding. Use for ANY windowed / composed /
+    pre-aggregated unit sum that must round below its unit width; the
+    plain ``ROUND(units/scale, dp)`` form is only safe when
+    ``scale == 10^dp``."""
+    div = scale // (10 ** out_dp)
+    if scale % (10 ** out_dp) != 0:
+        raise ValueError(f"scale {scale} not divisible by 10^{out_dp}")
+    if div <= 1:
+        return F.round(units / scale, out_dp)
+    half = F.lit(div // 2) if div % 2 == 0 else None
+    if half is None:
+        raise ValueError(f"odd unit divisor {div}")
+    out_units = F.when(
+        units < 0, -F.floor((-units + half) / div)
+    ).otherwise(F.floor((units + half) / div))
+    return F.round(out_units / (10 ** out_dp), out_dp)
+
+
+def sql_exact_sum(inner: str, scale: int, out_dp: int = 2) -> str:
+    """DuckDB restatement of :func:`exact_decimal_sum` — emits the same
+    integer half-up device so oracle and engine agree bit-for-bit at
+    every boundary. ``inner`` is the SQL expression of the raw value."""
+    su = f"sum(ROUND(({inner}) * {scale}, 0))"
+    return sql_half_up_div(su, scale, out_dp)
+
+
+def sql_half_up_div(su: str, scale: int, out_dp: int = 2) -> str:
+    """DuckDB restatement of :func:`half_up_div` over a unit-sum SQL
+    expression ``su``."""
+    div = scale // (10 ** out_dp)
+    if scale % (10 ** out_dp) != 0:
+        raise ValueError(f"scale {scale} not divisible by 10^{out_dp}")
+    if div <= 1:
+        return f"ROUND(({su}) / {scale}, {out_dp})"
+    if div % 2 != 0:
+        raise ValueError(f"odd unit divisor {div}")
+    half = div // 2
+    return (
+        f"ROUND((CASE WHEN ({su}) < 0 "
+        f"THEN -floor((-({su}) + {half}) / {div}) "
+        f"ELSE floor((({su}) + {half}) / {div}) END) / {10 ** out_dp}, "
+        f"{out_dp})"
+    )
 
 
 def decimal_units(expr: Column, scale: int) -> Column:

@@ -22,7 +22,10 @@ from data_engineering_project_spark.operators.multimodal import (
     frame_intensity,
     sample_frames,
 )
-from data_engineering_project_spark.functions.scalars import decimal_units
+from data_engineering_project_spark.functions.scalars import (
+    decimal_units,
+    half_up_div,
+)
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
 
@@ -166,11 +169,14 @@ def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "promo_revenue_by_brand",
     sql="""
     SELECT p.p_brand,
-           ROUND(sum(CASE WHEN p.p_type = 'PROMO'
+           ROUND((CASE WHEN (sum(CASE WHEN p.p_type = 'PROMO'
                           THEN ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
-                          ELSE 0 END) / 10000, 2) AS promo_revenue,
-           ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
-                 / 10000, 2) AS total_revenue
+                          ELSE 0 END)) < 0 THEN -floor((-(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                          ELSE 0 END)) + 50) / 100) ELSE floor(((sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                          ELSE 0 END)) + 50) / 100) END) / 100, 2) AS promo_revenue,
+           ROUND((CASE WHEN (sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2) AS total_revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
     GROUP BY p.p_brand
@@ -196,8 +202,8 @@ def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast_if_small(p), p["p_partkey"] == li["l_partkey"])
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(promo_units) / 10_000, 2).alias("promo_revenue"),
-            F.round(F.sum(rev_units) / 10_000, 2).alias("total_revenue"),
+            half_up_div(F.sum(promo_units), 10_000, 2).alias("promo_revenue"),
+            half_up_div(F.sum(rev_units), 10_000, 2).alias("total_revenue"),
         )
     )
 
@@ -471,10 +477,16 @@ def orders_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           ROUND(SUM(ROUND(o_totalprice * 1000, 0)) OVER (
+           ROUND((CASE WHEN (SUM(ROUND(o_totalprice * 1000, 0)) OVER (
                PARTITION BY o_custkey
                ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
-               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) / 1000, 2)
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)) < 0 THEN -floor((-(SUM(ROUND(o_totalprice * 1000, 0)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)) + 5) / 10) ELSE floor(((SUM(ROUND(o_totalprice * 1000, 0)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)) + 5) / 10) END) / 100, 2)
                AS revenue_30d
     FROM orders
     """,
@@ -501,8 +513,8 @@ def orders_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        F.round(
-            F.sum(decimal_units(F.col("o_totalprice"), 1000)).over(w) / 1000, 2
+        half_up_div(
+            F.sum(decimal_units(F.col("o_totalprice"), 1000)).over(w), 1000, 2
         ).alias("revenue_30d"),
     )
 
@@ -513,7 +525,7 @@ def orders_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus, o_orderpriority) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(ROUND(o_totalprice * 1000, 0)) / 1000, 2) AS revenue
+           ROUND((CASE WHEN (sum(ROUND((o_totalprice) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) END) / 100, 2) AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority))

@@ -50,7 +50,7 @@ _MON_BREAKS = (3_000_000.0, 2_500_000.0, 1_900_000.0)  # lifetime value
                date_diff('day', max(o_orderdate), (SELECT mxd FROM mx))
                    AS recency_days,
                count(*) AS frequency,
-               ROUND(sum(ROUND(o_totalprice * 1000, 0)) / 1000, 2) AS monetary
+               ROUND((CASE WHEN (sum(ROUND((o_totalprice) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) END) / 100, 2) AS monetary
         FROM orders GROUP BY 1
     ),
     scored AS (

@@ -215,10 +215,9 @@ def report_datetime_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            ROUND(sum(l_quantity), 2)        AS sum_qty,
            ROUND(sum(ROUND(l_extendedprice * 100, 0)) / 100, 2) AS sum_base_price,
-           ROUND(sum(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)) / 10000, 2)
+           ROUND((CASE WHEN (sum(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2)
                AS sum_disc_price,
-           ROUND(sum(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0))
-                 / 1000000, 2) AS sum_charge,
+           ROUND((CASE WHEN (sum(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0))) < 0 THEN -floor((-(sum(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0))) + 5000) / 10000) ELSE floor(((sum(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0))) + 5000) / 10000) END) / 100, 2) AS sum_charge,
            ROUND(avg(l_quantity), 4)        AS avg_qty,
            ROUND(avg(l_extendedprice), 4)   AS avg_price,
            ROUND(avg(l_discount), 4)        AS avg_disc,
@@ -258,7 +257,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers_by_revenue",
     sql="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(sum(ROUND(o.o_totalprice * 1000, 0)) / 1000, 2) AS revenue,
+           ROUND((CASE WHEN (sum(ROUND((o.o_totalprice) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((o.o_totalprice) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((o.o_totalprice) * 1000, 0))) + 5) / 10) END) / 100, 2) AS revenue,
            count(*) AS order_count
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -365,7 +364,7 @@ def big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_revenue_rollup",
     sql="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           ROUND(sum(ROUND(o.o_totalprice * 1000, 0)) / 1000, 2) AS revenue
+           ROUND((CASE WHEN (sum(ROUND((o.o_totalprice) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((o.o_totalprice) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((o.o_totalprice) * 1000, 0))) + 5) / 10) END) / 100, 2) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -435,9 +434,13 @@ def distinct_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_revenue_window",
     sql="""
     SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderkey,
-           ROUND(sum(ROUND(o_totalprice * 1000, 0)) OVER (
+           ROUND((CASE WHEN (sum(ROUND(o_totalprice * 1000, 0)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000, 2) AS running_revenue
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) < 0 THEN -floor((-(sum(ROUND(o_totalprice * 1000, 0)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 5) / 10) ELSE floor(((sum(ROUND(o_totalprice * 1000, 0)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 5) / 10) END) / 100, 2) AS running_revenue
     FROM orders
     """,
     doc="Window function: per-customer running revenue (SURVEY.md §2.7 — "
@@ -456,8 +459,8 @@ def running_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "o_orderkey",
-        F.round(
-            F.sum(S.decimal_units(F.col("o_totalprice"), 1000)).over(w) / 1000, 2
+        S.half_up_div(
+            F.sum(S.decimal_units(F.col("o_totalprice"), 1000)).over(w), 1000, 2
         ).alias("running_revenue"),
     )
 
@@ -542,8 +545,7 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     sql="""
     SELECT n.n_name AS nation_name,
-           ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
-                 / 10000, 2) AS revenue
+           ROUND((CASE WHEN (sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey

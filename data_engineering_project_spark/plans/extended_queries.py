@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_engineering_project_spark.functions.scalars import decimal_units, exact_decimal_sum
+from data_engineering_project_spark.functions.scalars import (
+    decimal_units,
+    exact_decimal_sum,
+    half_up_div,
+)
 from data_engineering_project_spark.operators import similarity as S
 from data_engineering_project_spark.operators import sketch as K
 from data_engineering_project_spark.operators.skew import salted_aggregate
@@ -313,8 +317,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "brand_disjunctive_revenue",
     sql="""
-    SELECT ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
-                 / 10000, 2) AS revenue,
+    SELECT ROUND((CASE WHEN (sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 1 AND 25)
@@ -480,8 +483,7 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-           ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
-                 / 10000, 2) AS volume
+           ROUND((CASE WHEN (sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2) AS volume
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -752,7 +754,7 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_nationkey,
            count(*) AS n_customers,
-           ROUND(sum(ROUND(c.c_acctbal * 1000, 0)) / 1000, 2) AS total_acctbal
+           ROUND((CASE WHEN (sum(ROUND((c.c_acctbal) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((c.c_acctbal) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((c.c_acctbal) * 1000, 0))) + 5) / 10) END) / 100, 2) AS total_acctbal
     FROM customer c, cutoff
     WHERE c.c_acctbal > cutoff.threshold
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -780,8 +782,8 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dormant = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
     return dormant.groupBy("c_nationkey").agg(
         F.count("*").alias("n_customers"),
-        F.round(
-            F.sum(decimal_units(F.col("c_acctbal"), 1000)) / 1000, 2
+        half_up_div(
+            F.sum(decimal_units(F.col("c_acctbal"), 1000)), 1000, 2
         ).alias("total_acctbal"),
     )
 
@@ -796,7 +798,8 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, ROUND(rev.units / 10000, 2) AS total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           ROUND((CASE WHEN (rev.units) < 0 THEN -floor((-(rev.units) + 50) / 100) ELSE floor(((rev.units) + 50) / 100) END) / 100, 2) AS total_revenue
     FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
     WHERE rev.units = (SELECT max(units) FROM rev)
     """,
@@ -829,7 +832,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("units") / 10_000, 2).alias("total_revenue"),
+            half_up_div(F.col("units"), 10_000, 2).alias("total_revenue"),
         )
     )
 
@@ -842,7 +845,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)) AS units
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT l_partkey, ROUND(units / 10000, 2) AS part_value
+    SELECT l_partkey,
+           ROUND((CASE WHEN (units) < 0 THEN -floor((-(units) + 50) / 100) ELSE floor(((units) + 50) / 100) END) / 100, 2) AS part_value
     FROM pv
     WHERE units > (SELECT sum(units) FROM pv) * 0.0007
     """,
@@ -863,7 +867,8 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         pv.crossJoin(F.broadcast(total))
         .filter(F.col("units") > F.col("total_units") * 0.0007)
         .select(
-            "l_partkey", F.round(F.col("units") / 10_000, 2).alias("part_value")
+            "l_partkey",
+            half_up_div(F.col("units"), 10_000, 2).alias("part_value"),
         )
     )
 
@@ -1101,7 +1106,7 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     sql="""
-    SELECT ROUND(sum(ROUND(l_extendedprice * l_discount * 10000, 0)) / 10000, 2)
+    SELECT ROUND((CASE WHEN (sum(ROUND((l_extendedprice * l_discount) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l_extendedprice * l_discount) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l_extendedprice * l_discount) * 10000, 0))) + 50) / 100) END) / 100, 2)
                AS revenue,
            count(*) AS n_lines
     FROM lineitem
@@ -1196,10 +1201,12 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
           AND o.o_orderdate <  TIMESTAMP '1997-01-01'
     )
     SELECT o_year,
-           ROUND(sum(CASE WHEN supp_nation = 'NATION_0'
-                          THEN volume_units ELSE 0 END) / 10000, 2)
+           ROUND((CASE WHEN (sum(CASE WHEN supp_nation = 'NATION_0'
+                          THEN volume_units ELSE 0 END)) < 0 THEN -floor((-(sum(CASE WHEN supp_nation = 'NATION_0'
+                          THEN volume_units ELSE 0 END)) + 50) / 100) ELSE floor(((sum(CASE WHEN supp_nation = 'NATION_0'
+                          THEN volume_units ELSE 0 END)) + 50) / 100) END) / 100, 2)
                AS nation_volume,
-           ROUND(sum(volume_units) / 10000, 2) AS total_volume,
+           ROUND((CASE WHEN (sum(volume_units)) < 0 THEN -floor((-(sum(volume_units)) + 50) / 100) ELSE floor(((sum(volume_units)) + 50) / 100) END) / 100, 2) AS total_volume,
            ROUND(sum(CASE WHEN supp_nation = 'NATION_0'
                           THEN volume_units ELSE 0 END)
                  / sum(volume_units), 6) AS mkt_share
@@ -1242,8 +1249,8 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(F.sum(nation_units) / 10_000, 2).alias("nation_volume"),
-            F.round(F.sum("volume_units") / 10_000, 2).alias("total_volume"),
+            half_up_div(F.sum(nation_units), 10_000, 2).alias("nation_volume"),
+            half_up_div(F.sum("volume_units"), 10_000, 2).alias("total_volume"),
             F.round(F.sum(nation_units) / F.sum("volume_units"), 6).alias(
                 "mkt_share"
             ),
@@ -1592,8 +1599,7 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_bracketed_revenue",
     sql="""
-    SELECT ROUND(sum(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0))
-                 / 10000, 2) AS revenue,
+    SELECT ROUND((CASE WHEN (sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -1650,7 +1656,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(brackets)
         .agg(
-            F.round(F.sum(rev_units) / 10_000, 2).alias("revenue"),
+            half_up_div(F.sum(rev_units), 10_000, 2).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )

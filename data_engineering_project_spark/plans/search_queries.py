@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_engineering_project_spark.functions.scalars import decimal_units
+from data_engineering_project_spark.functions.scalars import (
+    decimal_units,
+    half_up_div,
+)
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
 
@@ -302,7 +305,7 @@ def events_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           ROUND(sum(ROUND(o_totalprice * 1000, 0)) / 1000, 2) AS revenue
+           ROUND((CASE WHEN (sum(ROUND((o_totalprice) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) END) / 100, 2) AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -353,7 +356,7 @@ def segment_revenue_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     return refreshed.select(
         "c_mktsegment",
         F.col("n").alias("n_orders"),
-        F.round(F.col("units") / 1000, 2).alias("revenue"),
+        half_up_div(F.col("units"), 1000, 2).alias("revenue"),
     )
 
 
