@@ -1897,3 +1897,125 @@ def upsert_ivf_index(
                     )
 
     return _write
+
+
+def knn_serving_batch(
+    index_table: str,
+    out_table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    scale: int = 1000,
+    tag: str | None = None,
+) -> Callable:
+    """foreachBatch micro-batch ANN SERVING: a stream of query vectors is
+    answered against the PERSISTED IVF index (operators/ann_index.py) and
+    the per-query top-k lands in a snapshot results table.
+
+    The batched plan is the :func:`emb_knn_join` shape, not a per-query
+    loop: every query in the batch ranks the k stored centroids with the
+    literal-centroid distance expressions (distributed — a map over the
+    batch, no collect of vectors), the batch's DISTINCT probed cells
+    (≤ k cell ids, collected driver-side like the serving reader) select
+    index files via manifest pruning, and the candidate join BROADCASTS
+    the (query, cell) probe frame against only those files — index I/O is
+    bounded by the UNION of probed cells per batch, not corpus size, and
+    each probed file is read once for ALL queries that probe it.
+
+    Exactly-once: results merge-upsert by (query_id, rank) — a replayed
+    batch re-probes the same pinned index generation (``tag``) and
+    replaces its own rows byte-identically. ``tag`` pins serving to a
+    :func:`promote_index` generation so a concurrent rebuild/OPTIMIZE
+    never changes answers mid-stream.
+    """
+    from data_engineering_project_spark.operators import ann_index
+    from data_engineering_project_spark.operators.clustering import (
+        _dist2,
+        quantize_vec,
+    )
+    from data_engineering_project_spark.operators.similarity import (
+        score_cosine_pairs_vectorized,
+    )
+    from data_engineering_project_spark.sinks import snapshot_table as snap
+    from pyspark.sql import Window
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        centroids = ann_index._load_centroids(spark, index_table, tag)
+        if not centroids:
+            raise FileNotFoundError(
+                f"knn_serving_batch: no centroid state under {index_table!r}"
+            )
+        q = batch_df.select(
+            F.col(id_col).alias("query_id"),
+            quantize_vec(F.col(vec_col), scale).alias("qq"),
+        )
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2(F.col("qq"), centroids[cid]).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid in sorted(centroids)
+                ]
+            )
+        )
+        probes = q.select(
+            "query_id",
+            "qq",
+            F.explode(F.slice(ranked, 1, nprobe)).alias("pc"),
+        ).select("query_id", "qq", F.col("pc.cid").alias("cell"))
+        probes = probes.persist()
+        try:
+            cells = sorted(
+                r["cell"] for r in probes.select("cell").distinct().collect()
+            )
+            parts = [
+                snap.read_pruned(
+                    spark, index_table, "cell", c, c, tag=tag
+                ).filter(F.col("cell") == c)
+                for c in cells
+            ]
+            idx = parts[0]
+            for p in parts[1:]:
+                idx = idx.unionByName(p)
+            cand = idx.join(F.broadcast(probes), "cell")
+            scored = score_cosine_pairs_vectorized(
+                cand,
+                vec_col="q",
+                query_vec_col="qq",
+                keep_cols=("query_id", "vec_id", "cell"),
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("cosine"), F.asc("vec_id")
+            )
+            topk = (
+                scored.select(
+                    "query_id",
+                    "vec_id",
+                    "cell",
+                    F.round("cosine", 6).alias("cosine"),
+                    F.row_number().over(w).alias("rank"),
+                )
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "vec_id", "cell", "cosine")
+            )
+            if snap.current_version(out_table) is None:
+                snap.write_table(topk, out_table, stats_cols=["query_id"])
+            else:
+                snap.merge_upsert(
+                    spark,
+                    out_table,
+                    topk,
+                    ["query_id", "rank"],
+                    stats_cols=["query_id"],
+                )
+        finally:
+            probes.unpersist()
+
+    return _write

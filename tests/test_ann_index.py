@@ -655,3 +655,80 @@ def test_streaming_auto_optimize_zero_downtime(spark, emb, tmp_path):
         )
         == pinned_rows
     )
+
+
+def test_streaming_knn_serving_matches_reader_and_replays_clean(
+    spark, emb, tmp_path
+):
+    """knn_serving_batch: a query STREAM answered against the persisted
+    index must reproduce the serving reader's (query_ivf_index) answers
+    per query, and a full checkpoint-less replay must leave the results
+    table byte-identical (merge by (query_id, rank))."""
+    import os
+    import time as _time
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        knn_serving_batch,
+    )
+
+    index = str(tmp_path / "ivf")
+    out = str(tmp_path / "results")
+    build_ivf_index(emb, index, k=8)
+
+    src = tmp_path / "queries"
+    src.mkdir()
+    schema = "vec_id bigint, embedding array<double>, label bigint"
+    qset = emb.filter("vec_id < 6").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as embedding",
+        "label",
+    )
+    qset.filter("vec_id < 3").coalesce(1).write.parquet(str(src / "b0.parquet"))
+    qset.filter("vec_id >= 3").coalesce(1).write.parquet(str(src / "b1.parquet"))
+    base = _time.time() - 3600
+    for i, name in enumerate(sorted(os.listdir(src))):
+        for f in os.listdir(src / name):
+            os.utime(src / name / f, (base + 10 * i, base + 10 * i))
+        os.utime(src / name, (base + 10 * i, base + 10 * i))
+
+    def _run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                knn_serving_batch(index, out, k=4, nprobe=2)
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run("ck1")
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cell"], r["cosine"])
+        for r in snap.read_table(spark, out).collect()
+    }
+    assert len(got) == 6 * 4
+    # per-query agreement with the proven serving reader
+    for qid in range(6):
+        qv = [
+            float(v)
+            for v in emb.filter(f"vec_id = {qid}").first()["embedding"]
+        ]
+        want = query_ivf_index(spark, index, qv, k=4, nprobe=2).collect()
+        for rank0, w in enumerate(want):
+            assert got[(qid, rank0 + 1)] == (
+                w["vec_id"], w["cell"], w["cosine"],
+            ), (qid, rank0)
+    # replay from a FRESH checkpoint: every batch redelivers; the results
+    # table must come back identical and version history must show merges,
+    # not duplicates
+    _run("ck2")
+    again = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cell"], r["cosine"])
+        for r in snap.read_table(spark, out).collect()
+    }
+    assert again == got
