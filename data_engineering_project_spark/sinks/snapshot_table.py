@@ -122,6 +122,10 @@ class Manifest:
     #: manifests written before schema tracking; readers fall back to
     #: parquet mergeSchema)
     schema: str | None = None
+    #: commit wall-clock (unix seconds) — the TIMESTAMP AS OF resolution
+    #: key; None on manifests written before timestamp tracking (readers
+    #: fall back to the manifest file's mtime)
+    committed_at: float | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -131,6 +135,7 @@ class Manifest:
                 "operation": self.operation,
                 "files": self.files,
                 "schema": self.schema,
+                "committed_at": self.committed_at,
             },
             indent=1,
         )
@@ -166,7 +171,39 @@ def read_manifest(table: str, version: int | None = None) -> Manifest:
         operation=raw["operation"],
         files=raw["files"],
         schema=raw.get("schema"),
+        committed_at=raw.get("committed_at"),
     )
+
+
+def resolve_as_of(table: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (Delta semantics): the newest version
+    whose commit time is <= ``ts``. Commit times come from the manifest's
+    ``committed_at`` stamp; manifests written before timestamp tracking
+    fall back to the manifest file's mtime (well-ordered for local logs —
+    an object-store deployment re-stamps on migration). Raises if the
+    table's FIRST commit is after ``ts`` (nothing existed then)."""
+    newest = current_version(table)
+    if newest is None:
+        raise FileNotFoundError(f"no committed version in {table!r}")
+    best = None
+    for v in range(newest + 1):
+        try:
+            m = read_manifest(table, v)
+        except FileNotFoundError:
+            continue  # vacuumed-out early version
+        t = m.committed_at
+        if t is None:
+            try:
+                t = os.path.getmtime(_manifest_path(table, v))
+            except OSError:
+                continue
+        if t <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {table!r} existed at timestamp {ts}"
+        )
+    return best
 
 
 _TAG_NAME_OK = re.compile(r"^[A-Za-z0-9._-]{1,64}$")
@@ -309,6 +346,8 @@ def _write_snapshot_files(
 def _commit(table: str, manifest: Manifest) -> Manifest:
     """Exclusive-create the next manifest: the atomic commit point."""
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    if manifest.committed_at is None:
+        manifest.committed_at = time.time()
     path = _manifest_path(table, manifest.version)
     try:
         with open(path, "x") as fh:
@@ -391,20 +430,25 @@ def read_table(
     *,
     version: int | None = None,
     tag: str | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Read a committed snapshot (newest by default; any retained version
-    for time travel; ``tag`` resolves a named pin — mutually exclusive
-    with ``version``). Empty file list → empty frame with no rows read.
+    for time travel; ``tag`` resolves a named pin; ``as_of`` resolves a
+    unix timestamp to the newest version committed at or before it —
+    Delta's TIMESTAMP AS OF. The three selectors are mutually
+    exclusive). Empty file list → empty frame with no rows read.
 
     Schema evolution: files written before a column was added simply lack
     it — ``mergeSchema`` unions the physical schemas (missing → null) and
     the result is projected onto the MANIFEST schema, so column order and
     the presence of just-added all-null columns are stable regardless of
     which physical files survive compaction."""
+    if sum(x is not None for x in (version, tag, as_of)) > 1:
+        raise ValueError("pass at most one of version / tag / as_of")
     if tag is not None:
-        if version is not None:
-            raise ValueError("pass version OR tag, not both")
         version = read_tag(table, tag)
+    elif as_of is not None:
+        version = resolve_as_of(table, as_of)
     m = read_manifest(table, version)
     paths = [os.path.join(table, f["path"]) for f in m.files]
     if not paths:

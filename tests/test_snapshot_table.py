@@ -634,3 +634,40 @@ def test_read_pruned_on_empty_pinned_version_returns_schema_frame(
     out = st.read_pruned(spark, table, "k", 0, 100)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["k", "v"]
+
+
+def test_timestamp_as_of_time_travel(spark, table):
+    """TIMESTAMP AS OF (Delta semantics): as_of resolves the newest
+    version committed at or before the timestamp; before-first raises;
+    selectors are mutually exclusive; manifests without a committed_at
+    stamp (pre-upgrade logs) resolve via file mtime."""
+    import json as _json
+    import time as _time
+
+    st.write_table(_rows(spark, [(1, "a")]), table)          # v0
+    t_after_v0 = _time.time()
+    _time.sleep(0.05)
+    st.write_table(_rows(spark, [(2, "b")]), table, mode="append")  # v1
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    st.write_table(_rows(spark, [(9, "z")]), table, mode="overwrite")  # v2
+
+    assert st.resolve_as_of(table, t_after_v0) == 0
+    assert st.resolve_as_of(table, t_after_v1) == 1
+    assert st.resolve_as_of(table, _time.time()) == 2
+    assert {r.k for r in st.read_table(spark, table, as_of=t_after_v1).collect()} == {1, 2}
+    assert {r.k for r in st.read_table(spark, table, as_of=_time.time()).collect()} == {9}
+    # before the first commit: nothing existed
+    with pytest.raises(ValueError):
+        st.resolve_as_of(table, t_after_v0 - 3600)
+    # selectors are exclusive
+    with pytest.raises(ValueError):
+        st.read_table(spark, table, version=0, as_of=t_after_v0)
+    # pre-upgrade manifest (no committed_at) resolves via file mtime
+    path = os.path.join(table, "_manifests", "v00000001.json")
+    raw = _json.load(open(path))
+    raw.pop("committed_at")
+    with open(path, "w") as fh:
+        _json.dump(raw, fh)
+    os.utime(path, (t_after_v0 + 0.01, t_after_v0 + 0.01))
+    assert st.resolve_as_of(table, t_after_v1) == 1
