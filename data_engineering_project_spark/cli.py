@@ -230,16 +230,21 @@ def main(argv: list[str] | None = None) -> int:
                 file=_sys.stderr,
             )
             return 2
-        if args.create:
-            v = st.create_tag(
-                args.table, args.create,
-                version=args.version, replace=args.replace,
-            )
-            print(_json.dumps({"tag": args.create, "version": v}))
-        if args.delete:
-            st.delete_tag(args.table, args.delete)
-        if args.list:
-            print(_json.dumps(st.list_tags(args.table)))
+        try:
+            if args.create:
+                v = st.create_tag(
+                    args.table, args.create,
+                    version=args.version, replace=args.replace,
+                )
+                print(_json.dumps({"tag": args.create, "version": v}))
+            if args.delete:
+                st.delete_tag(args.table, args.delete)
+            if args.list:
+                print(_json.dumps(st.list_tags(args.table)))
+        except (ValueError, FileNotFoundError, FileExistsError, OSError) as exc:
+            # same operational-error envelope as the Spark-mode subcommands
+            print(f"tag: {exc}", file=_sys.stderr)
+            return 2
         return 0
 
     if args.mode == "query" and args.list:

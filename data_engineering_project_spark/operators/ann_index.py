@@ -54,6 +54,21 @@ def _centroid_table(table: str) -> str:
     return table.rstrip("/") + "__centroids"
 
 
+def _quantize_query(query_vec, scale: int) -> list[float]:
+    """Driver-side query quantization with HALF-AWAY-FROM-ZERO rounding —
+    the same device as the corpus's ``quantize_vec`` (Spark ``F.round``,
+    HALF_UP away from zero) and the oracle's DuckDB ``round``. Python's
+    builtin ``round`` is half-to-EVEN and would diverge on a component
+    whose x*scale lands exactly on .5 (grid-aligned embeddings)."""
+    import math
+
+    out = []
+    for v in query_vec:
+        x = float(v) * scale
+        out.append(float(math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)))
+    return out
+
+
 def build_ivf_index(
     emb: DataFrame,
     table: str,
@@ -117,7 +132,7 @@ def query_ivf_index(
             f"no IVF centroid state under {_centroid_table(table)!r} — "
             "build_ivf_index must run before queries"
         )
-    qq = [float(round(float(v) * scale)) for v in query_vec]
+    qq = _quantize_query(query_vec, scale)
     ranked = sorted(
         (sum((a - b) ** 2 for a, b in zip(qq, c)), cid)
         for cid, c in centroids.items()
@@ -243,7 +258,7 @@ def ivf_index_recall(
         raise ValueError("ivf_index_recall: empty query sample")
     hits = total = 0
     for qv in query_vecs:
-        qq = [float(round(float(v) * scale)) for v in qv]
+        qq = _quantize_query(qv, scale)
         full = snap.read_table(spark, table).withColumn(
             "qe", F.array(*[F.lit(v) for v in qq])
         )
@@ -399,7 +414,7 @@ def query_ivfpq_index(
     for r in brows:
         books.setdefault(r["sub"], {})[r["code"]] = [float(v) for v in r["cvec"]]
     n_sub = len(books)
-    q0 = [int(round(float(v) * scale)) for v in query_vec]
+    q0 = [int(u) for u in _quantize_query(query_vec, scale)]
     probes = sorted(
         cent_int,
         key=lambda c: (

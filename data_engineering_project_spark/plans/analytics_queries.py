@@ -25,6 +25,8 @@ from data_engineering_project_spark.operators.multimodal import (
 from data_engineering_project_spark.functions.scalars import (
     decimal_units,
     half_up_div,
+    sql_exact_sum,
+    sql_half_up_div,
 )
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
@@ -165,18 +167,17 @@ def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROMO_SU = """sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                          ELSE 0 END)"""
+
+
 @register(
     "promo_revenue_by_brand",
-    sql="""
+    sql=f"""
     SELECT p.p_brand,
-           ROUND((CASE WHEN (sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
-                          ELSE 0 END)) < 0 THEN -floor((-(sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
-                          ELSE 0 END)) + 50) / 100) ELSE floor(((sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
-                          ELSE 0 END)) + 50) / 100) END) / 100, 2) AS promo_revenue,
-           ROUND((CASE WHEN (sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2) AS total_revenue
+           {sql_half_up_div(_PROMO_SU, 10000, 2)} AS promo_revenue,
+           {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 10000, 2)} AS total_revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
     GROUP BY p.p_brand
@@ -222,7 +223,7 @@ def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AND the error-bound PREDICATE |approx-exact|/exact <= 5% as columns — "
     "the oracle asserts the exact count and that the bound holds (literal "
     "TRUE), so a broken HLL flips the hash. The sketch runs at rsd=0.01, so "
-    "the 5%% predicate is a ~5-sigma bound — a deterministic margin, not a "
+    "the 5% predicate is a ~5-sigma bound — a deterministic margin, not a "
     "1-sigma coin flip (the default rsd=0.05 flipped it at sf0.1). At "
     "100 TB approx_count_distinct is the default; exact countDistinct is "
     "the audit path.",
@@ -472,21 +473,18 @@ def orders_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLL30_SU = """SUM(ROUND(o_totalprice * 1000, 0)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)"""
+
+
 @register(
     "orders_rolling_30d_revenue",
-    sql="""
+    sql=f"""
     SELECT o_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           ROUND((CASE WHEN (SUM(ROUND(o_totalprice * 1000, 0)) OVER (
-               PARTITION BY o_custkey
-               ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
-               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)) < 0 THEN -floor((-(SUM(ROUND(o_totalprice * 1000, 0)) OVER (
-               PARTITION BY o_custkey
-               ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
-               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)) + 5) / 10) ELSE floor(((SUM(ROUND(o_totalprice * 1000, 0)) OVER (
-               PARTITION BY o_custkey
-               ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
-               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)) + 5) / 10) END) / 100, 2)
+           {sql_half_up_div(_ROLL30_SU, 1000, 2)}
                AS revenue_30d
     FROM orders
     """,
@@ -521,11 +519,11 @@ def orders_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_grouping_sets",
-    sql="""
+    sql=f"""
     SELECT o_orderstatus, o_orderpriority,
            GROUPING(o_orderstatus, o_orderpriority) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND((CASE WHEN (sum(ROUND((o_totalprice) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) END) / 100, 2) AS revenue
+           {sql_exact_sum('o_totalprice', 1000, 2)} AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority))

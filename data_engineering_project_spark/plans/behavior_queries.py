@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark.functions import scalars as S
+from data_engineering_project_spark.functions.scalars import sql_exact_sum
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
 
@@ -50,7 +51,7 @@ _MON_BREAKS = (3_000_000.0, 2_500_000.0, 1_900_000.0)  # lifetime value
                date_diff('day', max(o_orderdate), (SELECT mxd FROM mx))
                    AS recency_days,
                count(*) AS frequency,
-               ROUND((CASE WHEN (sum(ROUND((o_totalprice) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) END) / 100, 2) AS monetary
+               {sql_exact_sum('o_totalprice', 1000, 2)} AS monetary
         FROM orders GROUP BY 1
     ),
     scored AS (

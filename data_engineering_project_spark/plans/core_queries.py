@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_engineering_project_spark.functions import scalars as S
+from data_engineering_project_spark.functions.scalars import (
+    sql_exact_sum,
+    sql_half_up_div,
+)
 from data_engineering_project_spark.operators.hints import broadcast_if_small
 from data_engineering_project_spark.operators.report import (
     combine_hourly_reports,
@@ -211,13 +215,13 @@ def report_datetime_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    sql="""
+    sql=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(sum(l_quantity), 2)        AS sum_qty,
            ROUND(sum(ROUND(l_extendedprice * 100, 0)) / 100, 2) AS sum_base_price,
-           ROUND((CASE WHEN (sum(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l_extendedprice * (1 - l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2)
+           {sql_exact_sum('l_extendedprice * (1 - l_discount)', 10000, 2)}
                AS sum_disc_price,
-           ROUND((CASE WHEN (sum(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0))) < 0 THEN -floor((-(sum(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0))) + 5000) / 10000) ELSE floor(((sum(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000, 0))) + 5000) / 10000) END) / 100, 2) AS sum_charge,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000, 2)} AS sum_charge,
            ROUND(avg(l_quantity), 4)        AS avg_qty,
            ROUND(avg(l_extendedprice), 4)   AS avg_price,
            ROUND(avg(l_discount), 4)        AS avg_disc,
@@ -255,9 +259,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_customers_by_revenue",
-    sql="""
+    sql=f"""
     SELECT c.c_custkey, c.c_name,
-           ROUND((CASE WHEN (sum(ROUND((o.o_totalprice) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((o.o_totalprice) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((o.o_totalprice) * 1000, 0))) + 5) / 10) END) / 100, 2) AS revenue,
+           {sql_exact_sum('o.o_totalprice', 1000, 2)} AS revenue,
            count(*) AS order_count
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -362,9 +366,9 @@ def big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "nation_revenue_rollup",
-    sql="""
+    sql=f"""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           ROUND((CASE WHEN (sum(ROUND((o.o_totalprice) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((o.o_totalprice) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((o.o_totalprice) * 1000, 0))) + 5) / 10) END) / 100, 2) AS revenue
+           {sql_exact_sum('o.o_totalprice', 1000, 2)} AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -430,17 +434,16 @@ def distinct_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUNNING_SU = """sum(ROUND(o_totalprice * 1000, 0)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
 @register(
     "running_revenue_window",
-    sql="""
+    sql=f"""
     SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderkey,
-           ROUND((CASE WHEN (sum(ROUND(o_totalprice * 1000, 0)) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) < 0 THEN -floor((-(sum(ROUND(o_totalprice * 1000, 0)) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 5) / 10) ELSE floor(((sum(ROUND(o_totalprice * 1000, 0)) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 5) / 10) END) / 100, 2) AS running_revenue
+           {sql_half_up_div(_RUNNING_SU, 1000, 2)} AS running_revenue
     FROM orders
     """,
     doc="Window function: per-customer running revenue (SURVEY.md §2.7 — "
@@ -543,9 +546,9 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_local_supplier_volume",
-    sql="""
+    sql=f"""
     SELECT n.n_name AS nation_name,
-           ROUND((CASE WHEN (sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2) AS revenue
+           {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 10000, 2)} AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey

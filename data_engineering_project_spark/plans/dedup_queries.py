@@ -146,7 +146,7 @@ def docs_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CAP_B = 64
-_CAP_SALT = 16  # must equal operators/dedup.py:N_SALT
+_CAP_SALT = D.N_SALT  # single source of truth for the salt width
 
 _CAPPED_SQL = f"""
     WITH ts AS (

@@ -17,6 +17,8 @@ from data_engineering_project_spark.functions.scalars import (
     decimal_units,
     exact_decimal_sum,
     half_up_div,
+    sql_exact_sum,
+    sql_half_up_div,
 )
 from data_engineering_project_spark.operators import similarity as S
 from data_engineering_project_spark.operators import sketch as K
@@ -316,8 +318,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "brand_disjunctive_revenue",
-    sql="""
-    SELECT ROUND((CASE WHEN (sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2) AS revenue,
+    sql=f"""
+    SELECT {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 10000, 2)} AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 1 AND 25)
@@ -480,10 +482,10 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q7_nation_volume",
-    sql="""
+    sql=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-           ROUND((CASE WHEN (sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2) AS volume
+           {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 10000, 2)} AS volume
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -748,13 +750,13 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_dormant_rich_customers",
-    sql="""
+    sql=f"""
     WITH cutoff AS (
         SELECT avg(c_acctbal) AS threshold FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_nationkey,
            count(*) AS n_customers,
-           ROUND((CASE WHEN (sum(ROUND((c.c_acctbal) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((c.c_acctbal) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((c.c_acctbal) * 1000, 0))) + 5) / 10) END) / 100, 2) AS total_acctbal
+           {sql_exact_sum('c.c_acctbal', 1000, 2)} AS total_acctbal
     FROM customer c, cutoff
     WHERE c.c_acctbal > cutoff.threshold
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -790,7 +792,7 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
-    sql="""
+    sql=f"""
     WITH rev AS (
         SELECT l_suppkey,
                sum(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)) AS units
@@ -799,7 +801,7 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           ROUND((CASE WHEN (rev.units) < 0 THEN -floor((-(rev.units) + 50) / 100) ELSE floor(((rev.units) + 50) / 100) END) / 100, 2) AS total_revenue
+           {sql_half_up_div('rev.units', 10000, 2)} AS total_revenue
     FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
     WHERE rev.units = (SELECT max(units) FROM rev)
     """,
@@ -839,14 +841,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_part_value_concentration",
-    sql="""
+    sql=f"""
     WITH pv AS (
         SELECT l_partkey,
                sum(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)) AS units
         FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey,
-           ROUND((CASE WHEN (units) < 0 THEN -floor((-(units) + 50) / 100) ELSE floor(((units) + 50) / 100) END) / 100, 2) AS part_value
+           {sql_half_up_div('units', 10000, 2)} AS part_value
     FROM pv
     WHERE units > (SELECT sum(units) FROM pv) * 0.0007
     """,
@@ -1105,8 +1107,8 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q6_forecast_revenue",
-    sql="""
-    SELECT ROUND((CASE WHEN (sum(ROUND((l_extendedprice * l_discount) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l_extendedprice * l_discount) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l_extendedprice * l_discount) * 10000, 0))) + 50) / 100) END) / 100, 2)
+    sql=f"""
+    SELECT {sql_exact_sum('l_extendedprice * l_discount', 10000, 2)}
                AS revenue,
            count(*) AS n_lines
     FROM lineitem
@@ -1185,9 +1187,13 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_Q8_NAT_SU = """sum(CASE WHEN supp_nation = 'NATION_0'
+                          THEN volume_units ELSE 0 END)"""
+
+
 @register(
     "q8_nation_market_share",
-    sql="""
+    sql=f"""
     WITH vol AS (
         SELECT CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
                ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
@@ -1201,12 +1207,9 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
           AND o.o_orderdate <  TIMESTAMP '1997-01-01'
     )
     SELECT o_year,
-           ROUND((CASE WHEN (sum(CASE WHEN supp_nation = 'NATION_0'
-                          THEN volume_units ELSE 0 END)) < 0 THEN -floor((-(sum(CASE WHEN supp_nation = 'NATION_0'
-                          THEN volume_units ELSE 0 END)) + 50) / 100) ELSE floor(((sum(CASE WHEN supp_nation = 'NATION_0'
-                          THEN volume_units ELSE 0 END)) + 50) / 100) END) / 100, 2)
+           {sql_half_up_div(_Q8_NAT_SU, 10000, 2)}
                AS nation_volume,
-           ROUND((CASE WHEN (sum(volume_units)) < 0 THEN -floor((-(sum(volume_units)) + 50) / 100) ELSE floor(((sum(volume_units)) + 50) / 100) END) / 100, 2) AS total_volume,
+           {sql_half_up_div('sum(volume_units)', 10000, 2)} AS total_volume,
            ROUND(sum(CASE WHEN supp_nation = 'NATION_0'
                           THEN volume_units ELSE 0 END)
                  / sum(volume_units), 6) AS mkt_share
@@ -1577,29 +1580,14 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             profit_units.alias("profit_units"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("profit_units").alias("su"))
-        .select(
-            "nation",
-            "o_year",
-            # half-up to cents from the exact integer unit sum, in integer
-            # arithmetic — immune to the .xx5 double-boundary divergence
-            # between Spark's shortest-decimal rounding and binary rounding
-            F.round(
-                F.when(
-                    F.col("su") < 0,
-                    -F.floor((-F.col("su") + 50) / 100),
-                ).otherwise(F.floor((F.col("su") + 50) / 100))
-                / 100,
-                2,
-            ).alias("profit"),
-        )
+        .agg(half_up_div(F.sum("profit_units"), 10_000, 2).alias("profit"))
     )
 
 
 @register(
     "q19_bracketed_revenue",
-    sql="""
-    SELECT ROUND((CASE WHEN (sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) < 0 THEN -floor((-(sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) ELSE floor(((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000, 0))) + 50) / 100) END) / 100, 2) AS revenue,
+    sql=f"""
+    SELECT {sql_exact_sum('l.l_extendedprice * (1 - l.l_discount)', 10000, 2)} AS revenue,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from data_engineering_project_spark.functions.scalars import (
     decimal_units,
     half_up_div,
+    sql_exact_sum,
 )
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
@@ -302,10 +303,10 @@ def events_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "segment_revenue_mv_incremental",
-    sql="""
+    sql=f"""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           ROUND((CASE WHEN (sum(ROUND((o_totalprice) * 1000, 0))) < 0 THEN -floor((-(sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) ELSE floor(((sum(ROUND((o_totalprice) * 1000, 0))) + 5) / 10) END) / 100, 2) AS revenue
+           {sql_exact_sum('o_totalprice', 1000, 2)} AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,

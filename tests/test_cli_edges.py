@@ -19,17 +19,14 @@ import pytest
 from data_engineering_project_spark.cli import main
 from data_engineering_project_spark.sinks import snapshot_table as st
 
-SF = "/root/testdata/sf0.001"
-
-
 @pytest.fixture(scope="module")
-def edge_dirs(spark, tmp_path_factory):
+def edge_dirs(spark, sf_dir, tmp_path_factory):
     """sf-dir twins: every table schema present, zero rows / one row."""
     base = tmp_path_factory.mktemp("cli_edges")
     empty_sf = str(base / "empty")
     single_sf = str(base / "single")
     for t in ("documents", "embeddings"):
-        df = spark.read.parquet(f"{SF}/{t}.parquet")
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         df.limit(0).coalesce(1).write.parquet(f"{empty_sf}/{t}.parquet")
         df.orderBy(df.columns[0]).limit(1).coalesce(1).write.parquet(
             f"{single_sf}/{t}.parquet"
@@ -134,3 +131,15 @@ def test_sql_over_empty_tables(spark, edge_dirs, capsys):
     )
     assert rc == 0
     assert "0" in capsys.readouterr().out
+
+
+def test_tag_operational_errors_exit_2(spark, tmp_path, capsys):
+    """The tag subcommand honors the same operational-error envelope as
+    the Spark-mode subcommands: missing table / missing tag are one-line
+    exit-2 diagnostics, not tracebacks."""
+    assert main(["tag", str(tmp_path / "nope"), "--create", "rel"]) == 2
+    assert capsys.readouterr().err.strip()
+    tb = str(tmp_path / "tb")
+    st.write_table(spark.createDataFrame([(1,)], "k int"), tb)
+    assert main(["tag", tb, "--delete", "missing-tag"]) == 2
+    assert capsys.readouterr().err.strip()

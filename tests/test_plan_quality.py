@@ -864,7 +864,7 @@ def test_knn_join_never_shuffles_the_corpus(plans):
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
 
 
-def test_serving_index_probe_reads_are_pruned(spark, tmp_path):
+def test_serving_index_probe_reads_are_pruned(spark, sf_dir, tmp_path):
     """query_ivf_index must touch only the probed cells' FILES: with k
     cells written one-file-per-cell, a 2-probe query's scan lists exactly
     2 data files — manifest pruning from footer stats, the 100 TB read
@@ -874,15 +874,12 @@ def test_serving_index_probe_reads_are_pruned(spark, tmp_path):
         query_ivf_index,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     table = str(tmp_path / "ivf")
     build_ivf_index(emb, table, k=8)
     qv = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
     df = query_ivf_index(spark, table, qv, k=5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    import re
-
-    files = set(re.findall(r"([0-9a-f]+/part-[^\s,\]]+\.parquet)", plan))
     n_paths = plan.count("InMemoryFileIndex")
     # two probed cells -> two single-file scans (union of two pruned reads)
     assert n_paths == 2, plan[:500]

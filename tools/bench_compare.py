@@ -39,7 +39,18 @@ def main() -> int:
         print(__doc__)
         return 2
     a, b = _load(sys.argv[1]), _load(sys.argv[2])
-    shared = sorted(set(a["queries"]) & set(b["queries"]))
+    shared = sorted(
+        q
+        for q in set(a["queries"]) & set(b["queries"])
+        # a degraded driver line replaces the per-query map with
+        # {"detail": "see BENCH_DETAIL.json"} — not a timing
+        if isinstance(a["queries"][q], (int, float))
+        and isinstance(b["queries"][q], (int, float))
+    )
+    if not shared:
+        print("no shared per-query timings (degraded record?); totals only:")
+        print(f"  {a['total']}s -> {b['total']}s")
+        return 0
     ta = sum(a["queries"][q] for q in shared)
     tb = sum(b["queries"][q] for q in shared)
     print(f"shared headliners: {len(shared)}")
