@@ -122,18 +122,31 @@ def half_up_div(units: Column, scale: int, out_dp: int = 2) -> Column:
     rounding and binary-double rounding. Use for ANY windowed / composed /
     pre-aggregated unit sum that must round below its unit width; the
     plain ``ROUND(units/scale, dp)`` form is only safe when
-    ``scale == 10^dp``."""
+    ``scale == 10^dp``.
+
+    The half-up step is ``(units + half) div divisor`` — Spark's integral
+    ``div`` (LONG in, LONG out, exact to 2^63), NOT ``floor((u+h)/d)``,
+    whose long/int ``/`` promotes to IEEE double and silently loses the
+    low bits once |units| exceeds 2^53. Both branches negate first so the
+    operand is non-negative, where ``div``'s truncation equals floor. The
+    final ``out_units / 10^dp`` emits a double — the OUTPUT type's own
+    2^53 bound is inherent to the column type, not to the rounding."""
     div = scale // (10 ** out_dp)
     if scale % (10 ** out_dp) != 0:
         raise ValueError(f"scale {scale} not divisible by 10^{out_dp}")
     if div <= 1:
         return F.round(units / scale, out_dp)
-    half = F.lit(div // 2) if div % 2 == 0 else None
-    if half is None:
+    if div % 2 != 0:
         raise ValueError(f"odd unit divisor {div}")
+    half = F.lit(div // 2)
+    d = F.lit(div)
+    # ``div`` is integral-only; a double-typed unit sum (already 2^53-
+    # bounded upstream — prefer decimal_units/LONG sums for the full
+    # 2^63 guarantee) casts losslessly because it is integral-valued.
+    u = units.cast("long")
     out_units = F.when(
-        units < 0, -F.floor((-units + half) / div)
-    ).otherwise(F.floor((units + half) / div))
+        u < 0, -F.call_function("div", -u + half, d)
+    ).otherwise(F.call_function("div", u + half, d))
     return F.round(out_units / (10 ** out_dp), out_dp)
 
 
@@ -141,13 +154,22 @@ def sql_exact_sum(inner: str, scale: int, out_dp: int = 2) -> str:
     """DuckDB restatement of :func:`exact_decimal_sum` — emits the same
     integer half-up device so oracle and engine agree bit-for-bit at
     every boundary. ``inner`` is the SQL expression of the raw value."""
-    su = f"sum(ROUND(({inner}) * {scale}, 0))"
+    su = f"sum(CAST(ROUND(({inner}) * {scale}, 0) AS BIGINT))"
     return sql_half_up_div(su, scale, out_dp)
 
 
 def sql_half_up_div(su: str, scale: int, out_dp: int = 2) -> str:
     """DuckDB restatement of :func:`half_up_div` over a unit-sum SQL
-    expression ``su``."""
+    expression ``su``.
+
+    Mirrors the Spark side's true integer division: the unit sum is cast
+    to HUGEINT (int128 — exact for any BIGINT-width sum; a double-typed
+    ``su`` is integral-valued by contract, so the round-to-nearest cast is
+    lossless) and divided with DuckDB's integral ``//``. The previous
+    ``floor((su + half) / div)`` promoted to IEEE double, degrading past
+    2^53; ``//`` on HUGEINT never leaves integer arithmetic. Operands are
+    negated non-negative first (``//`` truncates toward zero on integers,
+    which equals floor only for non-negative operands)."""
     div = scale // (10 ** out_dp)
     if scale % (10 ** out_dp) != 0:
         raise ValueError(f"scale {scale} not divisible by 10^{out_dp}")
@@ -156,10 +178,11 @@ def sql_half_up_div(su: str, scale: int, out_dp: int = 2) -> str:
     if div % 2 != 0:
         raise ValueError(f"odd unit divisor {div}")
     half = div // 2
+    hsu = f"CAST(({su}) AS HUGEINT)"
     return (
         f"ROUND((CASE WHEN ({su}) < 0 "
-        f"THEN -floor((-({su}) + {half}) / {div}) "
-        f"ELSE floor((({su}) + {half}) / {div}) END) / {10 ** out_dp}, "
+        f"THEN -((-{hsu} + {half}) // {div}) "
+        f"ELSE (({hsu} + {half}) // {div}) END) / {10 ** out_dp}, "
         f"{out_dp})"
     )
 

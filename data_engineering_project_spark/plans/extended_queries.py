@@ -1516,23 +1516,16 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_nation_profit",
-    sql="""
+    sql=f"""
     SELECT n.n_name AS nation,
            CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
            -- half-up from the EXACT integer unit sum (su ≡ 50 mod 100
            -- lands the double su/10⁴ just below .xx5: binary rounding
            -- says .68 where Spark's shortest-decimal BigDecimal says
            -- .69 — found by the sf0.1 parity sweep, nation_2/1997)
-           ROUND(CASE WHEN sum(ROUND((l.l_extendedprice * (1 - l.l_discount)
-                                      - l.l_quantity * (p.p_retailprice * 0.6))
-                                     * 10000, 0)) < 0
-                      THEN -floor((-sum(ROUND((l.l_extendedprice * (1 - l.l_discount)
-                                               - l.l_quantity * (p.p_retailprice * 0.6))
-                                              * 10000, 0)) + 50) / 100)
-                      ELSE floor((sum(ROUND((l.l_extendedprice * (1 - l.l_discount)
-                                             - l.l_quantity * (p.p_retailprice * 0.6))
-                                            * 10000, 0)) + 50) / 100)
-                 END / 100, 2) AS profit
+           {sql_exact_sum(
+               'l.l_extendedprice * (1 - l.l_discount)'
+               ' - l.l_quantity * (p.p_retailprice * 0.6)', 10000, 2)} AS profit
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey

@@ -111,3 +111,64 @@ def test_sql_and_dataframe_surfaces_agree(spark, sf_dir):
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     }
+
+
+def test_half_up_div_exact_beyond_double_precision(spark):
+    """ADVICE r9 #1: the half-up step must be TRUE integer division. The
+    old floor((units+half)/div) promoted LONG to IEEE double, so unit sums
+    past 2^53 silently lost low bits — exactly the 100 TB regime the LONG
+    unit-sum device exists for. Probe unit sums around 2^53 whose low
+    digits straddle the .xx5 boundary (su ≡ 49/50/51 mod 100 at 4dp→2dp):
+    double arithmetic cannot even represent the odd neighbors up there."""
+    import duckdb
+
+    from data_engineering_project_spark.functions.scalars import (
+        half_up_div,
+        sql_half_up_div,
+    )
+
+    base = 2**53  # 9007199254740992; doubles step by 2 above this
+    # 72057594037927549 = 100M-51 with float(100M-1) rounding UP across
+    # the multiple of 100: the old double device returns M where exact
+    # integer half-up says M-1 (fraction .49 rounds down)
+    poison = 72057594037927549
+    sus = [
+        base + 49, base + 50, base + 51,      # boundary straddle
+        base * 128 + 50,                      # deep past 2^53
+        poison, -poison,                      # double-device killers
+        -(base + 50), -(base + 51),           # half-away on negatives
+    ]
+
+    def py_half_up(su: int, scale: int, dp: int) -> float:
+        div = scale // 10**dp
+        half = div // 2
+        q = -((-su + half) // div) if su < 0 else (su + half) // div
+        return round(q / 10**dp, dp)
+
+    expected = [py_half_up(su, 10_000, 2) for su in sus]
+
+    df = spark.createDataFrame([(su,) for su in sus], "su long")
+    got = [
+        r["v"]
+        for r in df.select(half_up_div(F.col("su"), 10_000, 2).alias("v"))
+        .orderBy(F.abs(F.col("su")), "su")
+        .collect()
+    ]
+    ordered = sorted(sus, key=lambda s: (abs(s), s))
+    assert got == [py_half_up(su, 10_000, 2) for su in ordered]
+
+    # DuckDB twin: same device text over a BIGINT column
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (su BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(su,) for su in sus])
+    twin = con.execute(
+        f"SELECT {sql_half_up_div('su', 10_000, 2)} AS v FROM t ORDER BY abs(su), su"
+    ).fetchall()
+    assert [v for (v,) in twin] == [py_half_up(su, 10_000, 2) for su in ordered]
+
+    # and the double path would have been WRONG here (sanity that the
+    # test actually discriminates): floor((su+50)/100.0) misses on the
+    # poison value, where float rounding of su+50 crosses the boundary
+    import math
+
+    assert math.floor((poison + 50) / 100.0) != (poison + 50) // 100
