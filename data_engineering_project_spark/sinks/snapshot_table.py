@@ -604,6 +604,7 @@ def merge_upsert(
     key_cols: Sequence[str],
     *,
     stats_cols: Sequence[str] = (),
+    replace_scope: Sequence[str] | None = None,
 ) -> Manifest:
     """Copy-on-write MERGE: upsert ``updates`` by ``key_cols``.
 
@@ -611,12 +612,27 @@ def merge_upsert(
     (old non-matching rows + every update row); all other files carry
     over by reference. Mirrors Delta's MERGE file-pruning execution:
     cost ∝ touched files, not table size.
-    """
+
+    ``replace_scope`` (a prefix subset of ``key_cols``) adds Delta's
+    ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` scoped to the source's
+    scope keys: every stored row whose scope key appears in ``updates``
+    is REPLACED wholesale — rows of that scope key absent from
+    ``updates`` are deleted in the same commit. Use when ``updates`` is
+    the complete new answer set per scope key (e.g. a serve's full
+    top-k per query_id), so a shrunken answer never leaves stale
+    higher-rank rows behind (ADVICE r9 #2). Rows whose scope key is NOT
+    in ``updates`` are untouched, so file pruning still holds."""
     # Lease FIRST, then read the version: the version-read and the
     # empty-table branch decision must sit inside lease protection, or a
     # concurrent vacuum/writer can interleave in the gap (ADVICE r3;
     # mirrors write_table's ordering). Nested leases (write_table takes
     # its own) are harmless — two independent lease files.
+    if replace_scope is not None:
+        missing = set(replace_scope) - set(key_cols)
+        if missing:
+            raise ValueError(
+                f"replace_scope {sorted(missing)!r} not in key_cols {list(key_cols)!r}"
+            )
     lease = _begin_lease(table)
     try:
         base = current_version(table)
@@ -625,7 +641,8 @@ def merge_upsert(
                 updates, table, mode="append", stats_cols=stats_cols
             )
         return _merge_upsert_leased(
-            spark, table, updates, key_cols, base, stats_cols
+            spark, table, updates, key_cols, base, stats_cols,
+            replace_scope=replace_scope,
         )
     finally:
         _end_lease(lease)
@@ -728,14 +745,20 @@ def _merge_upsert_leased(
     key_cols: Sequence[str],
     base: int,
     stats_cols: Sequence[str],
+    replace_scope: Sequence[str] | None = None,
 ) -> Manifest:
     m = read_manifest(table, base)
     current = read_table(spark, table, version=base).withColumn(
         "_file", F.col("_metadata.file_path")
     )
-    keys = updates.select(*key_cols).distinct()
+    # replace_scope widens both the touched-file probe AND the survivor
+    # anti-join from the full key to the scope key: a file holding ANY row
+    # of a served scope key is rewritten, and none of that scope key's old
+    # rows survive — the update set replaces the scope wholesale
+    anti_cols = list(replace_scope) if replace_scope else list(key_cols)
+    anti_keys = updates.select(*anti_cols).distinct()
     # file_path comes back absolute+scheme'd; compare on the relative tail
-    touched_rows = current.join(F.broadcast(keys), list(key_cols), "left_semi")
+    touched_rows = current.join(F.broadcast(anti_keys), anti_cols, "left_semi")
     # keep the raw URI strings for the Spark-side filter; derive the
     # manifest-relative path only for bookkeeping (URI scheme/slash count
     # varies by Hadoop FS, the normalized tail does not)
@@ -747,7 +770,7 @@ def _merge_upsert_leased(
     survivors = (
         current.filter(F.col("_file").isin(touched_uris))
         .drop("_file")
-        .join(keys, list(key_cols), "left_anti")
+        .join(anti_keys, anti_cols, "left_anti")
     )
     # additive schema evolution applies to MERGE like to append: updates
     # may add columns (survivors fill null); missing/retyped columns fail

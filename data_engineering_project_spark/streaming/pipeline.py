@@ -1924,9 +1924,12 @@ def knn_serving_batch(
     bounded by the UNION of probed cells per batch, not corpus size, and
     each probed file is read once for ALL queries that probe it.
 
-    Exactly-once: results merge-upsert by (query_id, rank) — a replayed
-    batch re-probes the same pinned index generation (``tag``) and
-    replaces its own rows byte-identically. ``tag`` pins serving to a
+    Exactly-once: results merge-upsert by (query_id, rank) with
+    ``replace_scope=query_id`` — each serve replaces a query's answer set
+    WHOLESALE (a shorter re-serve deletes the stale higher ranks in the
+    same commit), and a replayed batch re-probes the same pinned index
+    generation (``tag``) and replaces its own rows byte-identically.
+    ``tag`` pins serving to a
     :func:`promote_index` generation so a concurrent rebuild/OPTIMIZE
     never changes answers mid-stream.
     """
@@ -2008,12 +2011,18 @@ def knn_serving_batch(
             if snap.current_version(out_table) is None:
                 snap.write_table(topk, out_table, stats_cols=["query_id"])
             else:
+                # replace_scope: a re-served query_id's answer set is
+                # replaced WHOLESALE — if this serve returns fewer rows
+                # than a previous one (candidates < k, k lowered, index
+                # shrank), the old higher ranks are deleted in the same
+                # commit instead of surviving as stale rows (ADVICE r9 #2)
                 snap.merge_upsert(
                     spark,
                     out_table,
                     topk,
                     ["query_id", "rank"],
                     stats_cols=["query_id"],
+                    replace_scope=["query_id"],
                 )
         finally:
             probes.unpersist()

@@ -732,3 +732,46 @@ def test_streaming_knn_serving_matches_reader_and_replays_clean(
         for r in snap.read_table(spark, out).collect()
     }
     assert again == got
+
+
+def test_streaming_knn_reserve_with_fewer_rows_drops_stale_ranks(
+    spark, emb, tmp_path
+):
+    """ADVICE r9 #2: a later serve of the SAME query_id with a smaller k
+    must fully replace the stored answer set — the earlier serve's
+    higher-rank rows may not survive the merge."""
+    from data_engineering_project_spark.streaming.pipeline import (
+        knn_serving_batch,
+    )
+
+    index = str(tmp_path / "ivf")
+    out = str(tmp_path / "results")
+    build_ivf_index(emb, index, k=8)
+
+    src = tmp_path / "queries"
+    src.mkdir()
+    schema = "vec_id bigint, embedding array<double>, label bigint"
+    qset = emb.filter("vec_id < 2").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as embedding",
+        "label",
+    )
+    qset.coalesce(1).write.parquet(str(src / "b0.parquet"))
+
+    def _run(ckpt, k):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(f"{src}/*")
+            .writeStream.foreachBatch(knn_serving_batch(index, out, k=k, nprobe=2))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run("ck1", k=5)
+    assert snap.read_table(spark, out).count() == 2 * 5
+    # fresh checkpoint, smaller k: same queries redeliver with 3-row answers
+    _run("ck2", k=3)
+    rows = snap.read_table(spark, out).collect()
+    assert len(rows) == 2 * 3, "stale higher ranks survived the re-serve"
+    assert {r["rank"] for r in rows} == {1, 2, 3}

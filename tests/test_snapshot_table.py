@@ -671,3 +671,76 @@ def test_timestamp_as_of_time_travel(spark, table):
         _json.dump(raw, fh)
     os.utime(path, (t_after_v0 + 0.01, t_after_v0 + 0.01))
     assert st.resolve_as_of(table, t_after_v1) == 1
+
+
+def _kr(spark, triples):
+    return spark.createDataFrame(triples, "k int, rank int, v string")
+
+
+def test_merge_replace_scope_deletes_shrunken_answer_set(spark, table):
+    """ADVICE r9 #2 device: replace_scope=(k,) makes the update set the
+    COMPLETE new answer per k — a re-merge with fewer ranks for a k must
+    delete that k's stale higher ranks in the same commit, while keys
+    absent from the update stay untouched."""
+    st.write_table(
+        _kr(spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "x")]),
+        table,
+        stats_cols=("k",),
+    )
+    st.merge_upsert(
+        spark,
+        table,
+        _kr(spark, [(1, 1, "A")]),  # k=1 now answers with ONE row
+        key_cols=("k", "rank"),
+        stats_cols=("k",),
+        replace_scope=("k",),
+    )
+    got = {(r.k, r.rank, r.v) for r in st.read_table(spark, table).collect()}
+    assert got == {(1, 1, "A"), (2, 1, "x")}  # ranks 2,3 gone; k=2 intact
+
+    # plain merge (no scope) would have kept them — regression guard that
+    # the default path is unchanged
+    st.merge_upsert(
+        spark,
+        table,
+        _kr(spark, [(2, 2, "y")]),
+        key_cols=("k", "rank"),
+        stats_cols=("k",),
+    )
+    got = {(r.k, r.rank, r.v) for r in st.read_table(spark, table).collect()}
+    assert got == {(1, 1, "A"), (2, 1, "x"), (2, 2, "y")}
+
+
+def test_merge_replace_scope_validates_subset(spark, table):
+    st.write_table(_kr(spark, [(1, 1, "a")]), table)
+    with pytest.raises(ValueError, match="replace_scope"):
+        st.merge_upsert(
+            spark,
+            table,
+            _kr(spark, [(1, 1, "b")]),
+            key_cols=("k", "rank"),
+            replace_scope=("nope",),
+        )
+
+
+def test_merge_replace_scope_prunes_untouched_files(spark, table):
+    """The scope-key widening must not break MERGE's file-pruning
+    contract: files holding no served scope key carry by reference."""
+    base = _kr(spark, [(1, 1, "a"), (1, 2, "b"), (10, 1, "x"), (10, 2, "y")])
+    st.write_table(base.repartitionByRange(2, "k"), table, stats_cols=("k",))
+    v0 = st.read_manifest(table)
+    assert len(v0.files) == 2
+
+    st.merge_upsert(
+        spark,
+        table,
+        _kr(spark, [(10, 1, "X")]),
+        key_cols=("k", "rank"),
+        stats_cols=("k",),
+        replace_scope=("k",),
+    )
+    v1 = st.read_manifest(table)
+    carried = {f["path"] for f in v0.files} & {f["path"] for f in v1.files}
+    assert len(carried) == 1
+    got = {(r.k, r.rank, r.v) for r in st.read_table(spark, table).collect()}
+    assert got == {(1, 1, "a"), (1, 2, "b"), (10, 1, "X")}
