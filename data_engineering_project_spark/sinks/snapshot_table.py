@@ -43,6 +43,7 @@ import os
 import re
 import time
 import uuid
+import warnings
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
@@ -179,13 +180,24 @@ def resolve_as_of(table: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution (Delta semantics): the newest version
     whose commit time is <= ``ts``. Commit times come from the manifest's
     ``committed_at`` stamp; manifests written before timestamp tracking
-    fall back to the manifest file's mtime (well-ordered for local logs —
-    an object-store deployment re-stamps on migration). Raises if the
-    table's FIRST commit is after ``ts`` (nothing existed then)."""
+    fall back to the manifest file's mtime. Raises if the table's FIRST
+    commit is after ``ts`` (nothing existed then).
+
+    Commit times are clamped MONOTONIC non-decreasing across versions
+    (Delta's rule, ADVICE r9 #3): a log can legitimately mix
+    ``committed_at`` stamps with mtime fallbacks, and an mtime touched by
+    a copy/rsync-without--t or an object-store migration can postdate
+    stamps around it — unclamped, that resolves AS OF to a version NEWER
+    than anything that existed at ``ts``. Each version's effective time
+    is ``max(own time, predecessor's effective time)``; observing a raw
+    time below its predecessor warns once per call site so the operator
+    knows the log's wall-clock story was repaired."""
     newest = current_version(table)
     if newest is None:
         raise FileNotFoundError(f"no committed version in {table!r}")
     best = None
+    prev_t: float | None = None
+    clamped: list[int] = []
     for v in range(newest + 1):
         try:
             m = read_manifest(table, v)
@@ -197,8 +209,19 @@ def resolve_as_of(table: str, ts: float) -> int:
                 t = os.path.getmtime(_manifest_path(table, v))
             except OSError:
                 continue
+        if prev_t is not None and t < prev_t:
+            clamped.append(v)
+            t = prev_t
+        prev_t = t
         if t <= ts:
             best = v
+    if clamped:
+        warnings.warn(
+            f"resolve_as_of({table!r}): non-monotonic commit times at "
+            f"version(s) {clamped} (stamp/mtime mix or touched mtimes); "
+            "clamped to the predecessor's time",
+            stacklevel=2,
+        )
     if best is None:
         raise ValueError(
             f"no version of {table!r} existed at timestamp {ts}"

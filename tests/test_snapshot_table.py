@@ -744,3 +744,50 @@ def test_merge_replace_scope_prunes_untouched_files(spark, table):
     assert len(carried) == 1
     got = {(r.k, r.rank, r.v) for r in st.read_table(spark, table).collect()}
     assert got == {(1, 1, "a"), (1, 2, "b"), (10, 1, "X")}
+
+
+def test_as_of_clamps_non_monotonic_commit_times(spark, table):
+    """ADVICE r9 #3: a pre-upgrade manifest whose mtime was touched
+    (rsync without -t, object-store migration) can postdate the stamps
+    around it. Unclamped, AS OF resolves to a version NEWER than anything
+    that existed at the timestamp. Effective commit times are clamped
+    monotonic (Delta's rule) and the repair warns."""
+    import json as _json
+
+    st.write_table(_rows(spark, [(1, "a")]), table)                     # v0
+    st.write_table(_rows(spark, [(2, "b")]), table, mode="append")      # v1
+    st.write_table(_rows(spark, [(9, "z")]), table, mode="overwrite")   # v2
+
+    def _stamp(v, t):
+        path = os.path.join(table, "_manifests", f"v{v:08d}.json")
+        raw = _json.load(open(path))
+        if t is None:
+            raw.pop("committed_at", None)
+        else:
+            raw["committed_at"] = t
+        with open(path, "w") as fh:
+            _json.dump(raw, fh)
+        return path
+
+    _stamp(0, 50.0)
+    _stamp(1, 100.0)
+    p2 = _stamp(2, None)          # pre-upgrade manifest: mtime fallback
+    os.utime(p2, (60.0, 60.0))    # touched BACKWARD past v1's stamp
+
+    # at ts=70 only v0 existed (v1 committed at 100, v2 after it);
+    # unclamped the mtime-60 v2 would win
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert st.resolve_as_of(table, 70.0) == 0
+    assert any("non-monotonic" in str(w.message) for w in caught)
+
+    # clamped v2 inherits v1's time: both visible from ts=100 onward
+    assert st.resolve_as_of(table, 100.0) == 2
+    # monotonic logs stay warning-free
+    _stamp(2, 200.0)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert st.resolve_as_of(table, 150.0) == 1
+    assert not caught
