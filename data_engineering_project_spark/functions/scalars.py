@@ -187,6 +187,42 @@ def sql_half_up_div(su: str, scale: int, out_dp: int = 2) -> str:
     )
 
 
+def half_up_ratio(num: Column, den: Column, out_dp: int = 6) -> Column:
+    """Exact HALF-AWAY-FROM-ZERO rounding of an integer ratio ``num/den``
+    (``den > 0``) to ``out_dp`` decimals, entirely in integer arithmetic.
+
+    The residual class the r8 parity sweep documented: ``ROUND(num/den,
+    6)`` on the IEEE quotient flips between Spark's shortest-decimal
+    HALF_UP and binary rounding whenever the true ratio lands exactly on
+    a representable .xxxxxx5 boundary (possible iff ``den | 2^a·10^b`` —
+    e.g. a Jaccard union with 2^7·10^k structure, an A/B arm count of
+    2^9·5^2). The device computes ``(2·|num|·10^dp + den) div (2·den)``
+    — floor(|num|/den·10^dp + ½) without ever forming the quotient — in
+    DECIMAL(38,0), so numerators up to ~10^31 stay exact (a LONG
+    multiply would cap num at ~4.6·10^{12}); the QUOTIENT in 1/10^dp
+    units must still fit LONG, which any fraction-like ratio does by
+    orders of magnitude. NULL num/den propagates. SQL twin:
+    :func:`sql_half_up_ratio`."""
+    m = F.lit(2 * 10 ** out_dp)
+    n38 = F.abs(num).cast("decimal(38,0)")
+    d38 = den.cast("decimal(38,0)")
+    mag = F.call_function("div", n38 * m + d38, d38 * F.lit(2))
+    units = F.when(num < 0, -mag).otherwise(mag)
+    return F.round(units / (10 ** out_dp), out_dp)
+
+
+def sql_half_up_ratio(num: str, den: str, out_dp: int = 6) -> str:
+    """DuckDB restatement of :func:`half_up_ratio` — HUGEINT arithmetic,
+    ``//`` integral division, same half-away tie rule."""
+    m = 2 * 10 ** out_dp
+    n = f"abs(CAST(({num}) AS HUGEINT))"
+    d = f"CAST(({den}) AS HUGEINT)"
+    return (
+        f"ROUND(((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * "
+        f"(({n} * {m} + {d}) // ({d} * 2))) / {10 ** out_dp}, {out_dp})"
+    )
+
+
 def decimal_units(expr: Column, scale: int) -> Column:
     """Snap a fixed-decimal value to exact integer 1/``scale`` units (LONG).
 

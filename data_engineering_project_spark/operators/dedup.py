@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_engineering_project_spark.operators.text import jaccard, tokens
+from data_engineering_project_spark.operators.text import (
+    jaccard,
+    jaccard_half_up6,
+    tokens,
+)
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -393,7 +397,11 @@ def minhash_lsh_pairs(
     return (
         verified.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_half_up6(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
     )
 
 
@@ -484,7 +492,11 @@ def incremental_minhash_pairs(
     return (
         verified.withColumn("jaccard", jaccard(F.col("sh_new"), F.col("sh_old")))
         .filter(F.col("jaccard") >= min_jaccard)
-        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "new_id",
+            "corpus_id",
+            jaccard_half_up6(F.col("sh_new"), F.col("sh_old")).alias("jaccard"),
+        )
     )
 
 
@@ -630,7 +642,11 @@ def jaccard_prefix_pairs(
     return (
         verified.withColumn("jaccard", jaccard(F.col("ts_a"), F.col("ts_b")))
         .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_half_up6(F.col("ts_a"), F.col("ts_b")).alias("jaccard"),
+        )
     )
 
 

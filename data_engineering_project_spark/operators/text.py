@@ -68,6 +68,22 @@ def jaccard(a_tokens: Column, b_tokens: Column) -> Column:
     return inter.cast("double") / union
 
 
+def jaccard_half_up6(a_tokens: Column, b_tokens: Column) -> Column:
+    """Device-rounded exact Jaccard for OUTPUT columns: the integer
+    (inter, union) pair routes through :func:`half_up_ratio`, so a ratio
+    landing exactly on a representable .xxxxxx5 boundary (union with
+    2^a·10^b structure — the r8 parity sweep's residual class) rounds
+    half-away identically on every engine instead of splitting between
+    Spark's shortest-decimal HALF_UP and binary rounding. Thresholding
+    still compares the raw double :func:`jaccard` (identical IEEE ops on
+    both engines); only the emitted 6dp value needs the device."""
+    from data_engineering_project_spark.functions.scalars import half_up_ratio
+
+    inter = F.size(F.array_intersect(a_tokens, b_tokens))
+    union = F.size(a_tokens) + F.size(b_tokens) - inter
+    return half_up_ratio(inter.cast("long"), union.cast("long"), 6)
+
+
 def bpe_train(words, rounds: int, *, return_symbols: bool = False):
     """Learn the first ``rounds`` BPE merge rules over a (word, cnt) table.
 

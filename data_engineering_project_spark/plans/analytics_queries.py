@@ -25,8 +25,10 @@ from data_engineering_project_spark.operators.multimodal import (
 from data_engineering_project_spark.functions.scalars import (
     decimal_units,
     half_up_div,
+    half_up_ratio,
     sql_exact_sum,
     sql_half_up_div,
+    sql_half_up_ratio,
 )
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
@@ -606,7 +608,7 @@ def docs_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_ab_conversion_z",
-    sql="""
+    sql=f"""
     WITH assign AS (
         SELECT user_id, user_id % 2 AS arm,
                max(CASE WHEN event_type = 'purchase' AND value > 150
@@ -621,8 +623,8 @@ def docs_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM assign
     )
     SELECT n0, c0, n1, c1,
-           ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
-           ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+           {sql_half_up_ratio('c0', 'n0', 6)} AS rate0,
+           {sql_half_up_ratio('c1', 'n1', 6)} AS rate1,
            CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1
                 THEN NULL
                 ELSE ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
@@ -684,8 +686,8 @@ def events_ab_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c0",
         "n1",
         "c1",
-        F.round(p0, 6).alias("rate0"),
-        F.round(p1, 6).alias("rate1"),
+        half_up_ratio(F.col("c0"), F.col("n0"), 6).alias("rate0"),
+        half_up_ratio(F.col("c1"), F.col("n1"), 6).alias("rate1"),
         z.alias("z"),
     )
 

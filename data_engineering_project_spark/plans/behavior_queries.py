@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark.functions import scalars as S
-from data_engineering_project_spark.functions.scalars import sql_exact_sum
+from data_engineering_project_spark.functions.scalars import (
+    half_up_ratio,
+    sql_exact_sum,
+    sql_half_up_ratio,
+)
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
 
@@ -707,7 +711,7 @@ def orders_cohort_revenue_triangle(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "events_stickiness_dau_mau",
-    sql="""
+    sql=f"""
     WITH daily AS (
         SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
                CAST(ts AS DATE) AS day,
@@ -723,7 +727,7 @@ def orders_cohort_revenue_triangle(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(d.dau) AS BIGINT) AS dau_day_sum,
            CAST(max(m.mau) AS BIGINT) AS mau,
-           ROUND(sum(d.dau) * 1.0 / count(*) / max(m.mau), 6) AS stickiness
+           {sql_half_up_ratio('sum(d.dau)', 'count(*) * max(m.mau)', 6)} AS stickiness
     FROM daily d JOIN monthly m ON m.month = d.month
     GROUP BY d.month
     """,
@@ -753,8 +757,8 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_days"),
             F.sum("dau").cast("bigint").alias("dau_day_sum"),
             F.max("mau").cast("bigint").alias("mau"),
-            F.round(
-                F.sum("dau") * 1.0 / F.count("*") / F.max("mau"), 6
+            half_up_ratio(
+                F.sum("dau"), F.count("*") * F.max("mau"), 6
             ).alias("stickiness"),
         )
         .select(
@@ -769,7 +773,7 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "users_power_share",
-    sql="""
+    sql=f"""
     WITH per_user AS (
         SELECT user_id, count(*) AS c FROM events GROUP BY 1
     ),
@@ -786,7 +790,7 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT count(*) FROM topk) AS BIGINT) AS k,
            CAST(s.total AS BIGINT) AS total_events,
            CAST((SELECT sum(c) FROM topk) AS BIGINT) AS topk_events,
-           ROUND((SELECT sum(c) FROM topk) * 1.0 / s.total, 6) AS power_share
+           {sql_half_up_ratio('(SELECT sum(c) FROM topk)', 's.total', 6)} AS power_share
     FROM stats s
     """,
     doc="Power-user concentration: share of all events produced by the top "
@@ -815,7 +819,7 @@ def users_power_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(k)).cast("bigint").alias("k"),
             F.col("total").cast("bigint").alias("total_events"),
             F.col("topk_events").cast("bigint"),
-            F.round(F.col("topk_events") * 1.0 / F.col("total"), 6).alias(
+            half_up_ratio(F.col("topk_events"), F.col("total"), 6).alias(
                 "power_share"
             ),
         )

@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_project_spark.functions.scalars import (
+    half_up_ratio,
+    sql_half_up_ratio,
+)
 from data_engineering_project_spark.operators import curation as C
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
@@ -228,11 +232,11 @@ def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            count(CASE WHEN w.n_words > {REPETITION_FLAG_FACTOR} * w.n_distinct THEN 1 END)
                AS n_flagged,
-           ROUND(1.0 - CAST(sum(w.n_distinct) AS DOUBLE) / sum(w.n_words), 6)
+           {sql_half_up_ratio('sum(w.n_words) - sum(w.n_distinct)', 'sum(w.n_words)', 6)}
                AS dup_word_ratio,
-           ROUND(CAST(sum(w.top_freq) AS DOUBLE) / sum(w.n_words), 6)
+           {sql_half_up_ratio('sum(w.top_freq)', 'sum(w.n_words)', 6)}
                AS top_word_ratio,
-           ROUND(1.0 - CAST(sum(b.n_distinct_bigrams) AS DOUBLE) / sum(b.n_bigrams), 6)
+           {sql_half_up_ratio('sum(b.n_bigrams) - sum(b.n_distinct_bigrams)', 'sum(b.n_bigrams)', 6)}
                AS dup_bigram_ratio
     FROM doc_words w JOIN doc_bigrams b USING (doc_id)
     GROUP BY w.lang
@@ -277,14 +281,16 @@ def docs_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_words") > REPETITION_FLAG_FACTOR * F.col("n_distinct"), 1
             )
         ).alias("n_flagged"),
-        F.round(
-            1.0 - F.sum("n_distinct").cast("double") / F.sum("n_words"), 6
+        half_up_ratio(
+            F.sum("n_words") - F.sum("n_distinct"), F.sum("n_words"), 6
         ).alias("dup_word_ratio"),
-        F.round(
-            F.sum("top_freq").cast("double") / F.sum("n_words"), 6
-        ).alias("top_word_ratio"),
-        F.round(
-            1.0 - F.sum("n_distinct_bigrams").cast("double") / F.sum("n_bigrams"), 6
+        half_up_ratio(F.sum("top_freq"), F.sum("n_words"), 6).alias(
+            "top_word_ratio"
+        ),
+        half_up_ratio(
+            F.sum("n_bigrams") - F.sum("n_distinct_bigrams"),
+            F.sum("n_bigrams"),
+            6,
         ).alias("dup_bigram_ratio"),
     )
 

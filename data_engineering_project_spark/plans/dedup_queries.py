@@ -10,9 +10,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_project_spark.functions.scalars import sql_half_up_ratio
 from data_engineering_project_spark.operators import dedup as D
 from data_engineering_project_spark.plans.catalog import QUERIES, register
 from data_engineering_project_spark.sources.tables import load_table
+
+# device-rounded Jaccard output: exact integer (inter, union) through
+# the half-away ratio device (r8 residual class: .xxxxxx5 ties)
+_J6 = sql_half_up_ratio("inter", "uni", 6)
 
 _N_HASHES = 16
 _N_BANDS = 4
@@ -57,13 +62,15 @@ _MINHASH_SQL = f"""
     ),
     verified AS (
         SELECT id_a, id_b,
+               len(list_intersect(sa.sh, sb.sh)) AS inter,
+               len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni,
                CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
         FROM cand
         JOIN sh sa ON sa.doc_id = cand.id_a
         JOIN sh sb ON sb.doc_id = cand.id_b
     )
-    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    SELECT id_a, id_b, {_J6} AS jaccard
     FROM verified WHERE j >= 0.5
 """
 
@@ -116,6 +123,9 @@ _PREFIX_SQL = f"""
     ),
     verified AS (
         SELECT id_a, id_b,
+               len(list_intersect(sa.ts, sb.ts)) AS inter,
+               len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts))
+                   AS uni,
                CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)
                / (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
                    AS j
@@ -123,7 +133,7 @@ _PREFIX_SQL = f"""
         JOIN ts sa ON sa.doc_id = cand.id_a
         JOIN ts sb ON sb.doc_id = cand.id_b
     )
-    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    SELECT id_a, id_b, {_J6} AS jaccard
     FROM verified WHERE j >= {_PREFIX_T}
 """
 
@@ -216,6 +226,9 @@ _CAPPED_SQL = f"""
     ),
     verified AS (
         SELECT id_a, id_b,
+               len(list_intersect(sa.ts, sb.ts)) AS inter,
+               len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts))
+                   AS uni,
                CAST(len(list_intersect(sa.ts, sb.ts)) AS DOUBLE)
                / (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
                    AS j
@@ -223,7 +236,7 @@ _CAPPED_SQL = f"""
         JOIN ts sa ON sa.doc_id = cand.id_a
         JOIN ts sb ON sb.doc_id = cand.id_b
     )
-    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    SELECT id_a, id_b, {_J6} AS jaccard
     FROM verified WHERE j >= {_PREFIX_T}
 """
 

@@ -17,8 +17,10 @@ from data_engineering_project_spark.functions.scalars import (
     decimal_units,
     exact_decimal_sum,
     half_up_div,
+    half_up_ratio,
     sql_exact_sum,
     sql_half_up_div,
+    sql_half_up_ratio,
 )
 from data_engineering_project_spark.operators import similarity as S
 from data_engineering_project_spark.operators import sketch as K
@@ -1210,9 +1212,8 @@ _Q8_NAT_SU = """sum(CASE WHEN supp_nation = 'NATION_0'
            {sql_half_up_div(_Q8_NAT_SU, 10000, 2)}
                AS nation_volume,
            {sql_half_up_div('sum(volume_units)', 10000, 2)} AS total_volume,
-           ROUND(sum(CASE WHEN supp_nation = 'NATION_0'
-                          THEN volume_units ELSE 0 END)
-                 / sum(volume_units), 6) AS mkt_share
+           {sql_half_up_ratio(_Q8_NAT_SU, 'sum(volume_units)', 6)}
+               AS mkt_share
     FROM vol
     GROUP BY o_year
     ORDER BY o_year
@@ -1254,9 +1255,9 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             half_up_div(F.sum(nation_units), 10_000, 2).alias("nation_volume"),
             half_up_div(F.sum("volume_units"), 10_000, 2).alias("total_volume"),
-            F.round(F.sum(nation_units) / F.sum("volume_units"), 6).alias(
-                "mkt_share"
-            ),
+            half_up_ratio(
+                F.sum(nation_units), F.sum("volume_units"), 6
+            ).alias("mkt_share"),
         )
     )
 

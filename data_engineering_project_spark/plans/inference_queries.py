@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_engineering_project_spark.functions.scalars import decimal_units
+from data_engineering_project_spark.functions.scalars import (
+    decimal_units,
+    half_up_div,
+    half_up_ratio,
+    sql_half_up_div,
+    sql_half_up_ratio,
+)
 from data_engineering_project_spark.operators import text as T
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
@@ -659,7 +665,7 @@ _JSD_TOP = 100
         FROM pairs
     )
     SELECT source_a, source_b,
-           ROUND(sum(t_nano) / 1000000000.0, 6) AS jsd_nats
+           {sql_half_up_div('sum(t_nano)', 10**9, 6)} AS jsd_nats
     FROM terms GROUP BY 1, 2 ORDER BY 1, 2
     """,
     doc="Pairwise Jensen–Shannon divergence between per-source unigram "
@@ -722,7 +728,7 @@ def docs_cross_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("source_a", "source_b", t_nano.alias("t_nano"))
         .groupBy("source_a", "source_b")
-        .agg(F.round(F.sum("t_nano") / 1000000000.0, 6).alias("jsd_nats"))
+        .agg(half_up_div(F.sum("t_nano"), 10**9, 6).alias("jsd_nats"))
         .orderBy("source_a", "source_b")
     )
 
@@ -1326,7 +1332,7 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "events_cmh_stratified",
-    sql="""
+    sql=f"""
     WITH cell AS (
         SELECT CAST(ts AS DATE) AS day,
                CAST(sum(CASE WHEN user_id % 2 = 0
@@ -1360,10 +1366,9 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
         WHERE a + b + c + d >= 2
     )
     SELECT CAST(count(*) AS BIGINT) AS n_strata,
-           ROUND(CAST(sum(dev_micro) AS DOUBLE)
-                 * CAST(sum(dev_micro) AS DOUBLE)
-                 / 1000000.0 / sum(var_micro), 6) AS cmh_chi2,
-           ROUND(CAST(sum(ad_micro) AS DOUBLE) / sum(bc_micro), 6)
+           {sql_half_up_ratio('sum(dev_micro) * sum(dev_micro)',
+                              '1000000 * sum(var_micro)', 6)} AS cmh_chi2,
+           {sql_half_up_ratio('sum(ad_micro)', 'sum(bc_micro)', 6)}
                AS mh_odds_ratio
     FROM terms
     """,
@@ -1413,15 +1418,14 @@ def events_cmh_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.agg(
         F.count("*").cast("bigint").alias("n_strata"),
-        F.round(
-            F.sum("dev_micro").cast("double")
-            * F.sum("dev_micro").cast("double")
-            / 1000000.0
-            / F.sum("var_micro"),
+        half_up_ratio(
+            F.sum("dev_micro").cast("decimal(38,0)")
+            * F.sum("dev_micro").cast("decimal(38,0)"),
+            F.lit(1000000).cast("decimal(38,0)") * F.sum("var_micro"),
             6,
         ).alias("cmh_chi2"),
-        F.round(
-            F.sum("ad_micro").cast("double") / F.sum("bc_micro"), 6
+        half_up_ratio(
+            F.sum("ad_micro"), F.sum("bc_micro"), 6
         ).alias("mh_odds_ratio"),
     )
 

@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark import quality as Q
+from data_engineering_project_spark.functions.scalars import (
+    half_up_ratio,
+    sql_half_up_ratio,
+)
 from data_engineering_project_spark.operators.report import hourly_type_counts
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
@@ -223,7 +227,7 @@ def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_benford_first_digit",
-    sql="""
+    sql=f"""
     WITH units AS (
         SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS u
         FROM events WHERE value > 0
@@ -239,7 +243,7 @@ def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d AS digit,
            CAST(n AS BIGINT) AS n_obs,
-           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_frac,
+           {sql_half_up_ratio('n', 'total', 6)} AS obs_frac,
            ROUND(log10(1 + 1.0 / d), 6) AS benford_frac,
            CAST(floor(
                (CAST(n AS DOUBLE) / total - log10(1 + 1.0 / d))
@@ -279,7 +283,7 @@ def events_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obs.select(
         F.col("d").alias("digit"),
         F.col("n").cast("bigint").alias("n_obs"),
-        F.round(frac, 6).alias("obs_frac"),
+        half_up_ratio(F.col("n"), F.col("total"), 6).alias("obs_frac"),
         F.round(bf, 6).alias("benford_frac"),
         chi_term.alias("chi2_term_micro"),
     ).orderBy("digit")

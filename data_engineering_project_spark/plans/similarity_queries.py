@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_project_spark.functions.scalars import (
+    half_up_ratio,
+    sql_half_up_ratio,
+)
 from data_engineering_project_spark.operators import similarity as S
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
@@ -712,7 +716,7 @@ def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           ROUND(sum(s_micro) / 1000000.0 / count(*), 6) AS mean_silhouette
+           {sql_half_up_ratio('sum(s_micro)', '1000000 * count(*)', 6)} AS mean_silhouette
     FROM s GROUP BY label ORDER BY label
     """,
     doc="Simplified (centroid-based) silhouette score per label over "
@@ -763,9 +767,9 @@ def emb_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").cast("bigint").alias("n_vectors"),
-            F.round(F.sum("s_micro") / 1000000.0 / F.count("*"), 6).alias(
-                "mean_silhouette"
-            ),
+            half_up_ratio(
+                F.sum("s_micro"), F.lit(1000000) * F.count("*"), 6
+            ).alias("mean_silhouette"),
         )
         .orderBy("label")
     )

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_engineering_project_spark.functions.scalars import decimal_units
+from data_engineering_project_spark.functions.scalars import (
+    decimal_units,
+    half_up_ratio,
+    sql_half_up_ratio,
+)
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
 
@@ -573,7 +577,7 @@ def users_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_time_to_convert",
-    sql="""
+    sql=f"""
     WITH u AS (
         SELECT user_id, event_type, epoch_us(ts) AS us FROM events
     ),
@@ -601,7 +605,7 @@ def users_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM conv
     )
     SELECT CAST(max(d.n) AS BIGINT) AS n_converted,
-           ROUND(max(d.n) * 1.0 / max(clk.n_clickers), 6)
+           {sql_half_up_ratio('max(d.n)', 'max(clk.n_clickers)', 6)}
                AS conversion_rate,
            ROUND(floor((2 * max(d.s) + 1000 * max(d.n))
                        / (2000.0 * max(d.n))) / 1000, 3) AS mean_s,
@@ -660,8 +664,8 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.crossJoin(F.broadcast(clk))
         .agg(
             F.max("n").cast("bigint").alias("n_converted"),
-            F.round(
-                F.max("n") * 1.0 / F.max("n_clickers"), 6
+            half_up_ratio(
+                F.max("n"), F.max("n_clickers"), 6
             ).alias("conversion_rate"),
             F.round(
                 F.floor(
@@ -809,7 +813,7 @@ def customers_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_daily_kl_divergence",
-    sql="""
+    sql=f"""
     WITH cells AS (
         SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
         FROM events GROUP BY 1, 2
@@ -829,7 +833,7 @@ def customers_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(day, '%Y-%m-%d') AS day,
            CAST(max(nd) AS BIGINT) AS n_events,
-           ROUND(sum(t_micro) / 1000000.0 / max(nd), 6) AS kl_nats
+           {sql_half_up_ratio('sum(t_micro)', '1000000 * max(nd)', 6)} AS kl_nats
     FROM terms GROUP BY day
     """,
     doc="Per-day KL divergence of the event-type mix from the overall mix "
@@ -870,8 +874,8 @@ def events_daily_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(
             F.max("nd").cast("bigint").alias("n_events"),
-            F.round(
-                F.sum("t_micro") / 1000000.0 / F.max("nd"), 6
+            half_up_ratio(
+                F.sum("t_micro"), F.lit(1000000) * F.max("nd"), 6
             ).alias("kl_nats"),
         )
         .select(

@@ -172,3 +172,53 @@ def test_half_up_div_exact_beyond_double_precision(spark):
     import math
 
     assert math.floor((poison + 50) / 100.0) != (poison + 50) // 100
+
+
+def test_half_up_ratio_exact_ties_and_big_numerators(spark):
+    """half_up_ratio: exact half-away at representable .xxxxxx5 ties
+    (the ratio class ROUND(num/den, 6) can flip on between engines) and
+    exactness for numerators past LONG-multiply range."""
+    import duckdb
+
+    from data_engineering_project_spark.functions.scalars import (
+        half_up_ratio,
+        sql_half_up_ratio,
+    )
+    from decimal import Decimal, ROUND_HALF_UP
+
+    cases = [
+        (7, 16),               # 0.4375 → .437500 exact width
+        (1, 1280),             # 0.00078125 → ties at 6dp? .000781|25 → .000781
+        (8000005, 16000000),   # EXACTLY 0.5000003125
+        (1, 2_000_000),        # EXACTLY 0.0000005 — the tie itself
+        (3, 2_000_000),        # 0.0000015 tie
+        (-3, 2_000_000),       # negative tie → away from zero
+        (10**14 + 1, 3 * 10**14),  # numerator beyond the LONG-multiply cap
+        (5, 7),                # non-terminating
+        (0, 13),
+    ]
+
+    def py_ref(n, d):
+        q = (Decimal(n) / Decimal(d)).quantize(Decimal("0.000001"), ROUND_HALF_UP) \
+            if n >= 0 else \
+            -((Decimal(-n) / Decimal(d)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        return float(q)
+
+    df = spark.createDataFrame([(i, n, d) for i, (n, d) in enumerate(cases)],
+                               "i int, n long, d long")
+    got = {
+        r["i"]: r["v"]
+        for r in df.select("i", half_up_ratio(F.col("n"), F.col("d")).alias("v")).collect()
+    }
+    for i, (n, d) in enumerate(cases):
+        assert got[i] == py_ref(n, d), (n, d, got[i], py_ref(n, d))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, n BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                    [(i, n, d) for i, (n, d) in enumerate(cases)])
+    twin = dict(con.execute(
+        f"SELECT i, {sql_half_up_ratio('n', 'd')} AS v FROM t"
+    ).fetchall())
+    for i, (n, d) in enumerate(cases):
+        assert twin[i] == py_ref(n, d), ("duckdb", n, d, twin[i])
