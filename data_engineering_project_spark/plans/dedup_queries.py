@@ -750,3 +750,100 @@ def _substring_manifest_sql() -> str:
 
 
 QUERIES["docs_substring_canonical_manifest"].sql = _substring_manifest_sql()
+
+
+_SPAN_K = 8  # tokens per duplicated-span window
+
+_DUP_SPAN_SQL = f"""
+    WITH g AS (
+        SELECT doc_id, array_to_string(ws[i:i+{_SPAN_K - 1}], ' ') AS gram
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents) t,
+        LATERAL (SELECT unnest(range(1, greatest(len(ws) - {_SPAN_K - 1}, 0)
+                                        + 1)) AS i) _
+        WHERE len(ws) >= {_SPAN_K}
+    ),
+    counts AS (
+        SELECT doc_id, count(*) AS n_grams,
+               count(DISTINCT gram) AS n_distinct
+        FROM g GROUP BY 1
+    ),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g),
+    shared AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2),
+    dup AS (
+        SELECT dg.doc_id, count(*) AS n_dup
+        FROM dg JOIN shared USING (gram) GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(c.n_grams AS BIGINT) AS n_grams,
+           CAST(c.n_distinct AS BIGINT) AS n_distinct_grams,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           {sql_half_up_ratio('COALESCE(d.n_dup, 0)', 'c.n_distinct', 6)}
+               AS dup_span_ratio
+    FROM counts c LEFT JOIN dup d USING (doc_id)
+"""
+
+
+@register(
+    "docs_duplicate_ngram_spans",
+    sql=_DUP_SPAN_SQL,
+    doc="Cross-document duplicated-span profile (Lee et al. 2022 "
+    "'Deduplicating Training Data' signal, token-window form): every "
+    f"{_SPAN_K}-token window is a span key; a doc's dup_span_ratio is "
+    "the share of its distinct spans that also occur in ANOTHER doc — "
+    "the per-document evidence an exact-substring deduplicator acts on "
+    "(near 1.0 = boilerplate/mirror, near 0 = unique prose). Spans "
+    "come from one posexplode + 7 lead() steps over a per-doc window "
+    "(token positions are bounded by doc length, never corpus size); "
+    "the shared-span set is one groupBy on the span key — the only "
+    "corpus-wide shuffle, hash-partitioned on high-cardinality span "
+    "strings (a production run would xxhash64 the span to shrink "
+    "shuffle bytes; kept as strings here so the oracle restates the "
+    "key bit-for-bit). Ratio rounds through the half-away device.",
+    tags=("dedup", "text", "spans"),
+)
+def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_engineering_project_spark.functions.scalars import half_up_ratio
+    from data_engineering_project_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w) for j in range(1, _SPAN_K)
+    ]
+    g = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("tok", _SPAN_K - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())  # windows that fit entirely
+        .select("doc_id", "gram")
+    )
+    counts = g.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count_distinct("gram").alias("n_distinct"),
+    )
+    dg = g.distinct()
+    shared = (
+        dg.groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = dg.join(shared, "gram").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup")
+    )
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return counts.join(dup, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct_grams"),
+        n_dup.cast("bigint").alias("n_dup_grams"),
+        half_up_ratio(n_dup, F.col("n_distinct"), 6).alias("dup_span_ratio"),
+    )

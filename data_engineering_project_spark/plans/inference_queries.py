@@ -1535,3 +1535,64 @@ def events_logreg_purchase_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="iter bigint, beta0_micro bigint, beta1_micro bigint, "
         "grad0_micro bigint, grad1_micro bigint",
     )
+
+
+_TE_M = 20  # Bayesian smoothing pseudo-count toward the global prior
+
+
+@register(
+    "events_target_encoding_loo",
+    sql=f"""
+    WITH e AS (
+        SELECT event_id, event_type,
+               CASE WHEN value > 150 THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+        SELECT event_type, count(*) AS cnt_c, sum(y) AS sum_c
+        FROM e GROUP BY 1
+    ),
+    g AS (SELECT count(*) AS d, sum(y) AS s FROM e)
+    SELECT e.event_id, e.event_type, CAST(e.y AS INT) AS y,
+           {sql_half_up_ratio(
+               f'g.d * (c.sum_c - e.y) + {_TE_M} * g.s',
+               f'g.d * (c.cnt_c - 1 + {_TE_M})', 6)} AS te
+    FROM e JOIN c USING (event_type) CROSS JOIN g
+    """,
+    doc="Leave-one-out target encoding with Bayesian smoothing — the "
+    "standard high-cardinality categorical feature for tabular ML, in "
+    "the leakage-free form (each row's own target is excluded from its "
+    "category mean): te_i = (sum_c - y_i + m*prior) / (cnt_c - 1 + m), "
+    "prior = global mean, m = 20. Multiplying through by the global "
+    "count keeps numerator and denominator EXACT integers, so the "
+    "encoding rounds through the half-away ratio device — no float "
+    "division anywhere. Plan: one tiny per-category aggregate "
+    "(broadcast-joined back) + one 1-row global aggregate (crossJoin); "
+    "the fact table is scanned once and never shuffled — the same plan "
+    "carries a 10^9-key category column at 100 TB because the joined "
+    "side is |categories| rows.",
+    tags=("ml", "features", "encoding"),
+)
+def events_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("value") > 150).cast("long").alias("y"),
+    )
+    c = e.groupBy("event_type").agg(
+        F.count("*").alias("cnt_c"), F.sum("y").alias("sum_c")
+    )
+    g = e.agg(F.count("*").alias("d"), F.sum("y").alias("s"))
+    num = F.col("d") * (F.col("sum_c") - F.col("y")) + _TE_M * F.col("s")
+    den = F.col("d") * (F.col("cnt_c") - 1 + _TE_M)
+    return (
+        e.join(F.broadcast(c), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("y").cast("int").alias("y"),
+            half_up_ratio(num, den, 6).alias("te"),
+        )
+    )

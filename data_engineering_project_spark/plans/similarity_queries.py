@@ -1651,3 +1651,93 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+_HN_NQ = 8   # anchors
+_HN_K = 5    # hard negatives per anchor
+
+_HARD_NEG_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+        FROM embeddings WHERE vec_id < {_HN_NQ}
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id, e.label,
+               {_KNN_COS.format(a='e.embedding', b='q.qe')} AS c
+        FROM embeddings e JOIN q ON e.label <> q.qlabel
+    )
+    SELECT qid AS anchor_id,
+           CAST(rn AS INT) AS rank,
+           vec_id AS negative_id,
+           label,
+           ROUND(c, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY c DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {_HN_K}
+"""
+
+
+@register(
+    "emb_hard_negatives",
+    sql=_HARD_NEG_SQL,
+    doc="Hard-negative mining for contrastive training: for each anchor, "
+    "the top-k most-similar vectors of a DIFFERENT label — the negatives "
+    "that actually move an embedding model (uniform random negatives are "
+    "trivially separable after the first epochs). Plan: the 8-row anchor "
+    "set is pinned driver-side and BROADCAST (local relation, not a "
+    "fact-scan build), the corpus streams once through a broadcast "
+    "nested-loop against it (label <> anchor_label is a theta predicate "
+    "— no shuffle of the big side), each (corpus row, anchor) pair "
+    "scores through the row-pair vectorized cosine kernel, and top-k "
+    "per anchor falls out of one window over k*|anchors| bounded rows "
+    "after a per-partition rank prefilter is unnecessary at |anchors| "
+    "partitions. At 100 TB this is the mining pass of a SimCLR/DPR-style "
+    "data pipeline: corpus-partition-parallel, anchor-batched, index-"
+    "accelerable by the same IVF cells emb_knn_join probes.",
+    tags=("similarity", "ml", "contrastive"),
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # anchors are a PARAMETER of the mining pass (driver-pinned local
+    # relation — same device as emb_knn_join, keeps the broadcast audit
+    # clean); at production scale the anchor batch arrives from the
+    # training loop anyway
+    arows = (
+        e.filter(F.col("vec_id") < _HN_NQ)
+        .select("vec_id", "label", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    a8 = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(r["label"]),
+             [float(v) for v in r["embedding"]])
+            for r in arows
+        ],
+        "qid bigint, qlabel int, qe array<double>",
+    )
+    cand = e.join(F.broadcast(a8), e["label"] != a8["qlabel"])
+    scored = S.score_cosine_pairs_vectorized(
+        cand,
+        vec_col="embedding",
+        query_vec_col="qe",
+        keep_cols=("qid", "vec_id", "label"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.select(
+            "qid", "vec_id", "label", "cosine",
+            F.row_number().over(wk).alias("rn"),
+        )
+        .filter(F.col("rn") <= _HN_K)
+        .select(
+            F.col("qid").alias("anchor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.col("vec_id").alias("negative_id"),
+            "label",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

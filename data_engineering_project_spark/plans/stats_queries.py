@@ -1582,3 +1582,64 @@ def lineitem_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "events_value_ewma",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ser AS (
+        SELECT event_type,
+               list_transform(list_sort(list({'d': d, 'x': x})),
+                              s -> CAST(s.x AS DOUBLE)) AS vs
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(vs) AS BIGINT) AS n_days,
+           ROUND(floor(list_reduce(vs, (s, v) -> s * 0.75 + v * 0.25) + 0.5)
+                 / 100, 2) AS ewma_value
+    FROM ser ORDER BY event_type
+    """,
+    doc="Exponentially-weighted moving average of daily revenue per event "
+    "type (alpha=0.25) — the classic smoothed-trend monitor. Daily sums "
+    "snap to integer cents first (exact LONG), then the EWMA is a "
+    "SEQUENTIAL left fold over the day-ordered series: "
+    "s_t = 0.75*s_{t-1} + 0.25*x_t seeded with the first day. A "
+    "closed-form SUM(pow(1-alpha, lag)) restatement would hang "
+    "cross-engine determinism on libm pow and on shuffle-order double "
+    "summation; the fold runs the SAME IEEE ops in the SAME order on "
+    "both engines (Spark aggregate() over the sorted collect_list, "
+    "DuckDB list_reduce over the sorted list), so it is bit-identical "
+    "by construction. Per-type state is one bounded array (series "
+    "length = #days, independent of event volume — the groupBy daily "
+    "pre-aggregate is where 100 TB becomes #days rows); the final "
+    "half-up lands on the safe-width ROUND (floor-integer / 10^2 at "
+    "2dp).",
+    tags=("stats", "timeseries", "smoothing"),
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(decimal_units(F.col("value"), 100)).alias("x"))
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("vs")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vs"), F.lit(2), F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda s, v: s * F.lit(0.75) + v * F.lit(0.25),
+    )
+    return ser.select(
+        "event_type",
+        F.size("vs").cast("bigint").alias("n_days"),
+        F.round(F.floor(ewma + F.lit(0.5)) / 100, 2).alias("ewma_value"),
+    ).orderBy("event_type")
