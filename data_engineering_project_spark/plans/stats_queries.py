@@ -1643,3 +1643,101 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vs").cast("bigint").alias("n_days"),
         F.round(F.floor(ewma + F.lit(0.5)) / 100, 2).alias("ewma_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "orders_holt_linear_forecast",
+    sql="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               sum(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    ser AS (
+        SELECT list_transform(list_sort(list({'m': m, 'x': x})),
+                              s -> CAST(s.x AS DOUBLE)) AS vs
+        FROM monthly
+    ),
+    fit AS (
+        -- state is a 2-element DOUBLE list [level, trend], NOT a struct:
+        -- DuckDB 1.0's list_reduce mis-evaluates multi-field struct
+        -- accumulators referenced several times per step (level came back
+        -- right, trend wrong); the list accumulator folds correctly
+        SELECT len(vs) AS n,
+               list_reduce(
+                   list_concat(
+                       [[vs[2], vs[2] - vs[1]]],
+                       list_transform(vs[3:len(vs)], x -> [x, 0.0])),
+                   (s, e) -> [
+                       0.5 * e[1] + 0.5 * (s[1] + s[2]),
+                       0.25 * (0.5 * e[1] + 0.5 * (s[1] + s[2]) - s[1])
+                       + 0.75 * s[2]]) AS st
+        FROM ser
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           ROUND(floor(st[1] + 0.5) / 1000, 3) AS level,
+           ROUND(floor(st[2] + 0.5) / 1000, 3) AS trend,
+           ROUND(floor(st[1] + 1 * st[2] + 0.5) / 1000, 3) AS forecast_1,
+           ROUND(floor(st[1] + 2 * st[2] + 0.5) / 1000, 3) AS forecast_2,
+           ROUND(floor(st[1] + 3 * st[2] + 0.5) / 1000, 3) AS forecast_3
+    FROM fit
+    """,
+    doc="Holt's linear-trend (double exponential) smoothing over monthly "
+    "order revenue with a 3-month-ahead forecast — the level+trend "
+    "upgrade of events_value_ewma for series that drift. State is the "
+    "(level, trend) struct folded SEQUENTIALLY over the month-ordered "
+    "series (alpha=0.5, beta=0.25; seeded l=x_1, t=x_1-x_0): Spark "
+    "aggregate() and DuckDB list_reduce run identical IEEE ops in "
+    "identical order, so the fit is bit-deterministic with no libm pow "
+    "and no shuffle-order summation anywhere. Monthly sums snap to "
+    "integer milli-units first (the one corpus-size-dependent step — a "
+    "map-side-combined groupBy); the fold itself touches #months rows. "
+    "Forecast_h = level + h*trend; outputs land on the safe-width "
+    "ROUND (floor-integer / 10^3 at 3dp).",
+    tags=("stats", "timeseries", "forecast"),
+)
+def orders_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(F.sum(decimal_units(F.col("o_totalprice"), 1000)).alias("x"))
+    ser = monthly.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("vs")
+    )
+    vs = F.col("vs")
+    seed = F.array(
+        F.element_at(vs, 2),
+        F.element_at(vs, 2) - F.element_at(vs, 1),
+    )
+
+    def _step(s, x):
+        l_prev, t_prev = F.element_at(s, 1), F.element_at(s, 2)
+        l_new = F.lit(0.5) * x + F.lit(0.5) * (l_prev + t_prev)
+        return F.array(
+            l_new,
+            F.lit(0.25) * (l_new - l_prev) + F.lit(0.75) * t_prev,
+        )
+
+    fit = ser.select(
+        F.size(vs).alias("n"),
+        F.aggregate(
+            F.slice(vs, F.lit(3), F.greatest(F.size(vs) - 2, F.lit(0))),
+            seed,
+            _step,
+        ).alias("st"),
+    )
+    def _q3(expr):
+        return F.round(F.floor(expr + F.lit(0.5)) / 1000, 3)
+
+    lv, tr = F.element_at(F.col("st"), 1), F.element_at(F.col("st"), 2)
+    return fit.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        _q3(lv).alias("level"),
+        _q3(tr).alias("trend"),
+        _q3(lv + 1 * tr).alias("forecast_1"),
+        _q3(lv + 2 * tr).alias("forecast_2"),
+        _q3(lv + 3 * tr).alias("forecast_3"),
+    )
