@@ -807,6 +807,85 @@ def read_drift_alarms(spark: SparkSession, alarm_dir: str) -> DataFrame:
     return spark.read.parquet(alarm_dir).orderBy("day")
 
 
+def upsert_ewma_state(
+    target_dir: str,
+    *,
+    value_col: str = "value",
+    time_col: str = "batch_ts",
+    type_col: str = "event_type",
+) -> Callable:
+    """foreachBatch writer maintaining per-(type, day) integer-cent daily
+    sums — the streaming twin of ``events_value_ewma``'s pre-aggregate.
+
+    Daily sums are additive counters, not re-delivery-idempotent, so the
+    standard exactly-once-counter protocol applies: each batch's partial
+    sums are keyed ``(event_type, day, batch_id)`` and REPLACE any prior
+    rows of the same ``batch_id`` before the merge (a crash-replayed
+    batch overwrites its own rows). The state stays a mergeable vector —
+    readers sum over batch_ids per day — and is bounded by
+    #types x #days x #batches, never by event volume; compaction that
+    collapses finalized batch_ids is a pure optimization."""
+    from data_engineering_project_spark.functions.scalars import (
+        decimal_units,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            batch_df.filter(
+                F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+            )
+            .groupBy(
+                F.col(type_col).alias("event_type"),
+                F.to_date(time_col).alias("day"),
+            )
+            .agg(F.sum(decimal_units(F.col(value_col), 100)).alias("x"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        current = _recover_and_read(spark, target_dir)
+        if current is not None:
+            merged = current.filter(F.col("batch_id") != batch_id).unionByName(new)
+        else:
+            merged = new
+        _atomic_swap_write(merged, target_dir)
+
+    return _write
+
+
+def read_ewma_trend(
+    spark: SparkSession, target_dir: str, *, alpha: float = 0.25
+) -> DataFrame:
+    """EWMA per event type re-derived from the maintained
+    ``(type, day, batch_id)`` sum state — a PURE FUNCTION of the state
+    (the CUSUM-alarm argument: replayed batches re-derive byte-identical
+    output), never a raw-event re-scan. The fold is the batch twin's
+    sequential-fold device verbatim: day-ordered daily totals, seeded
+    with the first day, ``s = (1-alpha)*s + alpha*x`` — so at
+    ``alpha=0.25`` the result is bit-identical to ``events_value_ewma``
+    over the same events (the test asserts exactly this)."""
+    daily = (
+        spark.read.parquet(target_dir)
+        .groupBy("event_type", "day")
+        .agg(F.sum("x").alias("x"))
+    )
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("vs")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vs"), F.lit(2), F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda s, v: s * F.lit(1.0 - alpha) + v * F.lit(alpha),
+    )
+    return ser.select(
+        "event_type",
+        F.size("vs").cast("bigint").alias("n_days"),
+        F.round(F.floor(ewma + F.lit(0.5)) / 100, 2).alias("ewma_value"),
+    ).orderBy("event_type")
+
+
 def read_daily_distinct_estimates(spark: SparkSession, target_dir: str) -> DataFrame:
     """Query side of the sketch table: per-day estimates plus the all-days
     rollup folded from the SAME persisted sketches (no raw-event re-scan)."""

@@ -1366,3 +1366,42 @@ def test_cusum_alarm_self_heals_after_crash_between_writes(spark, dirs, tmp_path
     write(_batch(list(range(1, 6)) * 60, 4), 3)
     days = {str(r["day"]) for r in read_drift_alarms(spark, alarm_dir).collect()}
     assert days == {"2022-06-02", "2022-06-03", "2022-06-04"}
+
+
+def test_streaming_ewma_matches_batch_twin_and_replays_clean(
+    spark, dirs, sf_dir
+):
+    """upsert_ewma_state + read_ewma_trend: the streamed per-type EWMA must
+    be BIT-IDENTICAL to the batch events_value_ewma over the same events
+    (the reader runs the same sequential-fold device over the maintained
+    daily sums), and a crash re-delivery must REPLACE its batch partials,
+    not accumulate them (exactly-once counter protocol)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.plans import catalog
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_ewma_trend,
+        upsert_ewma_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = "2024-01-15"
+    write = upsert_ewma_state(dirs["target"], time_col="ts")
+    write(ev.filter(F.col("ts") < cut), 0)
+    write(ev.filter(F.col("ts") >= cut), 1)
+    # crash re-delivery of batch 1: partials replaced, not accumulated
+    write(ev.filter(F.col("ts") >= cut), 1)
+
+    got = read_ewma_trend(spark, dirs["target"]).collect()
+    want = catalog.queries()["events_value_ewma"](spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # a batch split along a DIFFERENT boundary (mid-day) converges to the
+    # same state: daily sums are additive across batches
+    import shutil
+
+    shutil.rmtree(dirs["target"])
+    write(ev.filter(F.col("event_id") % 2 == 0), 0)
+    write(ev.filter(F.col("event_id") % 2 == 1), 1)
+    again = read_ewma_trend(spark, dirs["target"]).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in want]
