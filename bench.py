@@ -50,7 +50,11 @@ HEADLINE = (
     "running_revenue_window",
     "top3_orders_per_customer",
     "distinct_supplier_counts",
-    "docs_fingerprint_dedup",
+    # docs_fingerprint_dedup retired r9 (a plain digest groupBy — the
+    # least informative text headliner); replaced by the round-9
+    # duplicated-span profile, whose span-key shuffle is the class's
+    # real scale surface (measured exponent 1.0, shuffle ∝ corpus)
+    "docs_duplicate_ngram_spans",
     "docs_quality_scores",
     "docs_jaccard_vs_query",
     "emb_cosine_topk",
