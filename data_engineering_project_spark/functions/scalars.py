@@ -206,7 +206,12 @@ def half_up_ratio(num: Column, den: Column, out_dp: int = 6) -> Column:
     m = F.lit(2 * 10 ** out_dp)
     n38 = F.abs(num).cast("decimal(38,0)")
     d38 = den.cast("decimal(38,0)")
-    mag = F.call_function("div", n38 * m + d38, d38 * F.lit(2))
+    # nullif: ANSI-mode div (Spark 4 default) THROWS on a zero divisor
+    # where DuckDB's // returns NULL — a zero denominator must be NULL,
+    # not a crash, on both engines
+    mag = F.call_function(
+        "div", n38 * m + d38, F.nullif(d38 * F.lit(2), F.lit(0))
+    )
     units = F.when(num < 0, -mag).otherwise(mag)
     return F.round(units / (10 ** out_dp), out_dp)
 

@@ -222,3 +222,40 @@ def test_half_up_ratio_exact_ties_and_big_numerators(spark):
     ).fetchall())
     for i, (n, d) in enumerate(cases):
         assert twin[i] == py_ref(n, d), ("duckdb", n, d, twin[i])
+
+
+def test_half_up_ratio_null_and_zero_den(spark):
+    """Zero denominators must be NULL on both engines, never a crash:
+    Spark 4's ANSI mode makes integral div THROW on a zero divisor where
+    DuckDB's // returns NULL — the device nullif-guards the divisor."""
+    import duckdb
+
+    from data_engineering_project_spark.functions.scalars import (
+        half_up_ratio,
+        sql_half_up_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 0), (2, None, 5), (3, 3, None), (4, 1, 4)],
+        "i int, n long, d long",
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.select(
+            "i", half_up_ratio(F.col("n"), F.col("d"), 6).alias("v")
+        ).collect()
+    }
+    assert got == {1: None, 2: None, 3: None, 4: 0.25}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, n BIGINT, d BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(1, 1, 0), (2, None, 5), (3, 3, None), (4, 1, 4)],
+    )
+    twin = dict(
+        con.execute(
+            f"SELECT i, {sql_half_up_ratio('n', 'd')} AS v FROM t"
+        ).fetchall()
+    )
+    assert twin == {1: None, 2: None, 3: None, 4: 0.25}
