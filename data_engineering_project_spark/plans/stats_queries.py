@@ -391,12 +391,14 @@ def events_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(max(n) AS BIGINT) AS n_gaps,
-           ROUND(floor((2 * max(s) + 1000 * max(n))
-                       / (2000.0 * max(n))) / 1000, 3) AS mean_gap_s,
-           ROUND(floor((2 * max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
-                        + 1000) / 2000.0) / 1000, 3) AS p50_gap_s,
-           ROUND(floor((2 * max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
-                        + 1000) / 2000.0) / 1000, 3) AS p90_gap_s
+           ROUND(((2 * CAST(max(s) AS HUGEINT) + 1000 * max(n))
+                   // (2000 * max(n))) / 1000, 3) AS mean_gap_s,
+           ROUND(((2 * CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                            AS HUGEINT)
+                   + 1000) // 2000) / 1000, 3) AS p50_gap_s,
+           ROUND(((2 * CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
+                            AS HUGEINT)
+                   + 1000) // 2000) / 1000, 3) AS p90_gap_s
     FROM ranked
     GROUP BY event_type
     """,
@@ -435,44 +437,44 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("event_type").agg(
         F.max("n").cast("bigint").alias("n_gaps"),
         F.round(
-            F.floor(
-                (2 * F.max("s") + 1000 * F.max("n")) / (2000.0 * F.max("n"))
+            F.call_function(
+                "div",
+                2 * F.max("s") + 1000 * F.max("n"),
+                2000 * F.max("n"),
             )
             / 1000,
             3,
         ).alias("mean_gap_s"),
         F.round(
-            F.floor(
-                (
-                    2
-                    * F.max(
-                        F.when(
-                            F.col("rn")
-                            == F.floor((F.col("n") + 1) / 2).cast("long"),
-                            F.col("gap_us"),
-                        )
+            F.call_function(
+                "div",
+                2
+                * F.max(
+                    F.when(
+                        F.col("rn")
+                        == F.floor((F.col("n") + 1) / 2).cast("long"),
+                        F.col("gap_us"),
                     )
-                    + 1000
                 )
-                / 2000.0
+                + 1000,
+                F.lit(2000),
             )
             / 1000,
             3,
         ).alias("p50_gap_s"),
         F.round(
-            F.floor(
-                (
-                    2
-                    * F.max(
-                        F.when(
-                            F.col("rn")
-                            == F.floor((9 * F.col("n") + 9) / 10).cast("long"),
-                            F.col("gap_us"),
-                        )
+            F.call_function(
+                "div",
+                2
+                * F.max(
+                    F.when(
+                        F.col("rn")
+                        == F.floor((9 * F.col("n") + 9) / 10).cast("long"),
+                        F.col("gap_us"),
                     )
-                    + 1000
                 )
-                / 2000.0
+                + 1000,
+                F.lit(2000),
             )
             / 1000,
             3,
@@ -607,14 +609,14 @@ def users_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(max(d.n) AS BIGINT) AS n_converted,
            {sql_half_up_ratio('max(d.n)', 'max(clk.n_clickers)', 6)}
                AS conversion_rate,
-           ROUND(floor((2 * max(d.s) + 1000 * max(d.n))
-                       / (2000.0 * max(d.n))) / 1000, 3) AS mean_s,
-           ROUND(floor((2 * max(CASE WHEN d.rn = (d.n + 1) // 2
-                                     THEN d.d_us END) + 1000)
-                       / 2000.0) / 1000, 3) AS p50_s,
-           ROUND(floor((2 * max(CASE WHEN d.rn = (9 * d.n + 9) // 10
-                                     THEN d.d_us END) + 1000)
-                       / 2000.0) / 1000, 3) AS p90_s
+           ROUND(((2 * CAST(max(d.s) AS HUGEINT) + 1000 * max(d.n))
+                   // (2000 * max(d.n))) / 1000, 3) AS mean_s,
+           ROUND(((2 * CAST(max(CASE WHEN d.rn = (d.n + 1) // 2
+                                     THEN d.d_us END) AS HUGEINT)
+                   + 1000) // 2000) / 1000, 3) AS p50_s,
+           ROUND(((2 * CAST(max(CASE WHEN d.rn = (9 * d.n + 9) // 10
+                                     THEN d.d_us END) AS HUGEINT)
+                   + 1000) // 2000) / 1000, 3) AS p90_s
     FROM d CROSS JOIN clk
     """,
     doc="Click→purchase conversion-latency profile: for each user, the "
@@ -668,47 +670,46 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("n"), F.max("n_clickers"), 6
             ).alias("conversion_rate"),
             F.round(
-                F.floor(
-                    (2 * F.max("s") + 1000 * F.max("n"))
-                    / (2000.0 * F.max("n"))
+                F.call_function(
+                    "div",
+                    2 * F.max("s") + 1000 * F.max("n"),
+                    2000 * F.max("n"),
                 )
                 / 1000,
                 3,
             ).alias("mean_s"),
             F.round(
-                F.floor(
-                    (
-                        2
-                        * F.max(
-                            F.when(
-                                F.col("rn")
-                                == F.floor((F.col("n") + 1) / 2).cast("long"),
-                                F.col("d_us"),
-                            )
+                F.call_function(
+                    "div",
+                    2
+                    * F.max(
+                        F.when(
+                            F.col("rn")
+                            == F.floor((F.col("n") + 1) / 2).cast("long"),
+                            F.col("d_us"),
                         )
-                        + 1000
                     )
-                    / 2000.0
+                    + 1000,
+                    F.lit(2000),
                 )
                 / 1000,
                 3,
             ).alias("p50_s"),
             F.round(
-                F.floor(
-                    (
-                        2
-                        * F.max(
-                            F.when(
-                                F.col("rn")
-                                == F.floor(
-                                    (9 * F.col("n") + 9) / 10
-                                ).cast("long"),
-                                F.col("d_us"),
-                            )
+                F.call_function(
+                    "div",
+                    2
+                    * F.max(
+                        F.when(
+                            F.col("rn")
+                            == F.floor(
+                                (9 * F.col("n") + 9) / 10
+                            ).cast("long"),
+                            F.col("d_us"),
                         )
-                        + 1000
                     )
-                    / 2000.0
+                    + 1000,
+                    F.lit(2000),
                 )
                 / 1000,
                 3,

@@ -51,10 +51,11 @@ UNIT = 10_000
                -- three such hours)
                CASE WHEN hourly.n IS NOT NULL THEN round(
                    (CASE WHEN hourly.units < 0
-                         THEN -floor((-2 * hourly.units + hourly.n)
-                                     / (2 * hourly.n))
-                         ELSE floor((2 * hourly.units + hourly.n)
-                                    / (2 * hourly.n)) END) / {UNIT}.0, 4)
+                         THEN -((-2 * CAST(hourly.units AS HUGEINT)
+                                 + hourly.n) // (2 * hourly.n))
+                         ELSE ((2 * CAST(hourly.units AS HUGEINT)
+                                + hourly.n) // (2 * hourly.n)) END)
+                   / {UNIT}.0, 4)
                END AS hour_avg
         FROM spine s
         LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
@@ -106,12 +107,16 @@ def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.when(
                     F.col("units") < 0,
-                    -F.floor(
-                        (-2 * F.col("units") + F.col("n")) / (2 * F.col("n"))
+                    -F.call_function(
+                        "div",
+                        -2 * F.col("units") + F.col("n"),
+                        2 * F.col("n"),
                     ),
                 ).otherwise(
-                    F.floor(
-                        (2 * F.col("units") + F.col("n")) / (2 * F.col("n"))
+                    F.call_function(
+                        "div",
+                        2 * F.col("units") + F.col("n"),
+                        2 * F.col("n"),
                     )
                 )
                 / UNIT,
