@@ -1709,9 +1709,12 @@ def orders_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vs")
     )
     vs = F.col("vs")
+    # try_element_at: the GLOBAL collect_list yields one row with an EMPTY
+    # array on empty input, and ANSI element_at throws out-of-bounds where
+    # the oracle's vs[2] is NULL — seed must degrade to [NULL, NULL]
     seed = F.array(
-        F.element_at(vs, 2),
-        F.element_at(vs, 2) - F.element_at(vs, 1),
+        F.try_element_at(vs, F.lit(2)),
+        F.try_element_at(vs, F.lit(2)) - F.try_element_at(vs, F.lit(1)),
     )
 
     def _step(s, x):
