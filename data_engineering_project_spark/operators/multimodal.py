@@ -108,15 +108,24 @@ def decode_image_meta(
 
         for pdf in it:
             payloads = pdf[payload_col]
-            dims = [decode(p) for p in payloads]
+            # NULL payloads (corrupt/fuzzed rows) yield an all-NULL meta
+            # row — the oracle's md5(NULL)/strlen(NULL) — never a kernel
+            # crash that kills the task (null-fuzz sweep finding)
+            dims = [decode(p) if p is not None else (None,) * 3 for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": payloads.str.len().astype("int64"),
-                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
-                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
-                    "channels": pd.Series([d[2] for d in dims], dtype="int32"),
+                    "n_bytes": pd.Series(
+                        [len(p) if p is not None else None for p in payloads],
+                        dtype="object",
+                    ),
+                    "checksum": [
+                        hashlib.md5(p).hexdigest() if p is not None else None
+                        for p in payloads
+                    ],
+                    "width": pd.Series([d[0] for d in dims], dtype="object"),
+                    "height": pd.Series([d[1] for d in dims], dtype="object"),
+                    "channels": pd.Series([d[2] for d in dims], dtype="object"),
                 }
             )
 
@@ -157,6 +166,8 @@ def sample_frames(
         for pdf in it:
             ids, idxs, offs, lens, sums = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # oracle: range over NULL -> no frames
+                    continue
                 n = len(payload)
                 n_frames = max(1, -(-n // frame_bytes))
                 for i in range(0, n_frames, stride):
@@ -210,6 +221,10 @@ def extract_features(
         for pdf in it:
             ids, feats = [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # oracle: NULL ratios row
+                    ids.append(doc_id)
+                    feats.append(None)
+                    continue
                 n = len(payload) or 1
                 low = payload.lower()
                 ids.append(doc_id)
@@ -256,18 +271,23 @@ def resize_payload(
         for pdf in it:
             ids, orig, rb, cs = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(doc_id)
+                if payload is None:  # oracle: NULL strlen/substr/md5 row
+                    orig.append(None)
+                    rb.append(None)
+                    cs.append(None)
+                    continue
                 n = len(payload)
                 stride = max(1, -(-n // target_bytes))
                 resized = payload[::stride]
-                ids.append(doc_id)
                 orig.append(n)
                 rb.append(len(resized))
                 cs.append(hashlib.md5(resized).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "orig_bytes": pd.Series(orig, dtype="int64"),
-                    "resized_bytes": pd.Series(rb, dtype="int64"),
+                    "orig_bytes": pd.Series(orig, dtype="object"),
+                    "resized_bytes": pd.Series(rb, dtype="object"),
                     "resized_checksum": pd.Series(cs, dtype="object"),
                 }
             )
@@ -319,6 +339,8 @@ def chunk_audio(
         for pdf in it:
             ids, idxs, starts, counts, sums = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # oracle: range over NULL -> no chunks
+                    continue
                 n = len(payload)
                 i = 0
                 while i * hop_bytes < n:
@@ -373,6 +395,8 @@ def frame_intensity(
         for pdf in it:
             ids, idxs, vals = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # oracle: range over NULL -> no frames
+                    continue
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 n = len(buf)
                 n_frames = max(1, -(-n // frame_bytes))

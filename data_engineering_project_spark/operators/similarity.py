@@ -92,16 +92,38 @@ def score_cosine_vectorized(
         for pdf in it:
             if not len(pdf):
                 continue
-            V = np.stack(pdf[vec_col].values).astype(np.float64)
             # the broadcast query vector is identical on every row of the
             # crossJoin — lift it once per batch instead of stacking a
             # redundant (n, dim) matrix
-            q = np.asarray(pdf[query_vec_col].iloc[0], dtype=np.float64)
-            dots = np.cumsum(V * q, axis=1)[:, -1]
-            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-            nq = np.sqrt(np.cumsum(q * q)[-1])
+            q0 = pdf[query_vec_col].iloc[0]
+            # NULL vectors (corrupt rows, fuzzed data) must yield a NULL
+            # cosine, never a ragged np.stack crash that kills the task —
+            # at 100 TB one bad row cannot take down the job (null-fuzz
+            # sweep finding). A NULL query vector nulls the whole batch,
+            # matching the oracle's NULL-propagating list expressions.
+            if q0 is None:
+                out = {c: pdf[c] for c in keep_cols}
+                out["cosine"] = pd.Series([None] * len(pdf), dtype=object)
+                yield pd.DataFrame(out)
+                continue
+            q = np.asarray(q0, dtype=np.float64)
+            ok = np.fromiter(
+                (v is not None and len(v) == len(q) for v in pdf[vec_col]),
+                dtype=bool,
+                count=len(pdf),
+            )
+            cos = np.full(len(pdf), np.nan)
+            if ok.any():
+                V = np.stack(pdf[vec_col].values[ok]).astype(np.float64)
+                dots = np.cumsum(V * q, axis=1)[:, -1]
+                nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+                nq = np.sqrt(np.cumsum(q * q)[-1])
+                cos[ok] = dots / (nv * nq)
             out = {c: pdf[c] for c in keep_cols}
-            out["cosine"] = dots / (nv * nq)
+            out["cosine"] = pd.Series(
+                [float(c) if m else None for c, m in zip(cos, ok)],
+                dtype=object,
+            )
             yield pd.DataFrame(out)
 
     fields = ", ".join(
@@ -137,13 +159,30 @@ def score_cosine_pairs_vectorized(
         for pdf in it:
             if not len(pdf):
                 continue
-            V = np.stack(pdf[vec_col].values).astype(np.float64)
-            Q = np.stack(pdf[query_vec_col].values).astype(np.float64)
-            dots = np.cumsum(V * Q, axis=1)[:, -1]
-            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-            nq = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+            # NULL/ragged rows score NULL instead of crashing np.stack —
+            # same hardening contract as the constant-query scorer
+            dims = [
+                (len(v) if v is not None else -1, len(q) if q is not None else -1)
+                for v, q in zip(pdf[vec_col], pdf[query_vec_col])
+            ]
+            ok = np.fromiter(
+                (dv == dq and dv > 0 for dv, dq in dims),
+                dtype=bool,
+                count=len(pdf),
+            )
+            cos = np.full(len(pdf), np.nan)
+            if ok.any():
+                V = np.stack(pdf[vec_col].values[ok]).astype(np.float64)
+                Q = np.stack(pdf[query_vec_col].values[ok]).astype(np.float64)
+                dots = np.cumsum(V * Q, axis=1)[:, -1]
+                nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+                nq = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+                cos[ok] = dots / (nv * nq)
             out = {c: pdf[c] for c in keep_cols}
-            out["cosine"] = dots / (nv * nq)
+            out["cosine"] = pd.Series(
+                [float(c) if m else None for c, m in zip(cos, ok)],
+                dtype=object,
+            )
             yield pd.DataFrame(out)
 
     fields = ", ".join(

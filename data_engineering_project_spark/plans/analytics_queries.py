@@ -259,7 +259,7 @@ def user_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(text) AS checksum,
            CAST(64 + strlen(text) % 577 AS INTEGER) AS width,
            CAST(64 + (strlen(text) * 31) % 577 AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS channels
+           CAST(CASE WHEN text IS NOT NULL THEN 3 END AS INTEGER) AS channels
     FROM documents
     """,
     doc="Multimodal plumbing end-to-end: text → binary payload → "

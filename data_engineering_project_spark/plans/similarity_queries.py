@@ -1528,7 +1528,7 @@ _KNN_COS = (
 _KNN_SQL = f"""
     WITH q AS (
         SELECT vec_id AS qid, embedding AS qe FROM embeddings
-        WHERE vec_id < {KNN_NQ}
+        WHERE vec_id < {KNN_NQ} AND embedding IS NOT NULL
     ),
     expl AS (
         SELECT label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
@@ -1598,7 +1598,7 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a fact-scan build side would be flagged by the broadcast audit, and
     # at 100 TB the query table arrives from the user anyway
     qrows = (
-        e.filter(F.col("vec_id") < KNN_NQ)
+        e.filter((F.col("vec_id") < KNN_NQ) & F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
@@ -1659,7 +1659,8 @@ _HN_K = 5    # hard negatives per anchor
 _HARD_NEG_SQL = f"""
     WITH q AS (
         SELECT vec_id AS qid, label AS qlabel, embedding AS qe
-        FROM embeddings WHERE vec_id < {_HN_NQ}
+        FROM embeddings
+        WHERE vec_id < {_HN_NQ} AND embedding IS NOT NULL
     ),
     scored AS (
         SELECT q.qid, e.vec_id, e.label,
@@ -1706,14 +1707,15 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clean); at production scale the anchor batch arrives from the
     # training loop anyway
     arows = (
-        e.filter(F.col("vec_id") < _HN_NQ)
+        e.filter((F.col("vec_id") < _HN_NQ) & F.col("embedding").isNotNull())
         .select("vec_id", "label", "embedding")
         .orderBy("vec_id")
         .collect()
     )
     a8 = spark.createDataFrame(
         [
-            (int(r["vec_id"]), int(r["label"]),
+            (int(r["vec_id"]),
+             int(r["label"]) if r["label"] is not None else None,
              [float(v) for v in r["embedding"]])
             for r in arows
         ],

@@ -1591,7 +1591,7 @@ def lineitem_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
                sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
         GROUP BY 1, 2
     ),
     ser AS (
@@ -1624,7 +1624,13 @@ def lineitem_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries", "smoothing"),
 )
 def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # ts non-null too: a NULL day would otherwise form a bucket whose
+    # SORT POSITION diverges between engines (Spark array_sort puts
+    # NULLs last, DuckDB list_sort first) and derail the fold seed —
+    # found by the NULL-fuzz sweep
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
     ).agg(F.sum(decimal_units(F.col("value"), 100)).alias("x"))
@@ -1652,7 +1658,9 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
         SELECT date_trunc('month', o_orderdate) AS m,
                sum(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT)) AS x
-        FROM orders GROUP BY 1
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1
     ),
     ser AS (
         SELECT list_transform(list_sort(list({'m': m, 'x': x})),
@@ -1698,7 +1706,9 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries", "forecast"),
 )
 def orders_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     monthly = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("m")
     ).agg(F.sum(decimal_units(F.col("o_totalprice"), 1000)).alias("x"))
