@@ -73,8 +73,16 @@ def compose_datetime(date_col: Column | str, hour_col: Column | str) -> Column:
     reference's row-wise pandas apply (warehouse.py:345-358), vectorized."""
     d = F.col(date_col) if isinstance(date_col, str) else date_col
     h = F.col(hour_col) if isinstance(hour_col, str) else hour_col
-    return F.to_timestamp(
-        F.concat_ws(" ", F.date_format(d, "yyyy-MM-dd"), F.format_string("%02d:00:00", h))
+    # NULL date/hour composes to NULL, not to the string 'null:00:00'
+    # (format_string renders NULL as 'null' and the ANSI timestamp cast
+    # then aborts the job — null-fuzz finding)
+    return F.when(
+        d.isNotNull() & h.isNotNull(),
+        F.to_timestamp(
+            F.concat_ws(
+                " ", F.date_format(d, "yyyy-MM-dd"), F.format_string("%02d:00:00", h)
+            )
+        ),
     )
 
 

@@ -99,7 +99,9 @@ def kmeans_assignments(
     partition-independent, and a real-data init (k-means|| would be the
     production upgrade; the fit loop is identical).
     """
-    pts = df.select(
+    # NULL vectors cannot be clustered — drop them at ingestion (a crash
+    # here took down the whole fit on one corrupt row; null-fuzz finding)
+    pts = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), scale).alias("q")
     ).persist()
 
@@ -232,7 +234,7 @@ def pq_topk(
         # are untouched, and the query vector permutes identically, so
         # distances keep their meaning
         qf = F.array(*[qf.getItem(i) for i in dim_perm])
-    full = df.select(
+    full = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         qf.alias("qf"),
     ).persist()
@@ -351,7 +353,12 @@ def ivfpq_topk(
     collect is O(cells × dim) or O(k × sub) metadata.
     """
     sub = dim // n_sub
-    pts = df.select(
+    # a row with no vector or no cell cannot live in an IVF index —
+    # drop both classes at ingestion (NULL cells poisoned the centroid
+    # key space and crashed probe ranking; null-fuzz finding)
+    pts = df.filter(
+        F.col(vec_col).isNotNull() & F.col(cell_col).isNotNull()
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col(cell_col).alias("cell"),
         quantize_vec(F.col(vec_col), scale).alias("qf"),

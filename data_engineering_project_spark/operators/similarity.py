@@ -305,9 +305,20 @@ def lsh_buckets_vectorized(
 
         plane_mat = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
         for pdf in it:
-            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            bits = mat @ plane_mat >= 0  # (n, n_planes)
-            buckets = ["".join("10"[1 - b] for b in row) for row in bits]
+            # NULL vectors can't be bucketed — emit NULL, don't crash the
+            # task on a ragged np.array (null-fuzz finding)
+            ok = np.fromiter(
+                (v is not None for v in pdf[vec_col]), dtype=bool, count=len(pdf)
+            )
+            buckets = [None] * len(pdf)
+            if ok.any():
+                mat = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][ok]]
+                )
+                bits = mat @ plane_mat >= 0  # (n_ok, n_planes)
+                strs = ["".join("10"[1 - b] for b in row) for row in bits]
+                it_s = iter(strs)
+                buckets = [next(it_s) if m else None for m in ok]
             yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
 
     out_schema = f"{id_col} long, bucket string"

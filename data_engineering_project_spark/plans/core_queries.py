@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from data_engineering_project_spark.functions import scalars as S
 from data_engineering_project_spark.functions.scalars import (
+    compose_datetime,
     sql_exact_sum,
     sql_half_up_div,
 )
@@ -38,7 +39,8 @@ from data_engineering_project_spark.sources.tables import load_table
     sql="""
     WITH base AS (
         SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INTEGER) AS h, event_type
-        FROM events WHERE event_type IN ('view', 'click')
+        FROM events
+        WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
     ),
     counts AS (
         SELECT d, h,
@@ -62,7 +64,12 @@ from data_engineering_project_spark.sources.tables import load_table
 )
 def hourly_report_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(F.col("event_type").isin("view", "click"))
+    # ts non-null: an hourly report has no bucket for a timestamp-less
+    # event, and a NULL date would be an illegal map key in the dense
+    # map-explode (null-fuzz finding)
+    base = ev.filter(
+        F.col("event_type").isin("view", "click") & F.col("ts").isNotNull()
+    )
     report = combine_hourly_reports(
         base,
         date_col=F.to_date("ts"),
@@ -196,11 +203,10 @@ def report_datetime_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy(
         F.to_date("ts").alias("d"), F.hour("ts").alias("h")
     ).agg(F.count("*").alias("n"))
-    dt = F.to_timestamp(
-        F.concat_ws(
-            " ", F.date_format("d", "yyyy-MM-dd"), F.format_string("%02d:00:00", "h")
-        )
-    )
+    # route through the NULL-propagating composer: a NULL (d, h) group
+    # (timestamp-less events) must compose to NULL, not to the string
+    # 'null:00:00' that aborts the ANSI timestamp cast (null-fuzz)
+    dt = compose_datetime(F.col("d"), F.col("h"))
     return counts.select(
         F.date_format(dt, "yyyy-MM-dd HH:mm:ss").alias("event_datetime"),
         "n",

@@ -637,7 +637,9 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
            event_type,
            count(*) AS n
-    FROM events GROUP BY date, event_type
+    FROM events
+    WHERE props IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY date, event_type
     """,
     doc="Map-type surface (SURVEY.md §2.5 lists array/map functions as "
     "absent): per-date counts are packed into a map<event_type, n> via "
@@ -651,9 +653,14 @@ def events_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # from_json with a declared schema (vs the schema-less get_json_object
     # in json_props_stats) — parse once, then treat as a typed struct
-    parsed = ev.withColumn(
-        "props_struct", F.from_json("props", "k INT")
-    ).filter(F.col("props_struct").isNotNull())
+    # event_type is the MAP KEY below — a NULL key is illegal in Spark
+    # maps (and the oracle mirrors both filters; null-fuzz finding: the
+    # Spark side filtered unparseable props while the oracle counted them)
+    parsed = (
+        ev.filter(F.col("event_type").isNotNull())
+        .withColumn("props_struct", F.from_json("props", "k INT"))
+        .filter(F.col("props_struct").isNotNull())
+    )
     counts = parsed.groupBy(
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("date"),
         "event_type",

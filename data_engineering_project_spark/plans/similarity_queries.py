@@ -109,7 +109,8 @@ def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_lsh_bucket_profile",
     sql=f"""
-    WITH b AS (SELECT {_lsh_bucket_sql(12)} AS bucket FROM embeddings)
+    WITH b AS (SELECT {_lsh_bucket_sql(12)} AS bucket FROM embeddings
+               WHERE embedding IS NOT NULL)
     SELECT bucket, COUNT(*) AS n_vectors FROM b GROUP BY bucket
     """,
     doc="LSH bucketing profile: random-hyperplane sign-bit bucket per vector "
@@ -124,7 +125,9 @@ def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "lsh"),
 )
 def emb_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # NULL vectors have no bucket
+    )
     bucketed = S.lsh_buckets_vectorized(e, dim=EMB_DIM, n_planes=12, seed=42)
     return (
         bucketed.groupBy("bucket")
@@ -299,7 +302,7 @@ _KM_SQL = f"""
         SELECT vec_id,
                list_transform(embedding,
                               x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     init AS (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
@@ -820,7 +823,7 @@ _SD_SQL = f"""
         SELECT vec_id,
                list_transform(embedding,
                               x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     init AS (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
@@ -1038,7 +1041,7 @@ _PQ_SQL = f"""
         SELECT vec_id,
                list_transform(embedding,
                               x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     {_PQ_PER_SUB}
     SELECT a0.vec_id,
@@ -1167,6 +1170,7 @@ _IPQ_SQL = f"""
                list_transform(embedding,
                               x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
         FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
     ),
     cstat AS (
         SELECT label, d.dim, sum(q[d.dim]) AS s, count(*) AS n
@@ -1382,7 +1386,7 @@ _IVF_SERVE_SQL = f"""
         SELECT vec_id,
                list_transform(embedding,
                               x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ),
     init AS (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
