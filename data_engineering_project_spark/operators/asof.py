@@ -51,6 +51,11 @@ def asof_join(
             "asof_join: carry must not repeat the join key or left_time "
             f"(got {carry!r}) — both are attached automatically"
         )
+    # NULL-time rows are excluded on BOTH sides: they have no position on
+    # the as-of timeline, and their window order even DIFFERS between
+    # engines (Spark ASC puts NULLs first, DuckDB last) — null-fuzz finding
+    left = left.filter(F.col(left_time).isNotNull())
+    right = right.filter(F.col(right_time).isNotNull())
     lt = F.col(left_time)
     tagged_left = left.select(
         F.col(on).alias("_k"),
@@ -115,7 +120,10 @@ def sessionize(
 
     Boundary semantics match the streaming twin ``F.session_window`` (whose
     window is ``[event, event + gap)``): an event at exactly ``prev + gap``
-    starts a NEW session — hence ``>=``, not ``>``."""
+    starts a NEW session — hence ``>=``, not ``>``. NULL-time rows are
+    excluded (no place on a timeline; cross-engine NULL window order
+    diverges — null-fuzz finding), matching session_window's own drop."""
+    events = events.filter(F.col(time_col).isNotNull())
     order = [F.col(time_col)] + (
         [F.col(order_tie_break)] if order_tie_break else []
     )

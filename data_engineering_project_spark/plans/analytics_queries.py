@@ -40,7 +40,8 @@ from data_engineering_project_spark.sources.tables import load_table
     WITH both_sides AS (
         SELECT user_id, ts, event_id, value, event_type,
                CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
-        FROM events WHERE event_type IN ('click', 'purchase')
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
     ),
     carried AS (
         SELECT user_id, ts, event_id, value, event_type, side,
@@ -93,7 +94,7 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -756,7 +757,7 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -769,7 +770,8 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths AS (
         SELECT user_id, session_id,
                array_to_string(
-                   list_slice(list(event_type ORDER BY ts, event_id), 1, 3),
+                   list_slice(list(coalesce(event_type, '')
+                                   ORDER BY ts, event_id), 1, 3),
                    '>') AS journey
         FROM sess GROUP BY user_id, session_id
     )
@@ -798,7 +800,17 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.struct("ts", "event_id", "event_type")
+                            # NULL types coalesce to '' BEFORE the join:
+                            # array_join drops NULL elements entirely while
+                            # the oracle's array_to_string keeps a slot —
+                            # journeys would shorten (null-fuzz finding)
+                            F.struct(
+                                "ts",
+                                "event_id",
+                                F.coalesce(F.col("event_type"), F.lit("")).alias(
+                                    "event_type"
+                                ),
+                            )
                         )
                     ),
                     lambda s: s["event_type"],
@@ -1006,7 +1018,7 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (

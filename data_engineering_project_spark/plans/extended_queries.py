@@ -192,7 +192,8 @@ def purchase_click_attribution_1h(spark: SparkSession, sf_dir: str) -> DataFrame
            event_type,
            count(*) AS n_events,
            ROUND(sum(value), 4) AS total_value
-    FROM events GROUP BY window_start, event_type
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY window_start, event_type
     """,
     doc="Tumbling 1-hour event-time window via F.window() — the exact "
     "batch analog of the Structured Streaming windowed aggregation in "

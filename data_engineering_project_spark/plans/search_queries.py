@@ -262,7 +262,7 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ts AS DATE) AS event_date, event_type,
            CAST(count(*) AS BIGINT) AS n,
            ROUND(sum(ROUND(value * 100, 0)) / 100, 2) AS value_sum
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Incremental aggregate maintenance: the Spark side materializes the "
@@ -274,7 +274,9 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("incremental", "aggregate", "maintenance"),
 )
 def events_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # timeline ops exclude timestamp-less rows
+    )
 
     def _rollup(df: DataFrame) -> DataFrame:
         # integer micro-units, NOT the final rounded sum: partial rollups

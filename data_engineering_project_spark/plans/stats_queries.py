@@ -293,7 +293,7 @@ def events_dow_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(ROUND(sum(CAST(floor(value * {CENTS} + 0.5) AS BIGINT))
                           * 1.0 / count(*), 0) AS BIGINT) AS mu
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     w AS (
         SELECT event_type, day, mu,
@@ -326,7 +326,9 @@ def events_dow_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "timeseries", "anomaly", "window"),
 )
 def events_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # timeline ops exclude timestamp-less rows
+    )
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(

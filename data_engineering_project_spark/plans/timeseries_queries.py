@@ -144,7 +144,7 @@ def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY ts, event_id) AS rn_a,
                row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
                                   ORDER BY ts DESC, event_id DESC) AS rn_d
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT event_type, day,
            MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
@@ -165,7 +165,9 @@ def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "agg"),
 )
 def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # timeline ops exclude timestamp-less rows
+    )
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
     pick = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
     return (
@@ -254,7 +256,7 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(ROUND(sum(ROUND(value * 100, 0)) / count(*), 0) AS BIGINT)
                    AS mu
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     w AS (
         SELECT event_type, day, mu,
@@ -292,7 +294,9 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # timeline ops exclude timestamp-less rows
+    )
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(
@@ -347,7 +351,7 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(ts AS DATE) AS d,
                CAST(sum(CAST(floor(value * {UNIT} + 0.5) AS BIGINT)) AS BIGINT)
                    AS units
-        FROM events GROUP BY d
+        FROM events WHERE ts IS NOT NULL GROUP BY d
     ),
     trended AS (
         SELECT d, units,
@@ -385,7 +389,9 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # timeline ops exclude timestamp-less rows
+    )
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.sum(decimal_units(F.col("value"), UNIT)).alias("units")
     )
@@ -479,6 +485,7 @@ def events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS units
         FROM events, (SELECT unnest(generate_series(0, 1)) AS off) u
+        WHERE ts IS NOT NULL
     )
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,

@@ -26,6 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
+LAST_FAILURES: list[str] = []
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -95,6 +96,8 @@ def main(only: list[str]) -> int:
         f"{n - len(failures)} clean, {len(failures)} failed "
         f"{failures if failures else ''}"
     )
+    global LAST_FAILURES
+    LAST_FAILURES = list(failures)  # consumed by tools/null_fuzz_sweep.py
     return 1 if failures else 0
 
 
