@@ -446,7 +446,7 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
         SELECT o_totalprice,
                ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT CAST(decile AS INT) AS decile, count(*) AS n,
            ROUND(min(o_totalprice), 2) AS lo, ROUND(max(o_totalprice), 2) AS hi
@@ -463,7 +463,9 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()  # null-fuzz: rank/window measures must be non-null
+    )
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
         o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
@@ -700,7 +702,9 @@ def events_ab_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(o_orderdate, '%Y-%m') AS month,
                CAST(sum(CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT))
                     AS BIGINT) AS units
-        FROM orders GROUP BY month
+        FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY month
     ),
     laged AS (
         SELECT month, units,
@@ -725,7 +729,9 @@ def events_ab_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()  # null-fuzz: rank/window measures must be non-null
+    )
     monthly = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(F.sum(decimal_units(F.col("o_totalprice"), 1000)).alias("units"))

@@ -362,7 +362,7 @@ def parts_triangle_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     pairs AS (
         SELECT prev_type AS from_type, event_type AS to_type,
@@ -388,7 +388,9 @@ def parts_triangle_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("behavior", "window", "markov"),
 )
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # null-fuzz: timeline ops
+    )
     seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(

@@ -24,8 +24,12 @@ from data_engineering_project_spark.sources.tables import load_table
 
 
 def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → (user_id, ts, event_id, op, value): 'error' rows delete."""
-    return load_table(spark, sf_dir, "events").select(
+    """events → (user_id, ts, event_id, op, value): 'error' rows delete.
+    NULL-ts rows are excluded — a changelog entry without a sequence
+    position cannot be ordered (null-fuzz)."""
+    return load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id",
         "ts",
         "event_id",
@@ -43,7 +47,7 @@ def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, event_id,
                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
                value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     ranked AS (
         SELECT user_id, ts, event_id, op, value,
@@ -92,7 +96,7 @@ def cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ch AS (
         SELECT user_id, ts, event_id, value
         FROM events
-        WHERE event_type <> 'error'
+        WHERE ts IS NOT NULL AND event_type IS DISTINCT FROM 'error'
     ),
     marked AS (
         SELECT user_id, ts, event_id, value,
@@ -142,7 +146,7 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, event_id,
                CASE WHEN event_type <> 'error' THEN 0 ELSE 1 END AS kind,
                CASE WHEN event_type <> 'error' THEN value END AS cv
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     s AS (
         SELECT user_id, ts, event_id, kind,
@@ -175,7 +179,9 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # null-fuzz: timeline ops
+    )
     u = ev.select(
         "user_id",
         "ts",

@@ -450,7 +450,7 @@ _RUNNING_SU = """sum(ROUND(o_totalprice * 1000, 0)) OVER (
     sql=f"""
     SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderkey,
            {sql_half_up_div(_RUNNING_SU, 1000, 2)} AS running_revenue
-    FROM orders
+    FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
     """,
     doc="Window function: per-customer running revenue (SURVEY.md §2.7 — "
     "Window imported but unused in the reference). One shuffle on the "
@@ -458,7 +458,9 @@ _RUNNING_SU = """sum(ROUND(o_totalprice * 1000, 0)) OVER (
     tags=("window",),
 )
 def running_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()  # null-fuzz: rank/window measures must be non-null
+    )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")

@@ -1661,7 +1661,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
                     AS BIGINT) AS units
-        FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+        FROM events WHERE ts IS NOT NULL AND CAST(ts AS DATE) < DATE '2024-01-16'
         GROUP BY 1, 2
     ),
     b AS (
@@ -1670,16 +1670,16 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
                     AS BIGINT) AS units
-        FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+        FROM events WHERE ts IS NOT NULL AND CAST(ts AS DATE) >= DATE '2024-01-16'
         GROUP BY 1, 2
     ),
     diff AS (
         SELECT CASE WHEN a.user_id IS NULL THEN 'added'
                     WHEN b.user_id IS NULL THEN 'removed'
                     WHEN md5(CAST(a.n AS VARCHAR) || '|'
-                             || CAST(a.units AS VARCHAR))
+                             || COALESCE(CAST(a.units AS VARCHAR), 'null'))
                          <> md5(CAST(b.n AS VARCHAR) || '|'
-                                || CAST(b.units AS VARCHAR))
+                                || COALESCE(CAST(b.units AS VARCHAR), 'null'))
                          THEN 'changed'
                     ELSE 'unchanged' END AS status,
                COALESCE(a.units, 0) AS units_a,
@@ -1704,7 +1704,9 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("diff", "join", "quality"),
 )
 def events_user_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # null-fuzz: timeline ops
+    )
 
     def side(pred):
         return (
@@ -1723,9 +1725,15 @@ def events_user_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cutoff = F.to_date("ts") < F.lit("2024-01-16")
     a, b = side(cutoff).alias("a"), side(~cutoff).alias("b")
+    # NULL units must be digest-EXPLICIT: concat_ws silently skips NULLs
+    # (digest collides with a different n) while the oracle's || nulls the
+    # whole digest (every NULL pair reads 'unchanged') — null-fuzz finding
     digest = lambda s: F.md5(
-        F.concat_ws("|", F.col(f"{s}.n").cast("string"),
-                    F.col(f"{s}.units").cast("string"))
+        F.concat_ws(
+            "|",
+            F.col(f"{s}.n").cast("string"),
+            F.coalesce(F.col(f"{s}.units").cast("string"), F.lit("null")),
+        )
     )
     diff = a.join(
         b,

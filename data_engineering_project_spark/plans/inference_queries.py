@@ -1034,6 +1034,7 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
                CAST(floor(o.o_totalprice * {MILLI} + 0.5) AS BIGINT) AS units
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
     ),
     monthly AS (
         SELECT c_nationkey, x, CAST(sum(units) AS BIGINT) AS y
@@ -1078,7 +1079,9 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "regression", "robust"),
 )
 def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()  # null-fuzz: rank/window measures must be non-null
+    )
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     pts = o.join(c, o.o_custkey == c.c_custkey).select(

@@ -310,6 +310,7 @@ def events_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_orders,
            {sql_exact_sum('o_totalprice', 1000, 2)} AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
     GROUP BY c_mktsegment
     """,
     doc="Incremental maintenance of a JOIN materialized view: both base "
@@ -326,7 +327,9 @@ def events_incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("incremental", "join", "maintenance"),
 )
 def segment_revenue_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()  # null-fuzz: rank/window measures must be non-null
+    )
     cust = load_table(spark, sf_dir, "customer")
     o_old = orders.filter(F.col("o_orderdate") < "2000-08-01")
     o_new = orders.filter(F.col("o_orderdate") >= "2000-08-01")

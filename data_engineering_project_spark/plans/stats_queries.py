@@ -730,7 +730,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT), c_custkey)
                    AS rn,
                count(*) OVER () AS n
-        FROM customer
+        FROM customer WHERE c_acctbal IS NOT NULL
     ),
     binned AS (
         SELECT c_custkey, bal_u,
@@ -771,7 +771,9 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "binning", "feature"),
 )
 def customers_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()  # null-fuzz: rank/window measures must be non-null
+    )
     o = load_table(spark, sf_dir, "orders")
     ranked = c.select(
         "c_custkey",
