@@ -807,13 +807,19 @@ def manifest_from_components(
     """
     from pyspark.sql import Window
 
+    # existence is tracked by an explicit marker, NOT by quality
+    # nullness: a doc that EXISTS with a NULL quality value must join the
+    # keep-best ranking (it sorts last under DESC on both engines), not
+    # masquerade as a missing node (null-fuzz finding)
     quality = docs.select(
-        F.col(id_col).alias("node"), F.col(quality_col).alias("_q")
+        F.col(id_col).alias("node"),
+        F.col(quality_col).alias("_q"),
+        F.lit(1).alias("_present"),
     )
     joined = comp.select("node", "component").join(quality, "node", "left")
     missing = [
         r["node"]
-        for r in joined.filter(F.col("_q").isNull()).limit(5).collect()
+        for r in joined.filter(F.col("_present").isNull()).limit(5).collect()
     ]
     if missing:
         raise ValueError(

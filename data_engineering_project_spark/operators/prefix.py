@@ -186,8 +186,20 @@ def partitioned_cumsum(
         .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL-SAFE offsets join: a NULL group key (or a NULL-order bucket)
+    # is a legitimate partition — the name-list equi-join silently dropped
+    # its rows, so the cumsum LOST whole NULL-key groups (null-fuzz)
+    keys = [*parts, "_bucket"]
+    off = offsets.select(
+        *[F.col(c).alias(f"_o_{c}") for c in keys], "_offset"
+    )
+    cond = None
+    for c in keys:
+        e = bucketed[c].eqNullSafe(off[f"_o_{c}"])
+        cond = e if cond is None else (cond & e)
     out = (
-        bucketed.join(F.broadcast(offsets), [*parts, "_bucket"])
+        bucketed.join(F.broadcast(off), cond)
+        .drop(*[f"_o_{c}" for c in keys])
         .withColumn("_local", local)
         .withColumn(
             out_col,

@@ -435,8 +435,17 @@ def distinct_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts")
     )
-    return s.join(p, "l_returnflag").select(
-        "l_returnflag", "n_suppliers", "n_parts", "n_rows"
+    # NULL-SAFE join key: groupBy keeps a NULL-flag group, but a plain
+    # equi-join would silently drop it — the single-distinct rewrite must
+    # not change NULL-group semantics vs the multi-distinct plan it
+    # replaced (null-fuzz finding)
+    return s.join(
+        p, s["l_returnflag"].eqNullSafe(p["l_returnflag"])
+    ).select(
+        s["l_returnflag"].alias("l_returnflag"),
+        "n_suppliers",
+        "n_parts",
+        "n_rows",
     )
 
 

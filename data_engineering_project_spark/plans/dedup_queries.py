@@ -321,7 +321,7 @@ _SIMHASH_BUCKET_TERMS = " + ".join(
     WITH toks AS (
         SELECT doc_id,
                list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     h AS (
         SELECT doc_id,
@@ -444,7 +444,7 @@ _SH_BANDS_SQL = ", ".join(
     WITH toks AS (
         SELECT doc_id,
                list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS t
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     h AS (
         SELECT doc_id,

@@ -1422,7 +1422,7 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS direct_within_5pct,
            TRUE AS union_within_5pct,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total_users
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     doc="Sketch ROLLUP — the reason sketches beat exact state at 100 TB: "
     "one HLL sketch per DAY (the pre-aggregation a warehouse would "
@@ -1446,7 +1446,9 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "approx", "agg", "rollup"),
 )
 def events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # a DAILY rollup covers timestamped events
+    )
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
     )
@@ -1794,10 +1796,16 @@ def events_approx_quantile_witness(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("value").alias("n"),
     )
     p_ppms = F.array(F.lit(500_000), F.lit(900_000), F.lit(990_000))
+    # an all-NULL-value group has ests = NULL: posexplode would DROP the
+    # group (the oracle keeps it with a vacuous witness) — expand to an
+    # explicit 3-NULL array so each quantile row survives (null-fuzz)
+    null_d = F.lit(None).cast("double")
     est = sk.select(
         F.col("event_type").alias("sk_type"),
         "n",
-        F.posexplode("ests").alias("idx", "est"),
+        F.posexplode(
+            F.coalesce(F.col("ests"), F.array(null_d, null_d, null_d))
+        ).alias("idx", "est"),
     ).select(
         "sk_type",
         "n",
@@ -1805,7 +1813,8 @@ def events_approx_quantile_witness(spark: SparkSession, sf_dir: str) -> DataFram
         F.element_at(p_ppms, F.col("idx") + 1).cast("bigint").alias("p_ppm"),
     )
     ranks = (
-        ev.join(F.broadcast(est), F.col("event_type") == F.col("sk_type"))
+        # null-safe: a NULL event_type group must survive the re-join
+        ev.join(F.broadcast(est), F.col("event_type").eqNullSafe(F.col("sk_type")))
         .groupBy("event_type", "p_ppm", "n")
         .agg(
             F.sum(F.when(F.col("value") < F.col("est"), 1).otherwise(0))

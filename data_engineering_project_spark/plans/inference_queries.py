@@ -1249,6 +1249,7 @@ def lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
                CAST(l_quantity AS BIGINT) AS w
         FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     cells AS (
         SELECT l_returnflag, cents,
@@ -1294,7 +1295,11 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
         partitioned_cumsum,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        # a price median has no place for rows with unknown price/weight,
+        # and NULL order keys would cumsum in engine-specific NULL order
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     u = li.select(
         "l_returnflag",
         decimal_units(F.col("l_extendedprice"), 100).alias("cents"),
@@ -1316,8 +1321,15 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
     totals = cells.groupBy("l_returnflag").agg(
         F.sum("w").alias("tw")
     )
+    # null-safe: the NULL-flag group is a real group (null-fuzz)
+    tot = totals.select(
+        F.col("l_returnflag").alias("_tf"), "tw"
+    )
     return (
-        cum.join(F.broadcast(totals), "l_returnflag")
+        cum.join(
+            F.broadcast(tot), F.col("l_returnflag").eqNullSafe(F.col("_tf"))
+        )
+        .drop("_tf")
         .groupBy("l_returnflag")
         .agg(
             F.sum("n").cast("bigint").alias("n_rows"),

@@ -97,6 +97,9 @@ def dq_invalid_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(click_count, impression_count) AS click_count
     FROM report
     WHERE click_count > impression_count
+      -- the validity rules route NULL date/hour rows to invalid, so the
+      -- auto-corrected VALID output excludes them (null-fuzz)
+      AND date IS NOT NULL AND hour IS NOT NULL
     """,
     doc="Auto-correct mode: clicks clipped to impressions (only rows that "
     "needed clipping shown). The reference does this ONLY at the warehouse "

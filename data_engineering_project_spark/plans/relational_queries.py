@@ -28,7 +28,7 @@ _SKY_BIN = 10_000
     WITH u AS (
         SELECT p_partkey, p_name, p_size,
                CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_u
-        FROM part
+        FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
     )
     SELECT p.p_partkey, p.p_name, p.p_size,
            ROUND(p.price_u / 100.0, 2) AS p_retailprice
@@ -54,11 +54,20 @@ _SKY_BIN = 10_000
     tags=("relational", "skyline"),
 )
 def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        "p_size",
-        decimal_units(F.col("p_retailprice"), 100).alias("price_u"),
+    # NULL dims poison the skyline: a NULL bin/bin_max propagates through
+    # the prefix max and prunes EVERYTHING (0 rows on fuzzed data) — a
+    # point with unknown price/size is simply not comparable (null-fuzz)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull()
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_size",
+            decimal_units(F.col("p_retailprice"), 100).alias("price_u"),
+        )
     )
     binned = part.withColumn(
         "bin", F.floor(F.col("price_u") / _SKY_BIN)

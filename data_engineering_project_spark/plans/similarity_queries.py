@@ -364,6 +364,7 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000 + 0.5)
                     AS BIGINT) AS units
         FROM embeddings, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) u
+        WHERE embedding IS NOT NULL
     ),
     stats AS (
         SELECT pos, CAST(count(*) AS BIGINT) AS n,

@@ -31,48 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tools.driver_sim as sim
 
 #: Known NULL-shape divergences, each with its root-cause class — the
-#: audit exits 0 on these (they are BACKLOG, tracked in ROADMAP round-9)
-#: and 1 on anything new. Remove entries as they are fixed; an empty dict
-#: is the goal state. None of these can fire on the gate data (no NULLs
-#: in the fuzzed columns at any shipped SF) — they are latent, not live.
-KNOWN = {
-    # -- window/event-time over nullable ts: Spark ASC windows put NULLS
-    #    FIRST, DuckDB puts them LAST (and Spark's window()/session
-    #    builders DROP null timestamps where SQL groups them) --
-    "events_sessionization": "ts-window null order",
-    "events_session_paths": "ts-window null order",
-    "events_session_concurrency": "ts-window null order",
-    "events_markov_transitions": "ts-window null order",
-    "events_asof_purchase_click": "ts-window null order",
-    "events_pit_enrichment": "ts-window null order",
-    "events_user_state_diff": "ts-window null order",
-    "events_mean_shift": "ts-window null order",
-    "events_ohlc_daily": "ts-window null order",
-    "events_seasonal_decompose": "ts-window null order",
-    "events_sliding_2h_windows": "window() drops null ts, SQL keeps group",
-    "events_hourly_tumbling": "window() drops null ts, SQL keeps group",
-    "events_incremental_daily_agg": "null-day group handling",
-    "events_daily_anomalies": "null-day group handling",
-    "scd2_user_value_history": "ts-window null order",
-    "running_revenue_window": "null o_orderdate window order",
-    "segment_revenue_mv_incremental": "null o_orderdate window order",
-    "orders_yoy_growth": "null-month group handling",
-    "nation_theilsen_trend": "null-month group handling",
-    "orders_decile_stats": "ntile over nullable o_totalprice",
-    "customers_balance_deciles": "rank over nullable c_acctbal",
-    "events_approx_quantile_witness": "percentile over nullable value",
-    "lineitem_weighted_median_price": "nullable weight/value rank scan",
-    "distinct_supplier_counts": "null group-key row counting",
-    # -- text/digest families over nullable text --
-    "docs_simhash_buckets": "md5/simhash of NULL text",
-    "docs_simhash_hamming_pairs": "md5/simhash of NULL text",
-    "docs_canonical_manifest": "validation raises on null-text pair ids",
-    "docs_substring_canonical_manifest": "validation raises on null-text pair ids",
-    # -- other --
-    "parts_pareto_frontier": "skyline prune over-filters NULL dims",
-    "emb_dim_standardize": "per-dim stats over NULL vectors",
-    "events_hll_daily_rollup": "sketch vs exact NULL counting",
-}
+#: audit exits 0 on these and 1 on anything new. All 32 first-run
+#: findings were fixed in round 9 (see ROADMAP); keep this empty.
+KNOWN: dict[str, str] = {}  # EMPTIED round 9 — every finding fixed; new
+# entries require a ROADMAP backlog note with the root-cause class
 
 BASE_SF = os.environ.get("SPARK_GRAFT_NULLFUZZ_BASE", "/root/testdata/sf0.001")
 OUT_DIR = os.environ.get(
