@@ -729,7 +729,9 @@ def orders_cohort_revenue_triangle(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(d.dau) AS BIGINT) AS dau_day_sum,
            CAST(max(m.mau) AS BIGINT) AS mau,
-           {sql_half_up_ratio('sum(d.dau)', 'count(*) * max(m.mau)', 6)} AS stickiness
+           {sql_half_up_ratio('sum(d.dau)',
+                              'count(*) * CAST(max(m.mau) AS HUGEINT)',
+                              6)} AS stickiness
     FROM daily d JOIN monthly m ON m.month = d.month
     GROUP BY d.month
     """,
@@ -760,7 +762,11 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dau").cast("bigint").alias("dau_day_sum"),
             F.max("mau").cast("bigint").alias("mau"),
             half_up_ratio(
-                F.sum("dau"), F.count("*") * F.max("mau"), 6
+                F.sum("dau"),
+                # decimal(38,0): days * mau is a LONG product; oracle
+                # twin pre-casts to HUGEINT (round-10 advice #1)
+                F.count("*") * F.max("mau").cast("decimal(38,0)"),
+                6,
             ).alias("stickiness"),
         )
         .select(

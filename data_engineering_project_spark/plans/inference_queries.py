@@ -1381,8 +1381,10 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
         WHERE a + b + c + d >= 2
     )
     SELECT CAST(count(*) AS BIGINT) AS n_strata,
-           {sql_half_up_ratio('sum(dev_micro) * sum(dev_micro)',
-                              '1000000 * sum(var_micro)', 6)} AS cmh_chi2,
+           {sql_half_up_ratio(
+               'CAST(sum(dev_micro) AS HUGEINT)'
+               ' * CAST(sum(dev_micro) AS HUGEINT)',
+               '1000000 * CAST(sum(var_micro) AS HUGEINT)', 6)} AS cmh_chi2,
            {sql_half_up_ratio('sum(ad_micro)', 'sum(bc_micro)', 6)}
                AS mh_odds_ratio
     FROM terms
@@ -1570,8 +1572,9 @@ _TE_M = 20  # Bayesian smoothing pseudo-count toward the global prior
     g AS (SELECT count(*) AS d, sum(y) AS s FROM e)
     SELECT e.event_id, e.event_type, CAST(e.y AS INT) AS y,
            {sql_half_up_ratio(
-               f'g.d * (c.sum_c - e.y) + {_TE_M} * g.s',
-               f'g.d * (c.cnt_c - 1 + {_TE_M})', 6)} AS te
+               f'CAST(g.d AS HUGEINT) * (c.sum_c - e.y)'
+               f' + {_TE_M} * CAST(g.s AS HUGEINT)',
+               f'CAST(g.d AS HUGEINT) * (c.cnt_c - 1 + {_TE_M})', 6)} AS te
     FROM e JOIN c USING (event_type) CROSS JOIN g
     """,
     doc="Leave-one-out target encoding with Bayesian smoothing — the "
@@ -1599,8 +1602,14 @@ def events_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt_c"), F.sum("y").alias("sum_c")
     )
     g = e.agg(F.count("*").alias("d"), F.sum("y").alias("s"))
-    num = F.col("d") * (F.col("sum_c") - F.col("y")) + _TE_M * F.col("s")
-    den = F.col("d") * (F.col("cnt_c") - 1 + _TE_M)
+    # compose in decimal(38,0): d * sum_c is ~(corpus count)^2 — a LONG
+    # product overflows (ANSI throw) past ~3e9 rows; the oracle twin
+    # pre-casts the same operands to HUGEINT (round-10 advice #1)
+    d38 = F.col("d").cast("decimal(38,0)")
+    num = d38 * (F.col("sum_c") - F.col("y")) + _TE_M * F.col(
+        "s"
+    ).cast("decimal(38,0)")
+    den = d38 * (F.col("cnt_c") - 1 + _TE_M)
     return (
         e.join(F.broadcast(c), "event_type")
         .crossJoin(F.broadcast(g))

@@ -720,7 +720,9 @@ def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           {sql_half_up_ratio('sum(s_micro)', '1000000 * count(*)', 6)} AS mean_silhouette
+           {sql_half_up_ratio('sum(s_micro)',
+                              '1000000 * CAST(count(*) AS HUGEINT)',
+                              6)} AS mean_silhouette
     FROM s GROUP BY label ORDER BY label
     """,
     doc="Simplified (centroid-based) silhouette score per label over "
@@ -772,7 +774,11 @@ def emb_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_vectors"),
             half_up_ratio(
-                F.sum("s_micro"), F.lit(1000000) * F.count("*"), 6
+                F.sum("s_micro"),
+                # decimal(38,0): 1e6 * count overflows LONG past ~9e12
+                # rows/label; oracle twin pre-casts to HUGEINT
+                F.lit(1000000) * F.count("*").cast("decimal(38,0)"),
+                6,
             ).alias("mean_silhouette"),
         )
         .orderBy("label")

@@ -674,8 +674,13 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.call_function(
                     "div",
-                    2 * F.max("s") + 1000 * F.max("n"),
-                    2000 * F.max("n"),
+                    # decimal(38,0): 2*sum(delta_us) overflows LONG once
+                    # total dwell exceeds ~4.6e18 us; the oracle's
+                    # 2 * CAST(max(d.s) AS HUGEINT) already has int128
+                    # headroom (round-10 advice #1 symmetry)
+                    2 * F.max("s").cast("decimal(38,0)")
+                    + 1000 * F.max("n"),
+                    2000 * F.max("n").cast("decimal(38,0)"),
                 )
                 / 1000,
                 3,
@@ -838,7 +843,9 @@ def customers_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(day, '%Y-%m-%d') AS day,
            CAST(max(nd) AS BIGINT) AS n_events,
-           {sql_half_up_ratio('sum(t_micro)', '1000000 * max(nd)', 6)} AS kl_nats
+           {sql_half_up_ratio('sum(t_micro)',
+                              '1000000 * CAST(max(nd) AS HUGEINT)',
+                              6)} AS kl_nats
     FROM terms GROUP BY day
     """,
     doc="Per-day KL divergence of the event-type mix from the overall mix "
@@ -880,7 +887,11 @@ def events_daily_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("nd").cast("bigint").alias("n_events"),
             half_up_ratio(
-                F.sum("t_micro"), F.lit(1000000) * F.max("nd"), 6
+                F.sum("t_micro"),
+                # decimal(38,0): 1e6 * count overflows LONG past ~9e12
+                # events/day; oracle twin pre-casts to HUGEINT
+                F.lit(1000000) * F.max("nd").cast("decimal(38,0)"),
+                6,
             ).alias("kl_nats"),
         )
         .select(

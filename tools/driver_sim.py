@@ -55,6 +55,10 @@ def main(only: list[str]) -> int:
             f"read_parquet('{os.path.join(SF_DIR, t + '.parquet')}')"
         )
     qs, osql = m.queries(), m.oracle_sql()
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        # a typo'd spot-check must fail loudly, not report N clean
+        raise SystemExit(f"unknown query names: {unknown}")
     failures: list[str] = []
     t0 = time.time()
     for i, (name, fn) in enumerate(qs.items(), 1):
