@@ -14,6 +14,8 @@ All are pure column expressions — decodable at scan speed.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -138,7 +140,15 @@ def half_up_div(units: Column, scale: int, out_dp: int = 2) -> Column:
     low bits once |units| exceeds 2^53. Both branches negate first so the
     operand is non-negative, where ``div``'s truncation equals floor. The
     final ``out_units / 10^dp`` emits a double — the OUTPUT type's own
-    2^53 bound is inherent to the column type, not to the rounding."""
+    2^53 bound is inherent to the column type, not to the rounding.
+
+    Input contract: ``units`` must be integral-valued. A fractional
+    double is silently truncated toward zero by the LONG cast and NaN
+    THROWS under Spark 4's ANSI cast (the pre-r9 floor device returned
+    NaN instead) — both are caller bugs, not rounding semantics. Set
+    ``SPARK_GRAFT_DEBUG_DEVICES=1`` to raise loudly on any non-integral
+    input in test/debug runs (production plans are unchanged when
+    unset)."""
     div = scale // (10 ** out_dp)
     if scale % (10 ** out_dp) != 0:
         raise ValueError(f"scale {scale} not divisible by 10^{out_dp}")
@@ -151,6 +161,26 @@ def half_up_div(units: Column, scale: int, out_dp: int = 2) -> Column:
     # ``div`` is integral-only; a double-typed unit sum (already 2^53-
     # bounded upstream — prefer decimal_units/LONG sums for the full
     # 2^63 guarantee) casts losslessly because it is integral-valued.
+    # CONTRACT (ADVICE r10 #3): a non-integral double here is a caller
+    # bug — the cast silently truncates toward zero, and NaN throws
+    # under Spark 4's ANSI cast. SPARK_GRAFT_DEBUG_DEVICES=1 turns the
+    # silent truncation into a loud raise_error for test/debug runs;
+    # the production plan is untouched when unset.
+    if os.environ.get("SPARK_GRAFT_DEBUG_DEVICES"):
+        # NULL passes (empty-group sums are legitimately NULL); NaN and
+        # fractional values fail the equality and raise. raise_error is
+        # NullType, so the when() keeps the caller's column type.
+        units = F.when(
+            units.isNull() | (units == F.floor(units)), units
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "half_up_div: non-integral unit sum %s violates the "
+                    "integer-units contract",
+                    units.cast("string"),
+                )
+            )
+        )
     u = units.cast("long")
     out_units = F.when(
         u < 0, -F.call_function("div", -u + half, d)

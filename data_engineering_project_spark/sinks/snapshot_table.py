@@ -651,10 +651,14 @@ def merge_upsert(
     # mirrors write_table's ordering). Nested leases (write_table takes
     # its own) are harmless — two independent lease files.
     if replace_scope is not None:
-        missing = set(replace_scope) - set(key_cols)
-        if missing:
+        # PREFIX contract, not mere membership (ADVICE r10 #2): a
+        # non-prefix scope like ('rank',) under keys ('query_id','rank')
+        # would pass a set check and silently delete rows across
+        # unrelated query_ids.
+        if list(replace_scope) != list(key_cols)[: len(replace_scope)]:
             raise ValueError(
-                f"replace_scope {sorted(missing)!r} not in key_cols {list(key_cols)!r}"
+                f"replace_scope {list(replace_scope)!r} must be a prefix "
+                f"of key_cols {list(key_cols)!r}"
             )
     lease = _begin_lease(table)
     try:

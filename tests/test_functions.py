@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from decimal import Decimal
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -259,3 +260,37 @@ def test_half_up_ratio_null_and_zero_den(spark):
         ).fetchall()
     )
     assert twin == {1: None, 2: None, 3: None, 4: 0.25}
+
+
+def test_half_up_div_debug_guard_catches_fractional_doubles(spark, monkeypatch):
+    """ADVICE r10 #3: a double-typed caller passing a NON-integral unit
+    sum violates half_up_div's contract — the LONG cast silently
+    truncates toward zero. SPARK_GRAFT_DEBUG_DEVICES=1 turns that into a
+    loud raise_error; NULLs still pass (empty-group sums), and the
+    production path (env unset) is unchanged."""
+    from pyspark.errors import SparkRuntimeException
+
+    from data_engineering_project_spark.functions.scalars import half_up_div
+
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_DEVICES", "1")
+    good = spark.createDataFrame(
+        [(12345.0,), (None,), (-250.0,)], "su double"
+    )
+    vals = [
+        r["v"]
+        for r in good.select(half_up_div(F.col("su"), 10_000, 2).alias("v"))
+        .orderBy(F.col("su").asc_nulls_first())
+        .collect()
+    ]
+    assert vals == [None, -0.03, 1.23]
+
+    bad = spark.createDataFrame([(12345.5,)], "su double")
+    with pytest.raises(SparkRuntimeException, match="integer-units contract"):
+        bad.select(half_up_div(F.col("su"), 10_000, 2).alias("v")).collect()
+
+    # env unset: the guard is absent and truncation stays silent
+    monkeypatch.delenv("SPARK_GRAFT_DEBUG_DEVICES")
+    out = spark.createDataFrame([(12345.5,)], "su double").select(
+        half_up_div(F.col("su"), 10_000, 2).alias("v")
+    ).collect()
+    assert out[0]["v"] == 1.23

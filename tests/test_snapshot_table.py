@@ -723,6 +723,23 @@ def test_merge_replace_scope_validates_subset(spark, table):
         )
 
 
+def test_merge_replace_scope_rejects_non_prefix(spark, table):
+    """ADVICE r10 #2: a member-but-not-prefix scope (('rank',) under keys
+    ('k','rank')) would silently delete rows across unrelated k's — the
+    validation must enforce the documented PREFIX contract, not set
+    membership."""
+    st.write_table(_kr(spark, [(1, 1, "a")]), table)
+    for bad in [("rank",), ("rank", "k")]:
+        with pytest.raises(ValueError, match="prefix"):
+            st.merge_upsert(
+                spark,
+                table,
+                _kr(spark, [(1, 1, "b")]),
+                key_cols=("k", "rank"),
+                replace_scope=bad,
+            )
+
+
 def test_merge_replace_scope_prunes_untouched_files(spark, table):
     """The scope-key widening must not break MERGE's file-pruning
     contract: files holding no served scope key carry by reference."""
