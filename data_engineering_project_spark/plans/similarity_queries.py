@@ -1702,9 +1702,11 @@ _HARD_NEG_SQL = f"""
     "nested-loop against it (label <> anchor_label is a theta predicate "
     "— no shuffle of the big side), each (corpus row, anchor) pair "
     "scores through the row-pair vectorized cosine kernel, and top-k "
-    "per anchor falls out of one window over k*|anchors| bounded rows "
-    "after a per-partition rank prefilter is unnecessary at |anchors| "
-    "partitions. At 100 TB this is the mining pass of a SimCLR/DPR-style "
+    "per anchor is a row_number window whose INPUT is |corpus|*|anchors| "
+    "rows — what bounds it at scale is Spark 4's WindowGroupLimit rank-"
+    "limit pushdown (map-side top-k per anchor before the exchange, "
+    "asserted in tests/test_plan_quality.py), not the plan shape itself. "
+    "At 100 TB this is the mining pass of a SimCLR/DPR-style "
     "data pipeline: corpus-partition-parallel, anchor-batched, index-"
     "accelerable by the same IVF cells emb_knn_join probes.",
     tags=("similarity", "ml", "contrastive"),
