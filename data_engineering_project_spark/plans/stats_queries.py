@@ -1668,6 +1668,83 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ewma_serving",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ser AS (
+        SELECT event_type,
+               list_transform(list_sort(list({'d': d, 'x': x})),
+                              s -> CAST(s.x AS DOUBLE)) AS vs
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(len(vs) AS BIGINT) AS n_days,
+           ROUND(floor(list_reduce(vs, (s, v) -> s * 0.75 + v * 0.25) + 0.5)
+                 / 100, 2) AS ewma_value
+    FROM ser ORDER BY event_type
+    """,
+    doc="The streaming EWMA maintenance path end-to-end, driver-hashable "
+    "(round-9 verdict #7): events are split into three deterministic "
+    "micro-batches and fed through upsert_ewma_state's foreachBatch "
+    "writer — per-(type, day, batch_id) integer-cent counters under the "
+    "exactly-once protocol, with batch 1 DELIVERED TWICE to exercise the "
+    "crash-replay branch (the replay must replace its own prior rows, "
+    "not double-count) — then read_ewma_trend re-derives the trend as a "
+    "pure function of the state. Because daily sums are additive across "
+    "any batch split and the reader runs the batch twin's sequential "
+    "fold verbatim, the result is bit-identical to events_value_ewma, "
+    "which is exactly what the oracle restates: the driver hash now "
+    "covers the counter protocol + state read, not just the batch "
+    "query. The trend frame is <= #event_types rows, collected and "
+    "rebuilt locally so the temp state dir can be reclaimed eagerly "
+    "(emb_ivf_index_serving precedent); the distributed work — batch "
+    "pre-aggregates, state merges, the read-side fold — happens through "
+    "the state table.",
+    tags=("stats", "timeseries", "streaming", "serving"),
+)
+def events_ewma_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_ewma_trend,
+        upsert_ewma_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="ewma_serving_")
+    try:
+        writer = upsert_ewma_state(tmp, time_col="ts")
+        batches = [
+            ev.filter(
+                F.coalesce(F.pmod("event_id", F.lit(3)), F.lit(0)) == i
+            )
+            for i in range(3)
+        ]
+        writer(batches[0], 0)
+        writer(batches[1], 1)
+        writer(batches[2], 2)
+        writer(batches[1], 1)  # crash replay: must replace, not add
+        rows = read_ewma_trend(spark, tmp, alpha=0.25).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["event_type"], int(r["n_days"]), r["ewma_value"])
+            for r in rows
+        ],
+        "event_type string, n_days bigint, ewma_value double",
+    )
+
+
+@register(
     "orders_holt_linear_forecast",
     sql="""
     WITH monthly AS (
