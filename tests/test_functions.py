@@ -294,3 +294,47 @@ def test_half_up_div_debug_guard_catches_fractional_doubles(spark, monkeypatch):
         half_up_div(F.col("su"), 10_000, 2).alias("v")
     ).collect()
     assert out[0]["v"] == 1.23
+
+
+def test_composed_ratio_operands_survive_past_int64(spark):
+    """ADVICE r10 #1 regression: callers that COMPOSE products before the
+    ratio device (CMH's sum*sum, LOO's global_count*category_sum) must
+    pre-cast operands to int128-width types — a BIGINT product overflows
+    on DuckDB (throws) and a LONG product throws under Spark ANSI before
+    the device's internal cast can help. Probe with a deviation sum of
+    4e9 (square 1.6e19 > 2^63) and assert both engines agree."""
+    import duckdb
+
+    from data_engineering_project_spark.functions.scalars import (
+        half_up_ratio,
+        sql_half_up_ratio,
+    )
+
+    dev, var = 4_000_000_000, 7_000_000_000_000
+    df = spark.createDataFrame([(dev, var)], "s long, v long")
+    got = df.select(
+        half_up_ratio(
+            F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)"),
+            F.lit(1000000).cast("decimal(38,0)") * F.col("v"),
+            6,
+        ).alias("chi2")
+    ).collect()[0]["chi2"]
+
+    con = duckdb.connect()
+    num = "CAST(s AS HUGEINT) * CAST(s AS HUGEINT)"
+    den = "1000000 * CAST(v AS HUGEINT)"
+    twin = con.execute(
+        f"SELECT {sql_half_up_ratio(num, den, 6)} AS chi2 "
+        f"FROM (SELECT CAST({dev} AS BIGINT) s, CAST({var} AS BIGINT) v)"
+    ).fetchone()[0]
+    assert got == twin == round(dev * dev / (1e6 * var), 6)
+
+    # the OLD un-cast composition really does die on DuckDB — keep the
+    # witness so the fix can't silently regress to it
+    import pytest as _pytest
+
+    with _pytest.raises(duckdb.OutOfRangeException):
+        con.execute(
+            f"SELECT {sql_half_up_ratio('s * s', '1000000 * v', 6)} "
+            f"FROM (SELECT CAST({dev} AS BIGINT) s, CAST({var} AS BIGINT) v)"
+        ).fetchone()
