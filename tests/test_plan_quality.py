@@ -895,7 +895,11 @@ def test_brute_topk_windows_get_rank_limit_pushdown(plans):
     filter expressed in a way the rule can't match) fails loudly instead
     of silently turning the window into a full-corpus sort (round-9
     VERDICT next-round #5)."""
-    for name in ["emb_knn_join", "emb_hard_negatives"]:
+    for name in [
+        "emb_knn_join",
+        "emb_hard_negatives",
+        "top3_orders_per_customer",
+    ]:
         plan = plans(name)
         assert "WindowGroupLimit" in plan, (
             f"{name}: no rank-limit pushdown\n{plan[:3000]}"
