@@ -151,21 +151,34 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_price_quantiles",
     sql="""
     SELECT o_orderpriority,
-           ROUND(median(o_totalprice), 4) AS median_price,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           ROUND(median(CASE WHEN isfinite(o_totalprice)
+                             THEN o_totalprice END), 4) AS median_price,
+           ROUND(quantile_cont(CASE WHEN isfinite(o_totalprice)
+                                    THEN o_totalprice END, 0.9), 4)
+               AS p90_price,
            count(*) AS n
     FROM orders GROUP BY o_orderpriority
     """,
     doc="Exact percentiles per group (median + p90, linear interpolation). "
     "At 100 TB swap for approx_percentile and accept the sketch error — "
-    "exact percentile requires a per-group sort.",
+    "exact percentile requires a per-group sort. The rank universe is "
+    "FINITE values only (round-10 hostile-numeric sweep: the engines "
+    "disagree on NaN's place in the quantile universe — Spark's "
+    "percentile sorts NaN greatest while DuckDB's quantile drops it — so "
+    "non-finite inputs are excluded AT THE OPERATOR on both sides, the "
+    "NULL-ordering precedent); n still counts every row.",
     tags=("agg", "percentile"),
 )
 def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    c = F.col("o_totalprice")
+    finite = (
+        ~F.isnan(c) & (c != F.lit(float("inf"))) & (c != F.lit(float("-inf")))
+    )
+    fc = F.when(finite, c)  # percentile/median ignore NULLs on both engines
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.median("o_totalprice"), 4).alias("median_price"),
-        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+        F.round(F.median(fc), 4).alias("median_price"),
+        F.round(F.percentile(fc, 0.9), 4).alias("p90_price"),
         F.count("*").alias("n"),
     )
 

@@ -187,18 +187,22 @@ def purchase_click_attribution_1h(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "events_hourly_tumbling",
-    sql="""
+    sql=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
-           ROUND(sum(value), 4) AS total_value
+           {sql_exact_sum('value', 10000, 4)} AS total_value
     FROM events WHERE ts IS NOT NULL
     GROUP BY window_start, event_type
     """,
     doc="Tumbling 1-hour event-time window via F.window() — the exact "
     "batch analog of the Structured Streaming windowed aggregation in "
     "streaming/pipeline.py (SURVEY.md §2.8 T2), sharing semantics with the "
-    "reference's filename-hour bucketing (data_processing.py:238-244).",
+    "reference's filename-hour bucketing (data_processing.py:238-244). "
+    "total_value rides the integer-unit device (round-10 hostile-numeric "
+    "sweep: ROUND(sum(value), 4) over raw doubles diverged between engines "
+    "once one extreme value raised the accumulator magnitude past where "
+    "addition order matters).",
     tags=("window", "agg", "streaming-analog"),
 )
 def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +211,7 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            exact_decimal_sum(F.col("value"), 10000, 4).alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -279,13 +283,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     sql="""
     WITH big AS (
-        SELECT l_orderkey, sum(l_quantity) AS sum_qty
-        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+        SELECT l_orderkey,
+               sum(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS qty_units
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) > 18000
     )
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            ROUND(o.o_totalprice, 2) AS totalprice,
-           ROUND(big.sum_qty, 2) AS sum_qty
+           ROUND(big.qty_units / 100.0, 2) AS sum_qty
     FROM big
     JOIN orders o ON o.o_orderkey = big.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -293,7 +299,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q18 shape (large-volume orders): aggregate-then-join. The "
     "HAVING runs before the joins so only qualifying orderkeys shuffle into "
     "the join — at 100 TB this ordering (agg first, join after) is the "
-    "difference between shuffling 2% of lineitem and all of it.",
+    "difference between shuffling 2% of lineitem and all of it. sum_qty "
+    "rides the integer-unit device (round-10 hostile-numeric sweep: a raw "
+    "double sum silently diverges between engines once a single extreme "
+    "value pushes the accumulator past the magnitude where addition order "
+    "matters; the LONG unit sum is order-independent and exact to 2^63).",
     tags=("tpch", "join", "agg"),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,8 +312,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
-        .filter(F.col("sum_qty_raw") > 180)
+        .agg(
+            F.sum(decimal_units(F.col("l_quantity"), 100)).alias("qty_units")
+        )
+        .filter(F.col("qty_units") > 18000)
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
@@ -314,7 +326,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.round("o_totalprice", 2).alias("totalprice"),
-            F.round("sum_qty_raw", 2).alias("sum_qty"),
+            # scale == 10^dp, the width where the plain ROUND is safe
+            F.round(F.col("qty_units") / 100, 2).alias("sum_qty"),
         )
     )
 

@@ -38,22 +38,45 @@ _PROFILE_COLS = (
     "l_returnflag",
     "l_linestatus",
 )
+#: double-typed profile columns get a canonical non-finite rendering:
+#: Spark casts NaN/-inf to 'NaN'/'-Infinity' (Java Double.toString) where
+#: DuckDB yields 'nan'/'-inf' — the round-10 hostile-numeric sweep caught
+#: the split. Signed zero is normalized too (the engines may surface
+#: different representatives of the equal keys -0.0/0.0 as a min/max).
+_PROFILE_DOUBLE_COLS = frozenset(
+    {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+)
+
+
+def _sql_render_double(c: str) -> str:
+    return f"""CASE
+        WHEN isnan({c}) THEN 'NaN'
+        WHEN {c} = CAST('inf' AS DOUBLE) THEN 'Infinity'
+        WHEN {c} = CAST('-inf' AS DOUBLE) THEN '-Infinity'
+        WHEN {c} = 0 THEN '0.0'
+        ELSE CAST({c} AS VARCHAR) END"""
 
 _LOG_BASE = 1.2
 _QUANTILES = (0.5, 0.9, 0.99)
 
 
 def _profile_sql() -> str:
-    parts = [
-        f"""
+    parts = []
+    for c in _PROFILE_COLS:
+        if c in _PROFILE_DOUBLE_COLS:
+            mn = _sql_render_double(f"min({c})")
+            mx = _sql_render_double(f"max({c})")
+        else:
+            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        parts.append(
+            f"""
         SELECT '{c}' AS col_name,
                CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
                CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-               CAST(min({c}) AS VARCHAR) AS min_value,
-               CAST(max({c}) AS VARCHAR) AS max_value
+               {mn} AS min_value,
+               {mx} AS max_value
         FROM lineitem"""
-        for c in _PROFILE_COLS
-    ]
+        )
     return " UNION ALL ".join(parts)
 
 
@@ -72,13 +95,28 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial agg; spread it over all cores explicitly (the scan's few
     # partitions otherwise bound the whole Expand+agg CPU)
     li = li.repartition(spark.sparkContext.defaultParallelism)
+    def _render(col):
+        # canonical non-finite/zero rendering; mirrors _sql_render_double
+        return (
+            F.when(F.isnan(col), F.lit("NaN"))
+            .when(col == F.lit(float("inf")), F.lit("Infinity"))
+            .when(col == F.lit(float("-inf")), F.lit("-Infinity"))
+            .when(col == 0, F.lit("0.0"))
+            .otherwise(col.cast("string"))
+        )
+
     aggs = []
     for c in _PROFILE_COLS:
+        mn, mx = F.min(c), F.max(c)
+        if c in _PROFILE_DOUBLE_COLS:
+            mn, mx = _render(mn), _render(mx)
+        else:
+            mn, mx = mn.cast("string"), mx.cast("string")
         aggs += [
             (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__nd"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
         ]
     one = li.agg(*aggs)
     rows = F.array(
