@@ -131,18 +131,23 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_cube",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(sum(l_quantity), 2) AS sum_qty,
+           ROUND(sum(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0, 2)
+               AS sum_qty,
            count(*) AS n
     FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
     doc="CUBE grouping sets (absent in reference — SURVEY.md §2.4): all "
-    "2^2 grouping combinations in one pass (Expand + single aggregate).",
+    "2^2 grouping combinations in one pass (Expand + single aggregate). "
+    "sum_qty rides the integer-unit device (round-10 hostile-numeric "
+    "sweep: raw double sums are addition-order-dependent).",
     tags=("agg", "cube"),
 )
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(
+            F.sum(decimal_units(F.col("l_quantity"), 100)) / 100, 2
+        ).alias("sum_qty"),
         F.count("*").alias("n"),
     )
 

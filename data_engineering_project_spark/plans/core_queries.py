@@ -88,18 +88,24 @@ def hourly_report_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_type_counts",
     sql="""
-    SELECT event_type, count(*) AS n, ROUND(sum(value), 4) AS total_value
+    SELECT event_type, count(*) AS n,
+           ROUND(sum(CAST(ROUND(value * 10000, 0) AS BIGINT)) / 10000.0, 4)
+               AS total_value
     FROM events GROUP BY event_type
     """,
     doc="Hash aggregate with count + sum (reference A1/A5, "
-    "src/Task1/data_processing.py:268-277).",
+    "src/Task1/data_processing.py:268-277). The sum rides the "
+    "integer-unit device — raw double sums are addition-order-dependent "
+    "once magnitudes mix (round-10 hostile-numeric sweep).",
     tags=("agg",),
 )
 def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(
+            F.sum(S.decimal_units(F.col("value"), 10_000)) / 10_000, 4
+        ).alias("total_value"),
     )
 
 
@@ -223,7 +229,8 @@ def report_datetime_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     sql=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(sum(l_quantity), 2)        AS sum_qty,
+           ROUND(sum(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0, 2)
+               AS sum_qty,
            ROUND(sum(ROUND(l_extendedprice * 100, 0)) / 100, 2) AS sum_base_price,
            {sql_exact_sum('l_extendedprice * (1 - l_discount)', 10000, 2)}
                AS sum_disc_price,
@@ -249,7 +256,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # quantity rides the same integer-unit device as the money
+            # sums (round-10 hostile-numeric sweep: raw double sums are
+            # addition-order-dependent once magnitudes mix)
+            F.round(
+                F.sum(S.decimal_units(F.col("l_quantity"), 100)) / 100, 2
+            ).alias("sum_qty"),
             # money sums snap terms to integer units so the result is
             # independent of partial-agg merge order (functions/scalars.py)
             S.exact_decimal_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),

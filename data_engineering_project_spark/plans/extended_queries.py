@@ -200,9 +200,9 @@ def purchase_click_attribution_1h(spark: SparkSession, sf_dir: str) -> DataFrame
     "streaming/pipeline.py (SURVEY.md §2.8 T2), sharing semantics with the "
     "reference's filename-hour bucketing (data_processing.py:238-244). "
     "total_value rides the integer-unit device (round-10 hostile-numeric "
-    "sweep: ROUND(sum(value), 4) over raw doubles diverged between engines "
-    "once one extreme value raised the accumulator magnitude past where "
-    "addition order matters).",
+    "sweep: the prior raw-double total diverged between engines once one "
+    "extreme value raised the accumulator magnitude past where addition "
+    "order matters).",
     tags=("window", "agg", "streaming-analog"),
 )
 def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,7 +904,8 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_linestatus,
            CAST(year(l_shipdate) AS INTEGER) AS ship_year,
            count(*) AS n_items,
-           ROUND(sum(l_quantity), 2) AS total_qty
+           ROUND(sum(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0, 2)
+               AS total_qty
     FROM lineitem
     GROUP BY l_linestatus, ship_year
     """,
@@ -912,7 +913,9 @@ def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over the registered temp-view catalog (sources/tables.py:load_tables) "
     "rather than the DataFrame API — both compile to the same Catalyst "
     "plan, and the engine supports either surface (the reference's only "
-    "SQL-string usage is a smoke test, verify_setup.py:288-289).",
+    "SQL-string usage is a smoke test, verify_setup.py:288-289). total_qty "
+    "rides the integer-unit device in its SQL form (round-10 "
+    "hostile-numeric sweep).",
     tags=("sql", "agg"),
 )
 def sql_interface_shipmode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,7 +927,8 @@ def sql_interface_shipmode_profile(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT l_linestatus,
                CAST(year(l_shipdate) AS INT) AS ship_year,
                count(*) AS n_items,
-               ROUND(sum(l_quantity), 2) AS total_qty
+               ROUND(sum(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                     / CAST(100 AS DOUBLE), 2) AS total_qty
         FROM lineitem
         GROUP BY l_linestatus, ship_year
         """
@@ -984,12 +988,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_excess_stock_suppliers",
     sql="""
     WITH shipped AS (
-        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        SELECT l_suppkey, l_partkey,
+               sum(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS qty_units
         FROM lineitem
         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         GROUP BY l_suppkey, l_partkey
     ),
-    heavy AS (SELECT DISTINCT l_suppkey FROM shipped WHERE qty > 50)
+    heavy AS (SELECT DISTINCT l_suppkey FROM shipped WHERE qty_units > 5000)
     SELECT s.s_suppkey, s.s_name, n.n_name
     FROM supplier s
     JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -1013,9 +1018,13 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1997-01-01")
         )
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("qty"))
+        # integer-unit sum: the >50 membership test must not flip with
+        # addition order (round-10 hostile-numeric sweep)
+        .agg(F.sum(decimal_units(F.col("l_quantity"), 100)).alias("qty_units"))
     )
-    heavy = shipped.filter(F.col("qty") > 50).select("l_suppkey").distinct()
+    heavy = (
+        shipped.filter(F.col("qty_units") > 5000).select("l_suppkey").distinct()
+    )
     return (
         s.join(broadcast_if_small(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
         .join(
