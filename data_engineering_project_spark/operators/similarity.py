@@ -19,6 +19,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def finite_vector(col: Column) -> Column:
+    """TRUE iff the vector is non-NULL and every element is a finite
+    non-NULL float.
+
+    The similarity operators' poisoned-vector guard (round-10 hostile-
+    numeric sweep): a NaN/inf element makes the cosine NaN, and the
+    engines disagree on where NaN ranks in a top-k window — so poisoned
+    vectors are EXCLUDED at the operator, exactly like the NULL-vector
+    exclusions the NULL-fuzz round established. SQL twin: the
+    ``list_bool_and(list_transform(..., isfinite))`` predicate inlined in
+    the query oracles. Empty arrays pass on both sides (Spark ``forall``
+    over [] is TRUE; the twin COALESCEs DuckDB's NULL fold to TRUE)."""
+    inf = float("inf")
+    return col.isNotNull() & F.forall(
+        col,
+        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) < F.lit(inf)),
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with double accumulation (left-to-right, deterministic)."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))

@@ -22,6 +22,17 @@ from data_engineering_project_spark.sources.tables import load_table
 EMB_DIM = 64
 
 
+def _sql_finite_vec(col: str) -> str:
+    """DuckDB twin of operators/similarity.py:finite_vector — TRUE iff the
+    vector is non-NULL with every element finite and non-NULL. COALESCE
+    matches Spark ``forall`` returning TRUE on an empty array (DuckDB's
+    fold over [] is NULL)."""
+    return (
+        f"({col} IS NOT NULL AND COALESCE(list_bool_and(list_transform("
+        f"{col}, x -> x IS NOT NULL AND isfinite(CAST(x AS DOUBLE)))), TRUE))"
+    )
+
+
 def _plane_literal(plane: list[float]) -> str:
     """DuckDB list literal of the plane's double coefficients. ``repr`` is
     shortest-roundtrip, so DuckDB parses back the identical double."""
@@ -110,7 +121,7 @@ def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_lsh_bucket_profile",
     sql=f"""
     WITH b AS (SELECT {_lsh_bucket_sql(12)} AS bucket FROM embeddings
-               WHERE embedding IS NOT NULL)
+               WHERE {_sql_finite_vec('embedding')})
     SELECT bucket, COUNT(*) AS n_vectors FROM b GROUP BY bucket
     """,
     doc="LSH bucketing profile: random-hyperplane sign-bit bucket per vector "
@@ -121,12 +132,15 @@ def emb_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Arrow batch) — tested bit-identical to the expression path, ~100× "
     "per-row at bulk scale. The hyperplanes are deterministic plan "
     "literals, so the DuckDB oracle embeds the same doubles and "
-    "hash-matches the full bucket histogram (was rows-only in round 2).",
+    "hash-matches the full bucket histogram (was rows-only in round 2). "
+    "NULL and non-finite vectors have no bucket (round-10 hostile sweep: "
+    "a NaN projection's sign bit is engine-dependent).",
     tags=("similarity", "ann", "lsh"),
 )
 def emb_lsh_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()  # NULL vectors have no bucket
+        # NULL vectors have no bucket; neither do NaN/inf-poisoned ones
+        S.finite_vector(F.col("embedding"))
     )
     bucketed = S.lsh_buckets_vectorized(e, dim=EMB_DIM, n_planes=12, seed=42)
     return (
@@ -1537,13 +1551,19 @@ _KNN_COS = (
 )
 
 _KNN_SQL = f"""
-    WITH q AS (
-        SELECT vec_id AS qid, embedding AS qe FROM embeddings
-        WHERE vec_id < {KNN_NQ} AND embedding IS NOT NULL
+    WITH emb AS (
+        -- poisoned-vector guard (round-10 hostile sweep): NaN/inf elements
+        -- make cosine NaN, whose top-k rank is engine-dependent — exclude
+        -- at the operator, like NULL vectors (twin of finite_vector)
+        SELECT * FROM embeddings WHERE {_sql_finite_vec('embedding')}
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM emb
+        WHERE vec_id < {KNN_NQ}
     ),
     expl AS (
         SELECT label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
-        FROM embeddings, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) u
+        FROM emb, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) u
     ),
     cent AS (SELECT label, pos, avg(v) AS c FROM expl GROUP BY label, pos),
     cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
@@ -1561,7 +1581,7 @@ _KNN_SQL = f"""
     ),
     cand AS (
         SELECT p.qid, e.vec_id, e.label, e.embedding, q.qe
-        FROM embeddings e
+        FROM emb e
         JOIN probe p ON e.label = p.label
         JOIN q ON q.qid = p.qid
         WHERE e.vec_id <> p.qid
@@ -1603,13 +1623,18 @@ _KNN_SQL = f"""
 def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # poisoned-vector guard: NULL/NaN/inf vectors neither query nor serve
+    # (finite_vector; round-10 hostile sweep — NaN cosine ranks are
+    # engine-dependent)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        S.finite_vector(F.col("embedding"))
+    )
     # the query set is a PARAMETER of a kNN join, not a corpus subset: pin
     # it driver-side (16 rows) so the broadcast build is a local relation —
     # a fact-scan build side would be flagged by the broadcast audit, and
     # at 100 TB the query table arrives from the user anyway
     qrows = (
-        e.filter((F.col("vec_id") < KNN_NQ) & F.col("embedding").isNotNull())
+        e.filter(F.col("vec_id") < KNN_NQ)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
@@ -1668,15 +1693,19 @@ _HN_NQ = 8   # anchors
 _HN_K = 5    # hard negatives per anchor
 
 _HARD_NEG_SQL = f"""
-    WITH q AS (
+    WITH emb AS (
+        -- poisoned-vector guard (round-10 hostile sweep): see _KNN_SQL
+        SELECT * FROM embeddings WHERE {_sql_finite_vec('embedding')}
+    ),
+    q AS (
         SELECT vec_id AS qid, label AS qlabel, embedding AS qe
-        FROM embeddings
-        WHERE vec_id < {_HN_NQ} AND embedding IS NOT NULL
+        FROM emb
+        WHERE vec_id < {_HN_NQ}
     ),
     scored AS (
         SELECT q.qid, e.vec_id, e.label,
                {_KNN_COS.format(a='e.embedding', b='q.qe')} AS c
-        FROM embeddings e JOIN q ON e.label <> q.qlabel
+        FROM emb e JOIN q ON e.label <> q.qlabel
     )
     SELECT qid AS anchor_id,
            CAST(rn AS INT) AS rank,
@@ -1714,13 +1743,17 @@ _HARD_NEG_SQL = f"""
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # poisoned-vector guard (round-10 hostile sweep): NULL/NaN/inf vectors
+    # neither anchor nor serve — NaN cosine ranks are engine-dependent
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        S.finite_vector(F.col("embedding"))
+    )
     # anchors are a PARAMETER of the mining pass (driver-pinned local
     # relation — same device as emb_knn_join, keeps the broadcast audit
     # clean); at production scale the anchor batch arrives from the
     # training loop anyway
     arows = (
-        e.filter((F.col("vec_id") < _HN_NQ) & F.col("embedding").isNotNull())
+        e.filter(F.col("vec_id") < _HN_NQ)
         .select("vec_id", "label", "embedding")
         .orderBy("vec_id")
         .collect()

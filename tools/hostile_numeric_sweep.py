@@ -64,6 +64,11 @@ DOUBLE_COLS = {
 }
 #: hostile cycle — one value per stripe slot, phase-shifted per column
 HOSTILES = [-0.0, 1e15, float("nan"), float("inf"), float("-inf")]
+#: embedding-vector poison cycle: every STRIPE-th vector gets ONE hostile
+#: element (second-phase finding: NaN cosine / NaN projection sign ranks
+#: are engine-dependent; the similarity operators exclude poisoned
+#: vectors via finite_vector / _sql_finite_vec)
+VEC_HOSTILES = [float("nan"), float("inf"), float("-inf"), 1e30, -0.0]
 STRIPE = 20
 
 
@@ -80,6 +85,17 @@ def build_mutated_tables() -> None:
         cols = {}
         for j, name in enumerate(table.column_names):
             col = table.column(name)
+            if t == "embeddings" and name == "embedding" and n > 0:
+                vals = col.to_pylist()
+                for i in range(n):
+                    if i % STRIPE == 0 and vals[i]:
+                        v = list(vals[i])
+                        v[i % len(v)] = VEC_HOSTILES[
+                            (i // STRIPE) % len(VEC_HOSTILES)
+                        ]
+                        vals[i] = v
+                cols[name] = pa.array(vals, type=col.type)
+                continue
             if name not in DOUBLE_COLS.get(t, []) or n == 0:
                 cols[name] = col
                 continue
