@@ -338,3 +338,52 @@ def test_composed_ratio_operands_survive_past_int64(spark):
             f"SELECT {sql_half_up_ratio('s * s', '1000000 * v', 6)} "
             f"FROM (SELECT CAST({dev} AS BIGINT) s, CAST({var} AS BIGINT) v)"
         ).fetchone()
+
+
+def test_finite_vector_matches_sql_twin_on_edges(spark):
+    """Round-10 vector-poison guard: finite_vector (Spark forall) and
+    _sql_finite_vec (DuckDB list_bool_and) must agree on every edge —
+    NULL vector, NULL element, NaN/±inf element, -0.0 (finite), huge
+    finite, and the EMPTY array (Spark forall over [] is TRUE; the twin
+    COALESCEs DuckDB's NULL fold to TRUE)."""
+    import duckdb
+
+    from data_engineering_project_spark.operators.similarity import (
+        finite_vector,
+    )
+    from data_engineering_project_spark.plans.similarity_queries import (
+        _sql_finite_vec,
+    )
+
+    vecs = [
+        (1, [1.0, 2.0]),
+        (2, None),
+        (3, [1.0, None]),
+        (4, [float("nan"), 1.0]),
+        (5, [float("inf")]),
+        (6, [float("-inf")]),
+        (7, [-0.0, 0.0]),
+        (8, [1e30, -1e30]),
+        (9, []),
+    ]
+    expected = {1: True, 2: False, 3: False, 4: False, 5: False,
+                6: False, 7: True, 8: True, 9: True}
+
+    df = spark.createDataFrame(vecs, "i int, v array<double>")
+    got = {
+        r["i"]: bool(r["ok"])
+        for r in df.select(
+            "i", F.coalesce(finite_vector(F.col("v")), F.lit(False)).alias("ok")
+        ).collect()
+    }
+    assert got == expected
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, v DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", vecs)
+    twin = dict(
+        con.execute(
+            f"SELECT i, COALESCE({_sql_finite_vec('v')}, FALSE) FROM t"
+        ).fetchall()
+    )
+    assert {k: bool(v) for k, v in twin.items()} == expected
