@@ -141,6 +141,14 @@ def half_up_div(units: Column, scale: int, out_dp: int = 2) -> Column:
     operand is non-negative, where ``div``'s truncation equals floor. The
     final ``out_units / 10^dp`` emits a double — the OUTPUT type's own
     2^53 bound is inherent to the column type, not to the rounding.
+    Measured residual (property sweep, tests/test_device_properties.py):
+    the cross-engine pair is bit-exact while the output VALUE stays
+    ≲ 2^44; above that DuckDB's binary ``ROUND(x, dp)`` (x·10^dp in
+    doubles) can drift one ulp from Spark's BigDecimal round (onset seen
+    at out_units ≈ 2.25e15), and above out_units = 2^53 both engines
+    leave exact-decimal territory entirely. Global sums that could reach
+    those magnitudes must aggregate in int128/decimal instead — already
+    this function's stated contract.
 
     Input contract: ``units`` must be integral-valued. A fractional
     double is silently truncated toward zero by the LONG cast and NaN
