@@ -886,6 +886,101 @@ def read_ewma_trend(
     ).orderBy("event_type")
 
 
+def upsert_cohort_state(
+    target_dir: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "batch_ts",
+) -> Callable:
+    """foreachBatch writer maintaining cohort-retention state — the
+    streaming twin of ``events_cohort_retention`` (the round-4 ROADMAP's
+    long-open "streaming cohort retention" item).
+
+    Two state components, and — unlike the EWMA daily sums, which are
+    additive counters needing the ``(…, batch_id)`` replace protocol —
+    BOTH merges are replay-IDEMPOTENT:
+
+      - ``first_touch``: per-user ``min(event ts)`` — min is idempotent
+        and commutative, so re-merging a crash-replayed batch is a no-op;
+      - ``user_weeks``: the distinct ``(user, active_week)`` set — set
+        union, same property.
+
+    That idempotence also covers the PARTIAL-application crash window: a
+    writer that died between the two component swaps leaves one component
+    ahead of the other, and the replayed batch re-merges both to the
+    identical fixpoint (the test kills the writer between components and
+    asserts exactly this). No ``batch_id`` column, no replace step.
+
+    Scale shape: state is bounded by #users (first_touch) and
+    #users × #active-weeks (user_weeks) — the same cardinality the batch
+    query's DISTINCT shuffles — never by event volume; each batch merges
+    its pre-aggregated partials (a per-batch groupBy/distinct, map-side
+    combined) against the state, and the reader never re-scans raw
+    events. Reference analog: src/Task2 cron re-aggregation; this keeps
+    the grid continuously current instead."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ft_new = batch_df.groupBy(
+            F.col(user_col).alias("user_id")
+        ).agg(F.min(time_col).alias("first_ts"))
+        uw_new = batch_df.select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("week", F.col(time_col)).alias("active_week"),
+        ).distinct()
+
+        ft_dir = os.path.join(target_dir, "first_touch")
+        current = _recover_and_read(spark, ft_dir)
+        merged = (
+            ft_new
+            if current is None
+            else current.unionByName(ft_new)
+            .groupBy("user_id")
+            .agg(F.min("first_ts").alias("first_ts"))
+        )
+        _atomic_swap_write(merged, ft_dir)
+
+        uw_dir = os.path.join(target_dir, "user_weeks")
+        current = _recover_and_read(spark, uw_dir)
+        merged = (
+            uw_new
+            if current is None
+            else current.unionByName(uw_new).distinct()
+        )
+        _atomic_swap_write(merged, uw_dir)
+
+    return _write
+
+
+def read_cohort_retention(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Cohort-retention grid re-derived from the maintained state — a pure
+    function of ``first_touch`` ⋈ ``user_weeks`` (never a raw-event
+    re-scan), emitting the batch twin's exact shapes: cohort week =
+    week-truncated first touch, offset = whole weeks between cohort and
+    active week, n_users = pairs per cell. Bit-identical to
+    ``events_cohort_retention`` over the same events for any batch split
+    (the test asserts both a time split and an interleaved split). The
+    state join keys on user_id only, so it broadcasts when first_touch is
+    small and shuffles on the user key otherwise — same exchange the
+    batch window pays."""
+    ft = spark.read.parquet(os.path.join(target_dir, "first_touch"))
+    uw = spark.read.parquet(os.path.join(target_dir, "user_weeks"))
+    cohort = ft.select(
+        "user_id", F.date_trunc("week", F.col("first_ts")).alias("cohort_week")
+    )
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def read_daily_distinct_estimates(spark: SparkSession, target_dir: str) -> DataFrame:
     """Query side of the sketch table: per-day estimates plus the all-days
     rollup folded from the SAME persisted sketches (no raw-event re-scan)."""

@@ -1405,3 +1405,82 @@ def test_streaming_ewma_matches_batch_twin_and_replays_clean(
     write(ev.filter(F.col("event_id") % 2 == 1), 1)
     again = read_ewma_trend(spark, dirs["target"]).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in want]
+
+
+def test_streaming_cohort_retention_matches_batch_twin_and_heals_partial_crash(
+    spark, dirs, sf_dir, monkeypatch
+):
+    """upsert_cohort_state + read_cohort_retention: the streamed cohort
+    grid must be BIT-IDENTICAL to the batch events_cohort_retention over
+    the same events for any batch split, a replayed batch must be a no-op
+    (both state components merge idempotently — min and set-union, no
+    batch_id protocol), and a crash BETWEEN the two component swaps must
+    heal on replay rather than corrupt or double-count."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.plans import catalog
+    from data_engineering_project_spark.streaming import pipeline
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_cohort_retention,
+        upsert_cohort_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = sorted(
+        tuple(r)
+        for r in catalog.queries()["events_cohort_retention"](
+            spark, sf_dir
+        ).collect()
+    )
+
+    cut = "2024-01-15"
+    write = upsert_cohort_state(dirs["target"], time_col="ts")
+    write(ev.filter(F.col("ts") < cut), 0)
+    write(ev.filter(F.col("ts") >= cut), 1)
+    # crash re-delivery of batch 1: idempotent merges, state unchanged
+    write(ev.filter(F.col("ts") >= cut), 1)
+    got = sorted(
+        tuple(r) for r in read_cohort_retention(spark, dirs["target"]).collect()
+    )
+    assert got == want
+
+    # an interleaved split (users/weeks arriving across batches in a
+    # different order) converges to the same grid
+    import shutil
+
+    shutil.rmtree(dirs["target"])
+    write(ev.filter(F.col("event_id") % 2 == 0), 0)
+    write(ev.filter(F.col("event_id") % 2 == 1), 1)
+    again = sorted(
+        tuple(r) for r in read_cohort_retention(spark, dirs["target"]).collect()
+    )
+    assert again == want
+
+    # partial-application crash: batch 2 (a time-travel slice re-sent as
+    # new data) dies AFTER the first_touch swap but BEFORE user_weeks —
+    # the replay must re-merge BOTH components to the same fixpoint
+    shutil.rmtree(dirs["target"])
+    early = ev.filter(F.col("ts") < cut)
+    late = ev.filter(F.col("ts") >= cut)
+    write(early, 0)
+    real_swap = pipeline._atomic_swap_write
+    calls = {"n": 0}
+
+    def _dying_swap(merged, target_dir):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("killed between component swaps")
+        real_swap(merged, target_dir)
+
+    monkeypatch.setattr(pipeline, "_atomic_swap_write", _dying_swap)
+    try:
+        write(late, 1)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(pipeline, "_atomic_swap_write", real_swap)
+    # state is torn (first_touch ahead of user_weeks) but a replay heals
+    write(late, 1)
+    healed = sorted(
+        tuple(r) for r in read_cohort_retention(spark, dirs["target"]).collect()
+    )
+    assert healed == want
