@@ -893,8 +893,16 @@ def upsert_cohort_state(
     time_col: str = "batch_ts",
 ) -> Callable:
     """foreachBatch writer maintaining cohort-retention state — the
-    streaming twin of ``events_cohort_retention`` (the round-4 ROADMAP's
-    long-open "streaming cohort retention" item).
+    SECOND streaming twin of ``events_cohort_retention``, complementary
+    to :func:`cohort_retention_stream`: that one is low-latency
+    append-only emission via ``applyInPandasWithState`` and documents the
+    first-OBSERVED-touch approximation (a straggler predating the
+    recorded first event cannot re-base its user's cohort, because the
+    pair rows were already emitted downstream). This state-table variant
+    trades latency for EXACTNESS under stragglers: ``min`` re-bases the
+    cohort week retroactively and the reader re-derives the whole grid
+    from state, so late/out-of-order history converges to the true batch
+    answer instead of freezing the first observation.
 
     Two state components, and — unlike the EWMA daily sums, which are
     additive counters needing the ``(…, batch_id)`` replace protocol —
