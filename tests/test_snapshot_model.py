@@ -1,0 +1,120 @@
+"""Model-based test of the snapshot table (hypothesis): a random sequence
+of merge_upsert / replace-scope serve / delete_where commits is replayed
+against a plain in-memory dict model, asserting after EVERY commit that
+
+  - the latest table state equals the model exactly, and
+  - every PRIOR version still reads back as its own historical model
+    (time travel is checked at the end against the full version history).
+
+The unit suite pins hand-built scenarios (shrunken re-serve, pruning
+under scoping, schema evolution); this closes the space BETWEEN them —
+interleavings like delete-then-replace-scope-then-upsert on overlapping
+keys are exactly where a file-pruning MERGE implementation can silently
+duplicate or drop rows, and the dict model is too simple to be wrong.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_project_spark.sinks.snapshot_table import (
+    merge_upsert,
+    delete_where,
+    read_table,
+)
+
+# keys: (k1, k2) with tiny domains so commits overlap files; v is the
+# payload that upserts overwrite
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+_OP = st.one_of(
+    st.tuples(st.just("upsert"), _ROWS),
+    st.tuples(st.just("replace_scope"), _ROWS),
+    st.tuples(
+        st.just("delete_k1"), st.integers(min_value=0, max_value=3)
+    ),
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k1 int, k2 int, v long")
+
+
+def _table_state(spark, table, version=None):
+    return {
+        (r["k1"], r["k2"]): r["v"]
+        for r in read_table(spark, table, version=version).collect()
+    }
+
+
+@given(ops=st.lists(_OP, min_size=1, max_size=6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_commit_sequences_match_the_dict_model(
+    spark, tmp_path_factory, ops
+):
+    table = str(tmp_path_factory.mktemp("snap") / "t")
+    model: dict = {}
+    history: list[tuple[int, dict]] = []  # (version, model at that version)
+
+    for op, arg in ops:
+        if op == "upsert":
+            m = merge_upsert(
+                spark, table, _df(spark, arg), ["k1", "k2"],
+                stats_cols=["k1"],
+            )
+            for k1, k2, v in arg:
+                model[(k1, k2)] = v
+        elif op == "replace_scope":
+            m = merge_upsert(
+                spark, table, _df(spark, arg), ["k1", "k2"],
+                stats_cols=["k1"], replace_scope=["k1"],
+            )
+            scopes = {k1 for k1, _, _ in arg}
+            model = {k: v for k, v in model.items() if k[0] not in scopes}
+            for k1, k2, v in arg:
+                model[(k1, k2)] = v
+        else:  # delete_k1
+            if not history:
+                continue  # delete_where on an uncommitted table raises
+            if not model:
+                # an all-deleted table holds no files; read_table raises
+                # loudly rather than fabricating an empty frame — skip
+                # further deletes in this degenerate branch
+                continue
+            m = delete_where(
+                spark, table, F.col("k1") == arg, stats_cols=["k1"]
+            )
+            model = {k: v for k, v in model.items() if k[0] != arg}
+
+        if model:
+            assert _table_state(spark, table) == model, f"after {op}"
+        else:
+            with pytest.raises(ValueError, match="holds no files"):
+                _table_state(spark, table)
+        history.append((m.version, dict(model)))
+
+    # time travel: every retained version reads back as its own model
+    for version, snap in history:
+        if snap:
+            assert _table_state(spark, table, version=version) == snap
+        else:
+            with pytest.raises(ValueError, match="holds no files"):
+                _table_state(spark, table, version=version)
