@@ -4,7 +4,12 @@ against a plain in-memory dict model, asserting after EVERY commit that
 
   - the latest table state equals the model exactly, and
   - every PRIOR version still reads back as its own historical model
-    (time travel is checked at the end against the full version history).
+    (time travel is checked at the end against the full version history),
+then closes with the maintenance invariants on the same random history:
+read_changes satisfies model_from + inserts - deletes == model_to for
+every consecutive pair (and the full span), optimize preserves content
+while committing a new version, and vacuum(keep_versions=1) keeps the
+newest and any TAGGED version readable while expiring the rest.
 
 The unit suite pins hand-built scenarios (shrunken re-serve, pruning
 under scoping, schema evolution); this closes the space BETWEEN them —
@@ -23,9 +28,15 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark.sinks.snapshot_table import (
-    merge_upsert,
+    create_tag,
+    current_version,
     delete_where,
+    merge_upsert,
+    optimize,
+    read_changes,
+    read_manifest,
     read_table,
+    vacuum,
 )
 
 # keys: (k1, k2) with tiny domains so commits overlap files; v is the
@@ -118,3 +129,46 @@ def test_random_commit_sequences_match_the_dict_model(
         else:
             with pytest.raises(ValueError, match="holds no files"):
                 _table_state(spark, table, version=version)
+
+    # CDC invariant over every consecutive pair plus the (first, last)
+    # span: model_from + inserts - deletes == model_to, row-exact
+    pairs = list(zip(history, history[1:]))
+    if len(history) > 2:
+        pairs.append((history[0], history[-1]))
+    for (v_from, snap_from), (v_to, snap_to) in pairs:
+        if not snap_from or not snap_to:
+            continue  # empty snapshots hold no files to diff
+        changes = read_changes(spark, table, v_from, v_to).collect()
+        ins = {(r["k1"], r["k2"], r["v"]) for r in changes
+               if r["_change"] == "insert"}
+        dels = {(r["k1"], r["k2"], r["v"]) for r in changes
+                if r["_change"] == "delete"}
+        rows_from = {(k1, k2, v) for (k1, k2), v in snap_from.items()}
+        rows_to = {(k1, k2, v) for (k1, k2), v in snap_to.items()}
+        assert ins == rows_to - rows_from, f"inserts {v_from}->{v_to}"
+        assert dels == rows_from - rows_to, f"deletes {v_from}->{v_to}"
+
+    if not model or not history:
+        return
+    # optimize preserves content and history; vacuum keeps the newest
+    # version and any TAGGED old version, and expires the rest
+    n_before = len(read_manifest(table, None).files)
+    m_opt = optimize(spark, table, stats_cols=["k1"])
+    assert _table_state(spark, table) == model
+    if n_before >= 2:
+        assert m_opt is not None and m_opt.version > history[-1][0]
+
+    tag_version, tag_snap = history[0]
+    if tag_snap:
+        create_tag(table, "pin", version=tag_version)
+    removed = vacuum(table, keep_versions=1, lease_timeout_seconds=0.0)
+    assert _table_state(spark, table) == model
+    if tag_snap:
+        assert _table_state(spark, table, version=tag_version) == tag_snap
+    newest = current_version(table)
+    for version, snap in history:
+        if version >= newest or (tag_snap and version == tag_version):
+            continue
+        with pytest.raises((FileNotFoundError, ValueError)):
+            _table_state(spark, table, version=version)
+    assert isinstance(removed, list)
