@@ -172,3 +172,50 @@ def test_random_commit_sequences_match_the_dict_model(
         with pytest.raises((FileNotFoundError, ValueError)):
             _table_state(spark, table, version=version)
     assert isinstance(removed, list)
+
+
+@given(
+    ops=st.lists(_OP, min_size=2, max_size=5),
+    lo=st.integers(min_value=-1, max_value=4),
+    width=st.integers(min_value=0, max_value=3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_stats_pruned_read_is_exactly_the_filtered_full_scan(
+    spark, tmp_path_factory, ops, lo, width
+):
+    """read_pruned is a SUPERSET read (files whose [min,max] intersect the
+    range) — so pruned-then-exact-filter must equal full-scan-then-filter
+    on any commit history and any range, including empty and
+    everything-pruned ranges. A pruned read missing rows is the silent
+    wrong answer this table format must never produce at scale."""
+    from data_engineering_project_spark.sinks.snapshot_table import (
+        read_pruned,
+    )
+
+    table = str(tmp_path_factory.mktemp("snapp") / "t")
+    wrote = False
+    for op, arg in ops:
+        if op == "delete_k1":
+            continue  # range behavior is covered by the model test above
+        merge_upsert(
+            spark, table, _df(spark, arg), ["k1", "k2"],
+            stats_cols=["k1"],
+            replace_scope=["k1"] if op == "replace_scope" else None,
+        )
+        wrote = True
+    if not wrote:
+        return
+    hi = lo + width
+    pred = (F.col("k1") >= lo) & (F.col("k1") <= hi)
+    pruned = sorted(
+        tuple(r)
+        for r in read_pruned(spark, table, "k1", lo, hi).filter(pred).collect()
+    )
+    full = sorted(
+        tuple(r) for r in read_table(spark, table).filter(pred).collect()
+    )
+    assert pruned == full
