@@ -161,6 +161,12 @@ def make_parser() -> argparse.ArgumentParser:
     ix.add_argument("--nprobe", type=int, default=2)
     ix.add_argument("--topk", type=int, default=10)
     ix.add_argument(
+        "--where", default=None,
+        help="SQL predicate filtering the embeddings source before "
+        "build/append — incremental ingest appends the NEW slice "
+        "(e.g. --where 'vec_id >= 400'), not the whole table again",
+    )
+    ix.add_argument(
         "--query-id", type=int, default=0,
         help="vec_id whose embedding is the query vector (query/recall "
         "sample start)",
@@ -517,9 +523,15 @@ def _run_index(spark, args) -> int:
     from data_engineering_project_spark.sources.tables import load_table
 
     emb = load_table(spark, args.sf_dir, "embeddings")
+    if args.where:
+        # scopes build/append input only; _vec query lookups still see
+        # the full table (a query vector needn't be in the ingest slice)
+        full_emb, emb = emb, emb.filter(args.where)
+    else:
+        full_emb = emb
 
     def _vec(vid: int) -> list[float]:
-        rows = emb.filter(f"vec_id = {int(vid)}").take(1)
+        rows = full_emb.filter(f"vec_id = {int(vid)}").take(1)
         if not rows:
             raise SystemExit(f"vec_id {vid} not found in {args.sf_dir}")
         return [float(v) for v in rows[0]["embedding"]]

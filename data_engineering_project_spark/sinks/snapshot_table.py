@@ -363,7 +363,26 @@ def _write_snapshot_files(
         if name.endswith(".parquet"):
             rel = os.path.join(_DATA_DIR, snap, name)
             entries.append(_file_entry(table, rel, stats_cols))
-    return entries
+    # Zero-row part files (Spark writes one part per partition, so a
+    # narrow frame under many partitions emits mostly empty parts) would
+    # bloat the manifest O(commits x partitions) instead of O(data files)
+    # and survive later copy-on-write deletes as dead entries — drop them
+    # when any real data file exists, deleting the files too (this writer
+    # owns the fresh snapshot dir under its lease, so nothing else can
+    # reference them; leaving them would fabricate vacuum orphans). A
+    # genuinely empty frame keeps one empty part so the committed version
+    # stays READABLE as empty (the streaming empty-first-batch path
+    # relies on that), rather than a fileless manifest read_table refuses.
+    non_empty = [e for e in entries if e["rows"] > 0]
+    keep = non_empty if non_empty else entries[:1]
+    kept_paths = {e["path"] for e in keep}
+    for e in entries:
+        if e["path"] not in kept_paths:
+            try:
+                os.remove(os.path.join(table, e["path"]))
+            except OSError:
+                pass  # already gone; the manifest never references it
+    return keep
 
 
 def _commit(table: str, manifest: Manifest) -> Manifest:
@@ -475,6 +494,14 @@ def read_table(
     m = read_manifest(table, version)
     paths = [os.path.join(table, f["path"]) for f in m.files]
     if not paths:
+        if m.schema is not None:
+            # A fully-deleted version is legitimately EMPTY: readable
+            # with the manifest schema, not a refusal (found by the
+            # model-based sweep — a delete that emptied the table used
+            # to make every later read AND merge_upsert crash). Note
+            # this empty frame is a local relation: no _metadata column,
+            # so the copy-on-write writers guard their probe reads.
+            return _read_file_subset(spark, table, [], m.schema)
         raise ValueError(f"version {m.version} of {table!r} holds no files")
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
     if m.schema is not None:
@@ -727,6 +754,8 @@ def delete_where(
         if base is None:
             raise FileNotFoundError(f"no committed version in {table!r}")
         m = read_manifest(table, base)
+        if not m.files:
+            return m  # deleting from a fully-deleted table is a no-op
         current = read_table(spark, table, version=base).withColumn(
             "_file", F.col("_metadata.file_path")
         )
@@ -775,6 +804,27 @@ def _merge_upsert_leased(
     replace_scope: Sequence[str] | None = None,
 ) -> Manifest:
     m = read_manifest(table, base)
+    if not m.files:
+        # fully-deleted table: no stored rows to probe or rewrite (and
+        # read_table's empty frame is a local relation without _metadata)
+        # — commit the updates as the whole next version, like the
+        # empty-table append path but preserving version lineage
+        evolved = _evolve_schema(m, updates.schema)
+        entries = _write_snapshot_files(
+            updates.select(*[f.name for f in evolved.fields]),
+            table,
+            stats_cols,
+        )
+        return _commit(
+            table,
+            Manifest(
+                version=base + 1,
+                parent=base,
+                operation="merge",
+                files=entries,
+                schema=evolved.json(),
+            ),
+        )
     current = read_table(spark, table, version=base).withColumn(
         "_file", F.col("_metadata.file_path")
     )

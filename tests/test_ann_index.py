@@ -616,6 +616,9 @@ def test_streaming_auto_optimize_zero_downtime(spark, emb, tmp_path):
     assert len(pinned_rows) == 200
 
     # appends with a low threshold: compaction must fire at least once
+    # (threshold 2, not 5: since the writer stopped recording zero-row
+    # part files, merges no longer pad the manifest with empty entries,
+    # so the real-file count grows slower than it used to)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -623,7 +626,7 @@ def test_streaming_auto_optimize_zero_downtime(spark, emb, tmp_path):
     )
     q = (
         stream.writeStream.foreachBatch(
-            upsert_ivf_index(table, k=4, auto_optimize_files=5)
+            upsert_ivf_index(table, k=4, auto_optimize_files=2)
         )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)

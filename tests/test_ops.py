@@ -325,8 +325,18 @@ def test_cli_index_lifecycle_with_optimize(spark, sf_dir, tmp_path, capsys):
 
     table = str(tmp_path / "ivf")
     common = ["--sf-dir", sf_dir, "--master", "local[4]"]
-    assert main(["index", "build", table, *common, "--k-cells", "4"]) in (0, None)
-    assert main(["index", "append", table, *common]) in (0, None)
+    # incremental-ingest shape: build on one slice, append the DISJOINT
+    # rest — an append of brand-new vec_ids lands as new files on top of
+    # the build's cell-partitioned layout, which is what optimize then
+    # re-clusters. (Re-appending the same ids is a full-table upsert that
+    # rewrites into an already-compact file — nothing to optimize.)
+    assert main(
+        ["index", "build", table, *common, "--k-cells", "4",
+         "--where", "vec_id < 400"]
+    ) in (0, None)
+    assert main(
+        ["index", "append", table, *common, "--where", "vec_id >= 400"]
+    ) in (0, None)
     v_before = st.current_version(table)
     assert main(["index", "optimize", table, *common]) in (0, None)
     assert st.current_version(table) == v_before + 1

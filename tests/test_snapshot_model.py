@@ -72,6 +72,19 @@ def _table_state(spark, table, version=None):
     }
 
 
+def _assert_empty_state(spark, table, version=None):
+    """An all-deleted table legitimately reads back EITHER as an empty
+    frame (a zero-row part file kept the version readable) OR as the loud
+    holds-no-files refusal (the delete dropped every manifest entry) —
+    both mean 'no rows'; fabricating rows is the only wrong answer."""
+    try:
+        state = _table_state(spark, table, version=version)
+    except ValueError as exc:
+        assert "holds no files" in str(exc)
+    else:
+        assert state == {}
+
+
 @given(ops=st.lists(_OP, min_size=1, max_size=6))
 @settings(
     max_examples=8,
@@ -105,11 +118,11 @@ def test_random_commit_sequences_match_the_dict_model(
         else:  # delete_k1
             if not history:
                 continue  # delete_where on an uncommitted table raises
-            if not model:
-                # an all-deleted table holds no files; read_table raises
-                # loudly rather than fabricating an empty frame — skip
-                # further deletes in this degenerate branch
-                continue
+            # deleting from an already-empty table is a no-op returning
+            # the existing manifest; deleting the LAST rows must leave an
+            # empty-but-readable table that accepts later upserts (the
+            # model sweep's first run found merge_upsert crashing on
+            # exactly that fileless-manifest state)
             m = delete_where(
                 spark, table, F.col("k1") == arg, stats_cols=["k1"]
             )
@@ -118,8 +131,7 @@ def test_random_commit_sequences_match_the_dict_model(
         if model:
             assert _table_state(spark, table) == model, f"after {op}"
         else:
-            with pytest.raises(ValueError, match="holds no files"):
-                _table_state(spark, table)
+            _assert_empty_state(spark, table)
         history.append((m.version, dict(model)))
 
     # time travel: every retained version reads back as its own model
@@ -127,8 +139,7 @@ def test_random_commit_sequences_match_the_dict_model(
         if snap:
             assert _table_state(spark, table, version=version) == snap
         else:
-            with pytest.raises(ValueError, match="holds no files"):
-                _table_state(spark, table, version=version)
+            _assert_empty_state(spark, table, version=version)
 
     # CDC invariant over every consecutive pair plus the (first, last)
     # span: model_from + inserts - deletes == model_to, row-exact
