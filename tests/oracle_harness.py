@@ -48,9 +48,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if out[c].dtype == object:
             out[c] = out[c].astype(str)
     if len(out):
-        out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
-            drop=True
-        )
+        # Python-keyed row order, not pandas sort_values: the multi-key
+        # pandas sort ties strings at an embedded NUL (numpy fixed-width
+        # unicode comparator), which would leave engine-output order in
+        # the canonical frame for NUL-bearing data
+        keys = [
+            tuple(map(str, r))
+            for r in out.itertuples(index=False, name=None)
+        ]
+        order = sorted(range(len(out)), key=keys.__getitem__)
+        out = out.iloc[order].reset_index(drop=True)
     return out
 
 

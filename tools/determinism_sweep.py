@@ -27,10 +27,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.001")
 def result_hash(df) -> str:
     pdf = df.toPandas()
     cols = sorted(pdf.columns)
-    canon = pdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
-    return hashlib.sha256(
-        canon.to_csv(index=False).encode("utf-8")
-    ).hexdigest()
+    # Python-level row sort — pandas' multi-key sort_values ties strings
+    # at an embedded NUL (numpy fixed-width unicode comparator), which
+    # would make the canonical order run-dependent for NUL-bearing data
+    rows = sorted(pdf[cols].astype(str).itertuples(index=False, name=None))
+    return hashlib.sha256(repr((cols, rows)).encode("utf-8")).hexdigest()
 
 
 def main(only: list[str]) -> int:

@@ -87,9 +87,13 @@ def main(only: list[str]) -> int:
                 f"oracle={len(odf)}x{sorted(odf.columns)}"
             )
             continue
-        s = sdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
-        o = odf[cols].astype(str).sort_values(cols).reset_index(drop=True)
-        if not s.equals(o):
+        # Python-level sort: pandas' multi-key sort_values ties strings at
+        # an embedded NUL (numpy fixed-width unicode comparator), turning
+        # identical result sets into false VALUE mismatches — found by the
+        # hostile-string sweep's forensics
+        s = sorted(sdf[cols].astype(str).itertuples(index=False, name=None))
+        o = sorted(odf[cols].astype(str).itertuples(index=False, name=None))
+        if s != o:
             failures.append(name)
             print(f"[{i}] {name}: VALUE MISMATCH")
         elif i % 25 == 0:

@@ -159,9 +159,11 @@ def main(only: list[str]) -> int:
         if cols != sorted(odf.columns) or len(sdf) != len(odf):
             silent.append((name, f"shape {len(sdf)} vs {len(odf)}"))
             continue
-        s = sdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
-        o = odf[cols].astype(str).sort_values(cols).reset_index(drop=True)
-        if not s.equals(o):
+        # Python-level sort — see hostile_string_sweep: pandas multi-key
+        # sort_values ties strings at an embedded NUL
+        s = sorted(sdf[cols].astype(str).itertuples(index=False, name=None))
+        o = sorted(odf[cols].astype(str).itertuples(index=False, name=None))
+        if s != o:
             silent.append((name, "VALUES"))
         else:
             clean.append(name)

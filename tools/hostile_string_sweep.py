@@ -196,10 +196,26 @@ def main(only: list[str]) -> int:
         if cols != sorted(odf.columns) or len(sdf) != len(odf):
             silent.append((name, f"shape {len(sdf)} vs {len(odf)}"))
             continue
-        s = sdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
-        o = odf[cols].astype(str).sort_values(cols).reset_index(drop=True)
-        if not s.equals(o):
+        # Python-level row sort, NOT pandas sort_values: the multi-key
+        # pandas path coerces object strings to numpy fixed-width unicode
+        # whose comparator treats an embedded NUL as a terminator — the
+        # 'a\x00b>…' journeys all tie, the stable sort preserves each
+        # engine's own group-output order, and identical result SETS get
+        # flagged as VALUES mismatches (this sweep's first false
+        # positive; forensics pinned it to the comparator, not the
+        # engines). Python str compares bytes-exactly.
+        s_rows = sorted(sdf[cols].astype(str).itertuples(index=False, name=None))
+        o_rows = sorted(odf[cols].astype(str).itertuples(index=False, name=None))
+        if s_rows != o_rows:
             silent.append((name, "VALUES"))
+            # forensics: persist both sides so a flaky or
+            # history-dependent mismatch can be diffed after the run
+            import pickle
+
+            fdir = os.path.join(os.path.dirname(OUT_DIR), "forensics")
+            os.makedirs(fdir, exist_ok=True)
+            with open(os.path.join(fdir, f"{name}.pkl"), "wb") as fh:
+                pickle.dump({"spark": s_rows, "oracle": o_rows}, fh)
         else:
             clean.append(name)
         if i % 40 == 0:
