@@ -584,3 +584,57 @@ def test_canonical_selection_matches_union_find(spark, pairs, quals):
             if m != canon:
                 want[m] = (canon, len(members))
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            # minutes offsets, intentionally dense around multiples of 30
+            # so ts == prev + gap (the >= boundary) actually occurs
+            st.sampled_from(
+                [0, 1, 29, 30, 31, 59, 60, 61, 90, 120, 240, 1440]
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_bruteforce_with_boundary_ties(spark, events):
+    """sessionize == the obvious per-user Python fold: sort by (ts,
+    event_id), new session when ts - prev >= gap. The sampled offsets
+    land events EXACTLY at prev + 30min, pinning the documented >=
+    boundary (an event at exactly the gap starts a NEW session, matching
+    F.session_window's [start, start+gap) contract); duplicate (user,
+    ts) pairs pin the event_id tie-break."""
+    import datetime as dt
+
+    from data_engineering_project_spark.operators.asof import sessionize
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m))
+        for i, (u, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: (r["user_id"], r["session_id"])
+        for r in sessionize(
+            df, key="user_id", time_col="ts", gap="30 minutes",
+            order_tie_break="event_id",
+        ).collect()
+    }
+
+    want = {}
+    by_user: dict = {}
+    for i, u, t in rows:
+        by_user.setdefault(u, []).append((t, i))
+    for u, evs in by_user.items():
+        sid, prev = 0, None
+        for t, i in sorted(evs):
+            if prev is None or (t - prev) >= dt.timedelta(minutes=30):
+                sid += 1
+            want[i] = (u, sid)
+            prev = t
+    assert got == want
