@@ -31,18 +31,47 @@ def bucket_spine(
     bucket_col: str,
     *,
     step: str = "INTERVAL 1 HOUR",
+    max_slots: int = 2_000_000,
 ) -> DataFrame:
     """(distinct keys) × (dense bucket range) — the gapfill spine.
 
     The bucket range is the GLOBAL [min, max] of ``bucket_col`` so every
     series shares one clock; ``F.sequence`` builds it without collecting
     bounds to the driver (stays one Catalyst plan).
-    """
+
+    ``max_slots`` is the loud-refusal guard the hostile-time sweep
+    mandated: the dense range is data-dependent, so ONE corrupt
+    timestamp (year 1582, year 9999) silently turns the spine into tens
+    of millions of slots materialized as a single ``F.sequence`` array —
+    at sweep scale that OOM-killed the JVM, and on a production cluster
+    it would take the executor down instead of surfacing the bad row.
+    Ranges beyond ``max_slots`` (default 2M ≈ 228 years hourly) raise a
+    clear error inside the plan (evaluated on the 1-row bounds frame, so
+    the guard is free); quarantine the offending rows or widen the knob
+    deliberately."""
     bounds = df.agg(
         F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
     )
+    # raise_error is NullType; keeping _hi in the when() branch preserves
+    # the timestamp type (the half_up_div debug-guard pattern)
+    hi_ok = F.when(
+        F.expr(f"_lo + ({step}) * {max_slots}") >= F.col("_hi"),
+        F.col("_hi"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "bucket_spine: dense range [%s, %s] exceeds max_slots="
+                f"{max_slots} at step {step} — a corrupt timestamp would "
+                "otherwise OOM the spine; quarantine it or raise max_slots",
+                F.col("_lo").cast("string"),
+                F.col("_hi").cast("string"),
+            )
+        )
+    )
     buckets = bounds.select(
-        F.explode(F.sequence("_lo", "_hi", F.expr(step))).alias(bucket_col)
+        F.explode(F.sequence(F.col("_lo"), hi_ok, F.expr(step))).alias(
+            bucket_col
+        )
     )
     return df.select(*key_cols).distinct().crossJoin(buckets)
 

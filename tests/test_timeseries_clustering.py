@@ -108,3 +108,27 @@ def test_kmeans_iterations_reduce_objective(spark):
     )
     for r in purity:
         assert r["odd"] in (0, r["n"])  # each cluster is pure one blob
+
+
+def test_bucket_spine_refuses_absurd_ranges_loudly(spark):
+    """One corrupt timestamp (year 1582 or 9999) must NOT densify into a
+    tens-of-millions-slot sequence that OOMs the executor — the
+    hostile-time sweep killed the JVM exactly that way. Beyond max_slots
+    the spine raises a clear USER_RAISED_EXCEPTION naming the range."""
+    import datetime as dt
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(1582, 10, 4)), ("a", dt.datetime(9999, 12, 30))],
+        "k string, h timestamp",
+    )
+    with pytest.raises(Exception, match="bucket_spine.*max_slots"):
+        TS.bucket_spine(df, ["k"], "h").count()
+    # a deliberate widen still works: daily steps fit the same range in
+    # ~3.1M slots (step*max_slots must stay inside interval arithmetic —
+    # an absurd combo overflows, which is also a loud refusal, not an OOM)
+    wide = TS.bucket_spine(
+        df, ["k"], "h", step="INTERVAL 1 DAY", max_slots=4_000_000
+    )
+    assert wide.count() > 2_000_000
