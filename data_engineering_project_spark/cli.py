@@ -563,9 +563,16 @@ def _run_index(spark, args) -> int:
         else:
             print(f"{args.table} v{m.version} ({len(m.files)} files)")
     else:  # recall
+        # sample from full_emb, not the --where slice: --where scopes
+        # build/append INPUT only (matching _vec), so `index recall
+        # --where ...` evaluates the same query set as an unfiltered
+        # recall instead of silently shifting it (ADVICE r10 #3)
         sample = [
             [float(v) for v in r["embedding"]]
-            for r in emb.filter(f"vec_id >= {args.query_id}").orderBy("vec_id").limit(5).collect()
+            for r in full_emb.filter(f"vec_id >= {args.query_id}")
+            .orderBy("vec_id")
+            .limit(5)
+            .collect()
         ]
         ai.ivf_index_recall(
             spark, args.table, sample, k=args.topk, nprobe=args.nprobe

@@ -262,6 +262,34 @@ def half_up_ratio(num: Column, den: Column, out_dp: int = 6) -> Column:
     return F.round(units / (10 ** out_dp), out_dp)
 
 
+def exact_avg(expr: Column, scale: int, out_dp: int = 4) -> Column:
+    """AVG of fixed-decimal values whose result does not depend on
+    accumulation order — the avg twin of :func:`exact_decimal_sum`
+    (round-10 verdict #5's residual class: ``ROUND(avg(double), n)`` is
+    the same order-sensitivity as a raw double sum, divided by a count).
+
+    Numerator = the exact integer unit sum, denominator = ``scale·count``
+    (non-null count, matching AVG's NULL semantics), rounded half-away
+    through :func:`half_up_ratio` — identical bits on every engine and
+    every partial-merge order. All-NULL groups yield NULL (zero divisor
+    → NULL, never an ANSI throw). SQL twin: :func:`sql_exact_avg`.
+    """
+    return half_up_ratio(
+        F.sum(decimal_units(expr, scale)),
+        F.count(expr) * F.lit(scale),
+        out_dp,
+    )
+
+
+def sql_exact_avg(inner: str, scale: int, out_dp: int = 4) -> str:
+    """DuckDB restatement of :func:`exact_avg`."""
+    return sql_half_up_ratio(
+        f"sum(CAST(floor(({inner}) * {scale} + 0.5) AS BIGINT))",
+        f"count({inner}) * {scale}",
+        out_dp,
+    )
+
+
 def sql_half_up_ratio(num: str, den: str, out_dp: int = 6) -> str:
     """DuckDB restatement of :func:`half_up_ratio` — HUGEINT arithmetic,
     ``//`` integral division, same half-away tie rule."""

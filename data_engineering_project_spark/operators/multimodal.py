@@ -156,7 +156,13 @@ def sample_frames(
     frame (the 1→N flat-map shape real frame extractors need). Executor
     memory is O(one Arrow batch); the exploded rows never pass through the
     driver. A real video codec replaces the byte-slicing with keyframe
-    decode at the same interface."""
+    decode at the same interface.
+
+    Frame checksums are md5 over the frame's UPPERCASE HEX ENCODING (not
+    the raw bytes): the DuckDB oracle has no BLOB substring or BLOB md5,
+    so byte-true restatement routes every slice through hex() — which
+    Spark, DuckDB, and bytes.hex().upper() render identically (r10
+    hostile-string sweep, byte-vs-char recipe)."""
 
     # self-contained closure: pickled by value so the external driver's
     # workers don't need this package on sys.path (see decode_image_meta)
@@ -176,7 +182,7 @@ def sample_frames(
                     idxs.append(i)
                     offs.append(i * frame_bytes)
                     lens.append(len(chunk))
-                    sums.append(hashlib.md5(chunk).hexdigest())
+                    sums.append(hashlib.md5(bytes(chunk).hex().upper().encode("ascii")).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -263,7 +269,9 @@ def resize_payload(
     exact access pattern of nearest-neighbor image downsampling (a real
     codec resize plugs into the same mapInPandas contract and schema).
     Deterministic, so the oracle can restate the stride arithmetic and the
-    output checksums verify the resampled bytes end-to-end."""
+    output checksums verify the resampled bytes end-to-end. Checksums are
+    md5 over the resampled bytes' UPPERCASE HEX (see sample_frames — the
+    byte-true-oracle contract)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -282,7 +290,7 @@ def resize_payload(
                 resized = payload[::stride]
                 orig.append(n)
                 rb.append(len(resized))
-                cs.append(hashlib.md5(resized).hexdigest())
+                cs.append(hashlib.md5(bytes(resized).hex().upper().encode("ascii")).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -327,7 +335,9 @@ def chunk_audio(
     torchaudio) replaces the byte slicing at the same interface.
 
     Trailing partial windows are kept (fewer samples); a trailing odd
-    byte is checksummed but not counted as a sample.
+    byte is checksummed but not counted as a sample. Checksums are md5
+    over the window bytes' UPPERCASE HEX (see sample_frames — the
+    byte-true-oracle contract).
     """
     chunk_bytes = sample_rate * chunk_ms // 1000 * bytes_per_sample
     hop_bytes = sample_rate * hop_ms // 1000 * bytes_per_sample
@@ -349,7 +359,7 @@ def chunk_audio(
                     idxs.append(i)
                     starts.append(i * hop_ms)
                     counts.append(len(window) // bytes_per_sample)
-                    sums.append(hashlib.md5(window).hexdigest())
+                    sums.append(hashlib.md5(bytes(window).hex().upper().encode("ascii")).hexdigest())
                     i += 1
             yield pd.DataFrame(
                 {

@@ -19,6 +19,44 @@ DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 PUNCT_RE = r"[.,!?;:]"
 WS_RE = r"\s+"
 
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+#: DuckDB restatement of :func:`ascii_lower` — oracle SQL must fold case
+#: with this, never ``lower()`` (see ascii_lower docstring).
+SQL_ASCII_LOWER = f"translate({{expr}}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
+def sql_ascii_lower(expr: str) -> str:
+    """Oracle-side ASCII case fold: ``translate(expr, 'A-Z', 'a-z')``."""
+    return SQL_ASCII_LOWER.format(expr=expr)
+
+
+def ascii_lower(text: Column) -> Column:
+    """ASCII-only case fold: ``translate(s, 'A-Z', 'a-z')``.
+
+    The tokenizer/fingerprint normalization primitive. Deliberately NOT
+    ``F.lower``: full Unicode lowering is locale-table-dependent and
+    engines disagree (JVM ``lower('İ')`` emits ``'i'+U+0307`` where
+    utf8proc emits ``'i'``), which silently splits vocabularies and
+    digests across engines on non-ASCII corpora (round-10 hostile-string
+    sweep, `lower-unicode` class). The ``[a-z0-9]`` tokenizer family only
+    needs ASCII folding, and ``translate`` is codepoint-stable on every
+    engine — non-ASCII characters pass through untouched and are then
+    excluded by the ASCII token character classes identically everywhere.
+    """
+    return F.translate(text, ASCII_UPPER, ASCII_LOWER)
+
+
+def normalized_tokens(text: Column, pattern: str = "[^a-z0-9]+") -> Column:
+    """Case-folded token array: split :func:`ascii_lower` text on the
+    non-token pattern. THE tokenizer for every ``[a-z0-9]`` query — using
+    this (instead of hand-rolled ``F.lower`` + split) is what keeps the
+    `lower-unicode` divergence class extinct. Oracle restatement:
+    ``regexp_split_to_array(translate(text, 'A-Z', 'a-z'), '[^a-z0-9]+')``.
+    """
+    return F.split(ascii_lower(text), pattern)
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (trim first so leading/trailing space doesn't
@@ -52,13 +90,16 @@ def stopword_count(text: Column, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -
 
 
 def fingerprint(text: Column) -> Column:
-    """Normalized-content digest (lower + trim + MD5): the dedup shuffle key.
+    """Normalized-content digest (ASCII case fold + trim + MD5): the dedup
+    shuffle key.
 
     Grouping on a 32-char digest instead of full document bodies is what
     keeps exact dedup's shuffle narrow at 100 TB. MD5 (not xxhash64) so the
-    value is portable across engines, including the DuckDB oracle.
+    value is portable across engines, including the DuckDB oracle; the case
+    fold is :func:`ascii_lower` (not ``F.lower``) so the digest is identical
+    across engines on non-ASCII text too.
     """
-    return F.md5(F.lower(F.trim(text)))
+    return F.md5(ascii_lower(F.trim(text)))
 
 
 def jaccard(a_tokens: Column, b_tokens: Column) -> Column:

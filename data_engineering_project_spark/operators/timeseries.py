@@ -45,17 +45,27 @@ def bucket_spine(
     of millions of slots materialized as a single ``F.sequence`` array —
     at sweep scale that OOM-killed the JVM, and on a production cluster
     it would take the executor down instead of surfacing the bad row.
-    Ranges beyond ``max_slots`` (default 2M ≈ 228 years hourly) raise a
-    clear error inside the plan (evaluated on the 1-row bounds frame, so
-    the guard is free); quarantine the offending rows or widen the knob
-    deliberately."""
+    Ranges beyond ``max_slots`` (default 2M ≈ 228 years hourly; a strict
+    bound — the end-inclusive ``sequence`` yields at most ``max_slots``
+    slots) raise a clear error inside the plan (evaluated on the 1-row
+    bounds frame, so the guard is free); quarantine the offending rows or
+    widen the knob deliberately. Empty/all-NULL input yields an empty
+    spine by construction (explicit NULL arm, not optimizer accident)."""
     bounds = df.agg(
         F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
     )
     # raise_error is NullType; keeping _hi in the when() branch preserves
-    # the timestamp type (the half_up_div debug-guard pattern)
-    hi_ok = F.when(
-        F.expr(f"_lo + ({step}) * {max_slots}") >= F.col("_hi"),
+    # the timestamp type (the half_up_div debug-guard pattern). The
+    # explicit NULL arm matters: on empty/all-NULL input both bounds are
+    # NULL, the range condition evaluates NULL, and without the isNull
+    # branch the otherwise(raise_error) arm would be nominally selected —
+    # the current optimizer happens not to fire it, but an empty spine
+    # must be empty BY CONSTRUCTION (sequence(NULL, NULL) → NULL →
+    # explode drops it), not by null-propagation accident (ADVICE r10).
+    # strict bound: sequence() is end-inclusive, so require
+    # lo + step*(max_slots-1) >= hi — at most max_slots slots exactly
+    hi_ok = F.when(F.col("_hi").isNull(), F.col("_hi")).when(
+        F.expr(f"_lo + ({step}) * {max_slots - 1}") >= F.col("_hi"),
         F.col("_hi"),
     ).otherwise(
         F.raise_error(

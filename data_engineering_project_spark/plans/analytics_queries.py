@@ -296,16 +296,20 @@ def docs_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_frame_sampling",
     sql="""
-    WITH f AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+    WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
     frames AS (
         SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
                CAST(u.i * 128 AS INTEGER) AS frame_offset,
-               substr(text, CAST(u.i * 128 + 1 AS INTEGER), 128) AS frame_text
-        FROM f, LATERAL (SELECT unnest(range(0, CAST(ceil(n / 128.0) AS BIGINT))) AS i) u
+               substr(hx, CAST(u.i * 256 + 1 AS BIGINT), 256) AS fhx
+        FROM f, LATERAL (SELECT unnest(range(0,
+            CASE WHEN n IS NULL THEN 0
+                 ELSE GREATEST(CAST(ceil(n / 128.0) AS BIGINT), 1) END)) AS i) u
     )
     SELECT doc_id, frame_idx, frame_offset,
-           CAST(strlen(frame_text) AS INTEGER) AS frame_len,
-           md5(frame_text) AS frame_checksum
+           CAST(strlen(fhx) // 2 AS INTEGER) AS frame_len,
+           md5(fhx) AS frame_checksum
     FROM frames WHERE frame_idx % 2 = 0
     """,
     doc="Video-style frame sampling: binary payload → fixed 128-byte frames, "
@@ -324,16 +328,20 @@ def docs_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_payload_features",
     sql="""
+    WITH p AS (SELECT doc_id, text,
+                      GREATEST(octet_length(encode(text)), 1) AS n
+               FROM documents)
     SELECT doc_id,
-           ROUND(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
-                 / CAST(strlen(text) AS DOUBLE), 6) AS vowel_ratio,
+           ROUND(length(regexp_replace(translate(text, 'AEIOU', 'aeiou'),
+                                       '[^aeiou]', '', 'g'))
+                 / CAST(n AS DOUBLE), 6) AS vowel_ratio,
            ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                 / CAST(strlen(text) AS DOUBLE), 6) AS digit_ratio,
+                 / CAST(n AS DOUBLE), 6) AS digit_ratio,
            ROUND(length(regexp_replace(text, '[^ ]', '', 'g'))
-                 / CAST(strlen(text) AS DOUBLE), 6) AS space_ratio,
+                 / CAST(n AS DOUBLE), 6) AS space_ratio,
            ROUND(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                 / CAST(strlen(text) AS DOUBLE), 6) AS upper_ratio
-    FROM documents
+                 / CAST(n AS DOUBLE), 6) AS upper_ratio
+    FROM p
     """,
     doc="Multimodal feature extraction: payload → fixed-dim double vector "
     "(byte-class frequency ratios as the deterministic stand-in featurizer; "
@@ -360,21 +368,25 @@ def docs_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_payload_resize",
     sql="""
     WITH p AS (
-        SELECT doc_id, text, strlen(text) AS n,
-               GREATEST(1, CAST(ceil(strlen(text) / 96.0) AS BIGINT)) AS stride
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n,
+               GREATEST(1, CAST(ceil(octet_length(encode(text)) / 96.0)
+                                AS BIGINT)) AS stride
         FROM documents
     ),
     r AS (
         SELECT doc_id, n,
-               array_to_string(list_transform(
-                   range(0, CAST(ceil(n * 1.0 / stride) AS BIGINT)),
-                   i -> substr(text, CAST(i * stride + 1 AS INT), 1)), '')
-                   AS resized
+               CASE WHEN n IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(list_transform(
+                        range(0, CAST(ceil(n * 1.0 / stride) AS BIGINT)),
+                        i -> substr(hx, CAST(i * stride * 2 + 1 AS BIGINT), 2)),
+                        ''), '')
+               END AS rhx
         FROM p
     )
     SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes,
-           CAST(strlen(resized) AS BIGINT) AS resized_bytes,
-           md5(resized) AS resized_checksum
+           CAST(strlen(rhx) // 2 AS BIGINT) AS resized_bytes,
+           md5(rhx) AS resized_checksum
     FROM r
     """,
     doc="Multimodal resize plumbing: strided byte downsampling to ≤96 bytes "
@@ -395,16 +407,18 @@ def docs_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_audio_chunks",
     sql="""
-    WITH f AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+    WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
     chunks AS (
         SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
-               substr(text, CAST(u.i * 32 + 1 AS INTEGER), 64) AS ctext
+               substr(hx, CAST(u.i * 64 + 1 AS BIGINT), 128) AS chx
         FROM f, LATERAL (SELECT unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT))) AS i) u
     )
     SELECT doc_id, chunk_idx,
            CAST(chunk_idx * 2 AS INTEGER) AS start_ms,
-           CAST(strlen(ctext) // 2 AS INTEGER) AS n_samples,
-           md5(ctext) AS chunk_checksum
+           CAST(strlen(chx) // 4 AS INTEGER) AS n_samples,
+           md5(chx) AS chunk_checksum
     FROM chunks
     """,
     doc="Audio-style fixed-rate chunking with 50% overlap: payload read as "
@@ -576,18 +590,24 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_scene_change",
     sql="""
-    WITH f AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+    WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
     frames AS (
         SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
-               substr(text, CAST(u.i * 128 + 1 AS INTEGER), 128) AS ft
-        FROM f, LATERAL (SELECT unnest(range(0, CAST(ceil(n / 128.0) AS BIGINT)))
+               substr(hx, CAST(u.i * 256 + 1 AS BIGINT), 256) AS fhx
+        FROM f, LATERAL (SELECT unnest(range(0,
+            CASE WHEN n IS NULL THEN 0
+                 ELSE GREATEST(CAST(ceil(n / 128.0) AS BIGINT), 1) END))
                          AS i) u
     ),
     inten AS (
         SELECT doc_id, frame_idx,
-               list_aggregate(list_transform(range(1, strlen(ft) + 1),
-                   i -> ascii(substr(ft, CAST(i AS INT), 1))), 'sum')
-               / CAST(strlen(ft) AS DOUBLE) AS intensity
+               COALESCE(list_aggregate(list_transform(
+                   range(0, strlen(fhx) // 2),
+                   j -> CAST('0x' || substr(fhx, CAST(2 * j + 1 AS BIGINT), 2)
+                             AS INTEGER)), 'sum'), 0)
+               / CAST(GREATEST(strlen(fhx) // 2, 1) AS DOUBLE) AS intensity
         FROM frames
     ),
     jumps AS (

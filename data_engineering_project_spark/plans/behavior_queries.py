@@ -266,6 +266,105 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cohort_serving",
+    sql="""
+    WITH first_touch AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    user_weeks AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               date_trunc('week', e.ts) AS active_week
+        FROM events e JOIN first_touch f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+               AS week_offset,
+           count(*) AS n_users
+    FROM user_weeks
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="The streaming cohort-state maintenance path end-to-end, driver-"
+    "hashable (round-10 verdict #3, events_ewma_serving precedent): "
+    "events split into three deterministic micro-batches through "
+    "upsert_cohort_state's foreachBatch writer — per-user min(first "
+    "touch) plus the distinct (user, active_week) set, BOTH replay-"
+    "idempotent merges (min and set-union; no batch_id protocol needed) "
+    "— with batch 1 DELIVERED TWICE (replay must be a no-op) and batch 2 "
+    "KILLED between the two component swaps then replayed (the torn "
+    "state — first_touch ahead of user_weeks — must heal to the same "
+    "fixpoint). read_cohort_retention then re-derives the grid as a pure "
+    "function of the state, bit-identical to events_cohort_retention for "
+    "any batch split — exactly what the oracle (the batch SQL verbatim) "
+    "restates. The grid is cohort-weeks × offsets rows, collected and "
+    "rebuilt locally so the temp state dir can be reclaimed eagerly "
+    "(events_ewma_serving precedent); the distributed work — per-batch "
+    "pre-aggregates, idempotent state merges, the read-side join — "
+    "happens through the state table.",
+    tags=("analytics", "cohort", "streaming", "serving"),
+)
+def events_cohort_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from data_engineering_project_spark.streaming import pipeline
+    from data_engineering_project_spark.streaming.pipeline import (
+        read_cohort_retention,
+        upsert_cohort_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="cohort_serving_")
+    real_swap = pipeline._atomic_swap_write
+    try:
+        writer = upsert_cohort_state(tmp, time_col="ts")
+        batches = [
+            ev.filter(
+                F.coalesce(F.pmod("event_id", F.lit(3)), F.lit(0)) == i
+            )
+            for i in range(3)
+        ]
+        writer(batches[0], 0)
+        writer(batches[1], 1)
+        writer(batches[1], 1)  # crash re-delivery: idempotent no-op
+
+        # partial-application crash: batch 2 dies AFTER the first_touch
+        # swap but BEFORE user_weeks — replay must heal the torn state
+        calls = {"n": 0}
+
+        def _dying_swap(merged, target_dir):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("killed between component swaps")
+            real_swap(merged, target_dir)
+
+        pipeline._atomic_swap_write = _dying_swap
+        try:
+            writer(batches[2], 2)
+        except RuntimeError:
+            pass
+        finally:
+            pipeline._atomic_swap_write = real_swap
+        writer(batches[2], 2)  # replay heals both components
+
+        rows = read_cohort_retention(spark, tmp).collect()
+    finally:
+        pipeline._atomic_swap_write = real_swap
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                r["cohort_week"],
+                None if r["week_offset"] is None else int(r["week_offset"]),
+                int(r["n_users"]),
+            )
+            for r in rows
+        ],
+        "cohort_week string, week_offset bigint, n_users bigint",
+    )
+
+
+@register(
     "parts_triangle_affinity",
     sql="""
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from data_engineering_project_spark.functions import scalars as S
 from data_engineering_project_spark.functions.scalars import (
     compose_datetime,
+    sql_exact_avg,
     sql_exact_sum,
     sql_half_up_div,
 )
@@ -235,9 +236,9 @@ def report_datetime_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_exact_sum('l_extendedprice * (1 - l_discount)', 10000, 2)}
                AS sum_disc_price,
            {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000, 2)} AS sum_charge,
-           ROUND(avg(l_quantity), 4)        AS avg_qty,
-           ROUND(avg(l_extendedprice), 4)   AS avg_price,
-           ROUND(avg(l_discount), 4)        AS avg_disc,
+           {sql_exact_avg('l_quantity', 100, 4)} AS avg_qty,
+           {sql_exact_avg('l_extendedprice', 100, 4)} AS avg_price,
+           {sql_exact_avg('l_discount', 100, 4)} AS avg_disc,
            count(*)                         AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -267,9 +268,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.exact_decimal_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
             S.exact_decimal_sum(disc_price, 10_000).alias("sum_disc_price"),
             S.exact_decimal_sum(charge, 1_000_000).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # averages ride the exact integer-unit device too: a raw
+            # ROUND(avg(double), 4) is the same merge-order sensitivity
+            # as a raw double sum, divided by a count (r10 verdict #5)
+            S.exact_avg(F.col("l_quantity"), 100, 4).alias("avg_qty"),
+            S.exact_avg(F.col("l_extendedprice"), 100, 4).alias("avg_price"),
+            S.exact_avg(F.col("l_discount"), 100, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

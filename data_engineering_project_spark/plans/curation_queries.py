@@ -304,6 +304,8 @@ def docs_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END ||
                '/d/' || doc_id AS url
         FROM documents
+        WHERE regexp_matches(source,
+            '\\A[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?\\z')
     ),
     hosts AS (
         SELECT doc_id, regexp_extract(url, 'https?://([^/]+)', 1) AS host
@@ -337,6 +339,17 @@ def docs_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # hostname-charset guard BEFORE URL synthesis, identical regex on both
+    # engines: a hostile source (spaces, NULs, regex soup) would otherwise
+    # make parse_url THROW under ANSI (the r10 hostile-string sweep's
+    # one-sided job-killer) — and java.net.URI's validity rules ('_' and
+    # edge hyphens reject, probed empirically) are unmirrorable in SQL, so
+    # the guard pins both engines to the same single-label domain.
+    # try_parse_url (not parse_url) as defense in depth: a malformed URL
+    # yields NULL → dropped, never a job abort.
+    d = d.filter(
+        F.col("source").rlike(r"\A[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?\z")
+    )
     url = F.concat(
         F.lit("https://"),
         F.col("source"),
@@ -345,8 +358,8 @@ def docs_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
     )
     hosts = d.select(
-        "doc_id", F.parse_url(url, F.lit("HOST")).alias("host")
-    ).filter(~F.col("host").endswith(".org"))
+        "doc_id", F.try_parse_url(url, F.lit("HOST")).alias("host")
+    ).filter(F.col("host").isNotNull() & ~F.col("host").endswith(".org"))
     sampled = C.quota_sample(
         hosts,
         "host",

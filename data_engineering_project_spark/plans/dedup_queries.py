@@ -359,7 +359,8 @@ def docs_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH d AS (
         SELECT doc_id, lang, n_chars // 50 AS lb,
-               substr(text, 1, 32) AS prefix
+               regexp_replace(substr(text, 1, 32), '[^\\x00-\\x7F]', '?', 'g')
+                   AS prefix
         FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
@@ -385,7 +386,15 @@ def docs_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.floor(F.col("n_chars") / 50).alias("lb"),
-            F.substring("text", 1, 32).alias("prefix"),
+            # ASCII projection before levenshtein: DuckDB's levenshtein
+            # counts BYTES where Spark counts codepoints, so each
+            # non-ASCII codepoint collapses to one '?' on BOTH engines
+            # (regex classes match per codepoint in RE2 and Java alike);
+            # the projected strings are pure ASCII, where bytes ==
+            # codepoints (r10 hostile-string sweep, lev-bytes recipe).
+            F.regexp_replace(
+                F.substring("text", 1, 32), r"[^\x00-\x7F]", "?"
+            ).alias("prefix"),
         )
     )
     # explicit-count repartition on the block key: the per-pair

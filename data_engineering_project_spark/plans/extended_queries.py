@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 
 from data_engineering_project_spark.functions.scalars import (
     decimal_units,
+    exact_avg,
     exact_decimal_sum,
     half_up_div,
     half_up_ratio,
+    sql_exact_avg,
     sql_exact_sum,
     sql_half_up_div,
     sql_half_up_ratio,
@@ -105,10 +107,10 @@ def repeat_buyer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lineitem_price_stats",
-    sql="""
+    sql=f"""
     SELECT l_returnflag,
            ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
-           ROUND(avg(l_extendedprice), 2) AS price_avg,
+           {sql_exact_avg('l_extendedprice', 100, 2)} AS price_avg,
            ROUND(corr(l_quantity, l_extendedprice), 4) + 0 AS qty_price_corr,
            ROUND(covar_samp(l_discount, l_tax), 6) + 0 AS disc_tax_covar,
            count(*) AS n
@@ -129,7 +131,9 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
-        F.round(F.avg("l_extendedprice"), 2).alias("price_avg"),
+        # exact integer-unit average (r10 verdict #5: ROUND(avg(double))
+        # is merge-order-sensitive like a raw double sum)
+        exact_avg(F.col("l_extendedprice"), 100, 2).alias("price_avg"),
         (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
             "qty_price_corr"
         ),
@@ -652,7 +656,9 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n
     FROM events
-    WHERE props IS NOT NULL AND event_type IS NOT NULL
+    WHERE props IS NOT NULL
+      AND trim(props, ' ' || chr(9) || chr(10) || chr(13)) <> ''
+      AND event_type IS NOT NULL
     GROUP BY date, event_type
     """,
     doc="Map-type surface (SURVEY.md §2.5 lists array/map functions as "
@@ -669,7 +675,13 @@ def events_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in json_props_stats) — parse once, then treat as a typed struct
     # event_type is the MAP KEY below — a NULL key is illegal in Spark
     # maps (and the oracle mirrors both filters; null-fuzz finding: the
-    # Spark side filtered unparseable props while the oracle counted them)
+    # Spark side filtered unparseable props while the oracle counted them).
+    # PERMISSIVE from_json returns a NULL struct ONLY for NULL or
+    # all-ASCII-whitespace input — malformed JSON ('{not json', 'null',
+    # '[]') yields an all-null-fields ROW, which IS NOT NULL. The oracle
+    # mirrors exactly that: props IS NOT NULL AND trim(props, ' \\t\\n\\r')
+    # <> '' (plain trim() strips only spaces — the r10 hostile-string
+    # sweep caught '\\t' diverging; json-parse recipe).
     parsed = (
         ev.filter(F.col("event_type").isNotNull())
         .withColumn("props_struct", F.from_json("props", "k INT"))
@@ -775,13 +787,16 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_rich_customers",
     sql=f"""
     WITH cutoff AS (
-        SELECT avg(c_acctbal) AS threshold FROM customer WHERE c_acctbal > 0
+        SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS su,
+               count(c_acctbal) AS cnt
+        FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_nationkey,
            count(*) AS n_customers,
            {sql_exact_sum('c.c_acctbal', 1000, 2)} AS total_acctbal
     FROM customer c, cutoff
-    WHERE c.c_acctbal > cutoff.threshold
+    WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * cutoff.cnt
+          > cutoff.su
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= DATE '2000-01-01')
@@ -797,11 +812,17 @@ def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    threshold = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("threshold")
+    # the avg threshold as an exact integer cross-multiplication:
+    # acctbal > su/(100*cnt)  <=>  units(acctbal)*cnt > su — no double
+    # division anywhere, so the gate cannot flip on a merge-order ulp for
+    # a customer sitting exactly at the mean (r10 verdict #5 class).
+    # units*cnt stays far below 2^63 (units ~1e6, cnt bounded by rows).
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(decimal_units(F.col("c_acctbal"), 100)).alias("su"),
+        F.count("c_acctbal").alias("cnt"),
     )
-    rich = c.crossJoin(F.broadcast(threshold)).filter(
-        F.col("c_acctbal") > F.col("threshold")
+    rich = c.crossJoin(F.broadcast(stats)).filter(
+        decimal_units(F.col("c_acctbal"), 100) * F.col("cnt") > F.col("su")
     )
     recent = o.filter(F.col("o_orderdate") >= "2000-01-01")
     dormant = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")

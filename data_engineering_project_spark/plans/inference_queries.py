@@ -389,7 +389,7 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang,
                len(regexp_split_to_array(trim(text), '\\s+')) AS w,
                greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
-               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+               len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+')) AS y
         FROM documents
     ),
     agg AS (
@@ -425,7 +425,7 @@ def docs_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
         ).alias("s"),
-        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")).alias(
+        F.regexp_count(T.ascii_lower(F.col("text")), F.lit(r"[aeiouy]+")).alias(
             "y"
         ),
     )

@@ -35,8 +35,17 @@ from data_engineering_project_spark.functions.scalars import (
     half_up_div,
     sql_exact_sum,
 )
+from data_engineering_project_spark.operators.text import (
+    ascii_lower,
+    normalized_tokens,
+    sql_ascii_lower,
+)
 from data_engineering_project_spark.plans.catalog import register
 from data_engineering_project_spark.sources.tables import load_table
+
+#: oracle-side ASCII case fold of the text column (tokenizers must never
+#: use unicode lower() — see operators/text.py:ascii_lower)
+_LOW = sql_ascii_lower("text")
 
 _SEARCH_TERMS = ("batch", "scan", "merge")
 _SPLIT_TS = "2024-01-20"
@@ -45,11 +54,11 @@ _SAMPLE_K = 20
 
 @register(
     "docs_inverted_postings",
-    sql="""
+    sql=f"""
     WITH toks AS (
         SELECT doc_id,
                unnest(list_distinct(
-                   regexp_split_to_array(lower(text), '[^a-z0-9]+'))) AS token
+                   regexp_split_to_array({_LOW}, '[^a-z0-9]+'))) AS token
         FROM documents
     ),
     postings AS (
@@ -71,9 +80,7 @@ def docs_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
-            )
+            F.array_distinct(normalized_tokens(F.col("text")))
         ).alias("token"),
     ).filter(F.col("token") != "")
     return toks.groupBy("token").agg(
@@ -94,7 +101,7 @@ def docs_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+               unnest(regexp_split_to_array({_LOW}, '[^a-z0-9]+')) AS token
         FROM documents
     )
     SELECT doc_id,
@@ -113,7 +120,7 @@ def docs_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("token"),
+        F.explode(normalized_tokens(F.col("text"))).alias("token"),
     ).filter(F.col("token").isin(*_SEARCH_TERMS))
     return (
         toks.groupBy("doc_id")
@@ -134,7 +141,7 @@ def _bm25_term_sql(term: str) -> tuple[str, str]:
     """(tf expression, df-count expression) for one query term — DuckDB
     restatement of the array-expression form (no explode on either side)."""
     tf = (
-        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "len(list_filter(regexp_split_to_array(" + _LOW + ", '[^a-z0-9]+'), "
         f"x -> x = '{term}'))"
     )
     return tf, f"SUM(CASE WHEN {tf} > 0 THEN 1 ELSE 0 END)"
@@ -161,7 +168,7 @@ _BM25_SCORE = " + ".join(
     sql=f"""
     WITH d AS (
         SELECT doc_id,
-               len(list_filter(regexp_split_to_array(lower(text),
+               len(list_filter(regexp_split_to_array({_LOW},
                    '[^a-z0-9]+'), x -> x <> '')) AS dl,
                {_BM25_TF_COLS}
         FROM documents
@@ -190,7 +197,7 @@ _BM25_SCORE = " + ".join(
 )
 def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    toks = normalized_tokens(F.col("text"))
 
     # dl + all term frequencies in ONE traversal of the token array: a
     # struct-accumulator fold replaces one F.filter pass per term (A/B at
@@ -509,8 +516,8 @@ _PROX_WINDOW = 3
     sql=f"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token,
-               generate_subscripts(regexp_extract_all(lower(text),
+               unnest(regexp_extract_all({_LOW}, '[a-z0-9]+')) AS token,
+               generate_subscripts(regexp_extract_all({_LOW},
                                                       '[a-z0-9]+'), 1) AS pos
         FROM documents WHERE text IS NOT NULL
     ),
@@ -539,7 +546,7 @@ def docs_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.posexplode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            F.regexp_extract_all(ascii_lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         ).alias("pos", "token"),
     )
     a = toks.where(F.col("token") == _PROX_A).select("doc_id", F.col("pos").alias("pa"))

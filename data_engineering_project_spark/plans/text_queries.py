@@ -91,12 +91,12 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_fingerprint_dedup",
     sql="""
-    SELECT md5(lower(trim(text))) AS fingerprint,
+    SELECT md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint,
            min(doc_id) AS keep_doc_id, count(*) AS n_copies
     FROM documents
     GROUP BY fingerprint
     """,
-    doc="Digest-based dedup: normalize (lower+trim) then MD5 — the shuffle "
+    doc="Digest-based dedup: normalize (ASCII case fold + trim) then MD5 — the shuffle "
     "key is 32 bytes instead of the full document, which is what makes exact "
     "dedup practical at 100 TB. MD5 chosen because it is identical across "
     "Spark and the oracle.",
@@ -145,19 +145,23 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.punct_count(F.col("text")).alias("n_punct"),
         T.stopword_count(F.col("text")).alias("n_stop"),
     )
+    # try_divide, not `/`: an empty document has n_chars_m = 0, and under
+    # ANSI (the vanilla driver session) a plain division throws and kills
+    # the job — try_divide yields NULL, exactly DuckDB's x/0 (r10
+    # hostile-string sweep, one-sided job-killer class)
     return feats.select(
         "doc_id",
         "lang",
         "n_tokens",
-        F.round(F.col("n_chars_m").cast("double") / F.col("n_tokens"), 4).alias(
-            "avg_token_len"
-        ),
-        F.round(F.col("n_punct").cast("double") / F.col("n_chars_m"), 4).alias(
-            "punct_ratio"
-        ),
-        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 4).alias(
-            "stopword_ratio"
-        ),
+        F.round(
+            F.try_divide(F.col("n_chars_m").cast("double"), F.col("n_tokens")), 4
+        ).alias("avg_token_len"),
+        F.round(
+            F.try_divide(F.col("n_punct").cast("double"), F.col("n_chars_m")), 4
+        ).alias("punct_ratio"),
+        F.round(
+            F.try_divide(F.col("n_stop").cast("double"), F.col("n_tokens")), 4
+        ).alias("stopword_ratio"),
     )
 
 
@@ -763,7 +767,7 @@ def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_dup_rate_by_source",
     sql="""
     WITH fp AS (
-        SELECT source, md5(lower(trim(text))) AS f FROM documents
+        SELECT source, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS f FROM documents
     ),
     counts AS (
         SELECT f, count(*) AS n FROM fp GROUP BY f
@@ -1031,7 +1035,7 @@ def _bpe_oracle_sql(rounds: int, topv: int) -> str:
     head = f"""
 WITH words AS (
   SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
-  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS w
         FROM documents WHERE text IS NOT NULL)
   GROUP BY w
   ORDER BY cnt DESC, word ASC
@@ -1071,7 +1075,7 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("text").isNotNull())
         .select(
             F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+                F.regexp_extract_all(T.ascii_lower(F.col("text")), F.lit("[a-z]+"), 0)
             ).alias("word")
         )
         .groupBy("word")
@@ -1103,7 +1107,7 @@ tok AS (
 allwords AS (
   SELECT source, w AS word, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT source,
-               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+               unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+')) AS w
         FROM documents WHERE text IS NOT NULL)
   GROUP BY source, w
 )
@@ -1138,7 +1142,7 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("text").isNotNull())
         .select(
             F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+                F.regexp_extract_all(T.ascii_lower(F.col("text")), F.lit("[a-z]+"), 0)
             ).alias("word")
         )
         .groupBy("word")
@@ -1153,7 +1157,7 @@ def docs_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+                F.regexp_extract_all(T.ascii_lower(F.col("text")), F.lit("[a-z]+"), 0)
             ).alias("word"),
         )
         .groupBy("source", "word")

@@ -775,11 +775,22 @@ def delete_where(
             .filter(F.coalesce(~pred, F.lit(True)))
             .drop("_file")
         )
-        entries = [
-            e
-            for e in _write_snapshot_files(survivors, table, stats_cols)
-            if e["rows"] > 0
-        ]
+        # a delete that empties its rewrite set drops the entry from the
+        # manifest (kept files still carry the data; a fully-emptied table
+        # reads back empty via the manifest schema) — and must also remove
+        # the one empty part _write_snapshot_files deliberately kept, or
+        # the unreferenced file becomes a fabricated vacuum orphan
+        # (ADVICE r10 #1: the filter and the writer's no-orphan invariant
+        # disagreed here)
+        entries = []
+        for e in _write_snapshot_files(survivors, table, stats_cols):
+            if e["rows"] > 0:
+                entries.append(e)
+            else:
+                try:
+                    os.remove(os.path.join(table, e["path"]))
+                except OSError:
+                    pass  # already gone; the manifest never references it
         return _commit(
             table,
             Manifest(

@@ -134,7 +134,7 @@ class TestMultimodal:
         assert by_idx[2].frame_len == 300 - 256 and by_idx[2].frame_offset == 256
         assert (
             by_idx[2].frame_checksum
-            == hashlib.md5(text.encode()[256:]).hexdigest()
+            == hashlib.md5(text.encode()[256:].hex().upper().encode()).hexdigest()
         )
 
     def test_frame_sampling_short_payload_yields_one_frame(self, spark):
@@ -160,10 +160,11 @@ class TestMultimodal:
         payload = text.encode()
         assert (
             by_idx[1].chunk_checksum
-            == hashlib.md5(payload[32:96]).hexdigest()
+            == hashlib.md5(payload[32:96].hex().upper().encode()).hexdigest()
         )
         assert (
-            by_idx[3].chunk_checksum == hashlib.md5(payload[96:]).hexdigest()
+            by_idx[3].chunk_checksum
+            == hashlib.md5(payload[96:].hex().upper().encode()).hexdigest()
         )
 
     def test_feature_ratios_golden(self, spark):

@@ -224,3 +224,69 @@ def test_half_up_div_documented_poison_value_regression(spark):
         f"SELECT {sql_half_up_div(str(u), 10_000, 2)}"
     ).fetchone()[0]
     assert got_d == expected
+
+
+# exact_avg: the r11 avg(double) migration device — fixed-decimal values
+# (exact integer cents / 100), half-away average at dp=4
+_CENTS = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    # land sums exactly on the .00005 tie at dp=4: sum_cents*100 ≡
+    # half mod (100*count) arranged by construction below is fiddly —
+    # instead bias toward tiny counts and odd cents where ties occur
+    st.integers(min_value=-99, max_value=99),
+)
+
+
+def _py_exact_avg(cents: list[int], dp: int) -> float | None:
+    vals = [c for c in cents]
+    if not vals:
+        return None
+    num, den = sum(vals), 100 * len(vals)
+    return _py_half_up_ratio(num, den, dp)
+
+
+@given(cents=st.lists(_CENTS, min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_exact_avg_matches_oracle_twin_and_exact_ground_truth(spark, cents):
+    from data_engineering_project_spark.functions.scalars import (
+        exact_avg,
+        sql_exact_avg,
+    )
+
+    dp = 4
+    expected = _py_exact_avg(cents, dp)
+    vals = [c / 100.0 for c in cents]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = df.agg(exact_avg(F.col("x"), 100, dp).alias("v")).collect()[0][
+        "v"
+    ]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got_duck = con.execute(
+        f"SELECT {sql_exact_avg('x', 100, dp)} FROM t"
+    ).fetchone()[0]
+    assert got_duck == expected
+
+
+def test_exact_avg_all_null_group_is_null_on_both_engines(spark):
+    from data_engineering_project_spark.functions.scalars import (
+        exact_avg,
+        sql_exact_avg,
+    )
+
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    assert (
+        df.agg(exact_avg(F.col("x"), 100, 4).alias("v")).collect()[0]["v"]
+        is None
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.execute("INSERT INTO t VALUES (NULL), (NULL)")
+    assert (
+        con.execute(f"SELECT {sql_exact_avg('x', 100, 4)} FROM t").fetchone()[0]
+        is None
+    )

@@ -356,6 +356,21 @@ def test_delete_where_rewrites_only_touched_files(spark, table):
     assert {r.k for r in st.read_table(spark, table).collect()} == {1, 2}
     assert len(st.read_manifest(table).files) == 1
 
+    # ... and the emptied rewrite leaves NO unreferenced file behind
+    # (ADVICE r10 #1: the dropped empty part was previously orphaned on
+    # disk — a fabricated vacuum orphan). Every data file on disk must be
+    # referenced by SOME version's manifest (time travel keeps old ones).
+    import glob as _glob
+
+    referenced = set()
+    for v in range(1, st.read_manifest(table).version + 1):
+        referenced |= {f["path"] for f in st.read_manifest(table, v).files}
+    on_disk = {
+        os.path.relpath(p, table)
+        for p in _glob.glob(os.path.join(table, "data", "*", "*.parquet"))
+    }
+    assert on_disk == referenced
+
 
 def test_delete_where_null_predicate_rows_survive(spark, table):
     df = spark.createDataFrame(

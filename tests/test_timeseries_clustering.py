@@ -132,3 +132,30 @@ def test_bucket_spine_refuses_absurd_ranges_loudly(spark):
         df, ["k"], "h", step="INTERVAL 1 DAY", max_slots=4_000_000
     )
     assert wide.count() > 2_000_000
+
+
+def test_bucket_spine_empty_input_yields_empty_spine(spark):
+    """Empty (and all-NULL-bucket) input must produce an EMPTY spine by
+    construction — the NULL bounds take the explicit NULL arm of the
+    guard, never the raise_error branch (ADVICE r10: previously that
+    depended on optimizer null-propagation, not an explicit guard)."""
+    empty = spark.createDataFrame([], "k string, h timestamp")
+    assert TS.bucket_spine(empty, ["k"], "h").count() == 0
+    allnull = spark.createDataFrame([("a", None)], "k string, h timestamp")
+    assert TS.bucket_spine(allnull, ["k"], "h").count() == 0
+
+
+def test_bucket_spine_max_slots_is_strict(spark):
+    """Exactly max_slots slots pass; max_slots+1 refuses (the inclusive
+    sequence() end previously let one extra slot through)."""
+    import datetime as dt
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0)), ("a", dt.datetime(2024, 1, 1, 9))],
+        "k string, h timestamp",
+    )  # dense range = 10 hourly slots
+    assert TS.bucket_spine(df, ["k"], "h", max_slots=10).count() == 10
+    with pytest.raises(Exception, match="bucket_spine.*max_slots"):
+        TS.bucket_spine(df, ["k"], "h", max_slots=9).count()

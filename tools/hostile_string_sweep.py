@@ -37,36 +37,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tools.driver_sim as sim
 
 #: Known silent divergences, each requiring a ROADMAP backlog note.
-#: First run (round 10, after the 49/50 churn budget was already spent)
-#: found 10, in four root-cause classes — all are ENGINE-PRIMITIVE
-#: semantic splits on non-ASCII/edge text, not wrong plans; fixes are
-#: round 11's first job (each touches a registered fn or oracle text, so
-#: each costs a fingerprint slot; see ROADMAP round-10 log):
-#:   byte-vs-char  — the multimodal oracles restate byte slicing with
-#:                   char-based substr/strlen ("valid because the corpus
-#:                   is ASCII" per their docstrings); fix = BLOB-true
-#:                   oracles (encode(text) + byte substr) or operator-
-#:                   level ASCII domain guard on both sides.
-#:   lower-unicode — JVM lower('İ') = 'i'+U+0307 vs DuckDB utf8proc 'i';
-#:                   splits vocab/fingerprints; fix = normalize the
-#:                   tokenizer domain identically on both sides.
-#:   lev-bytes     — DuckDB levenshtein counts BYTES, Spark codepoints;
-#:                   fix = oracle levenshtein over an ASCII projection.
-#:   json-parse    — Spark from_json(props) failure drops the row, the
-#:                   oracle only mirrors the NULL filter; fix = mirror
-#:                   parseability (json_valid + type check) in the oracle.
-KNOWN: dict[str, str] = {
-    "docs_frame_sampling": "byte-vs-char",
-    "docs_scene_change": "byte-vs-char",
-    "docs_payload_features": "byte-vs-char",
-    "docs_payload_resize": "byte-vs-char",
-    "docs_inverted_postings": "lower-unicode",
-    "docs_bm25_search": "lower-unicode",
-    "docs_bpe_encode_stats": "lower-unicode",
-    "docs_fingerprint_dedup": "lower-unicode",
-    "docs_edit_distance_pairs": "lev-bytes",
-    "events_map_roundtrip": "json-parse",
-}
+#: EMPTY since round 11: the round-10 backlog (10 entries in four
+#: engine-primitive classes) was paid down with the staged recipes in
+#: tools/r11_string_fix_recipes.py — ascii translate-lower for the
+#: lower-unicode tokenizer/fingerprint family (now the shared
+#: operators/text.py:ascii_lower / normalized_tokens primitives),
+#: byte-true md5-of-hex oracles for the multimodal byte-vs-char family,
+#: ASCII-projection levenshtein for lev-bytes, and the from_json
+#: whitespace mirror for json-parse. New entries need a ROADMAP note.
+KNOWN: dict[str, str] = {}
 
 BASE_SF = os.environ.get("SPARK_GRAFT_HOSTILE_BASE", "/root/testdata/sf0.001")
 OUT_DIR = os.environ.get(

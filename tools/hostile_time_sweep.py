@@ -85,6 +85,7 @@ def main(only: list[str]) -> int:
 
     import duckdb
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.master(
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
@@ -119,7 +120,22 @@ def main(only: list[str]) -> int:
         s_err = o_err = None
         sdf = odf = None
         try:
-            sdf = fn(spark, OUT_DIR).toPandas()
+            out = fn(spark, OUT_DIR)
+            # comparison-boundary guard: pandas timestamps are ns-ranged
+            # (caps at 2262-04-11), so a year-9999 SCD2/CDC sentinel that
+            # BOTH engines computed correctly would die in toPandas()/
+            # fetchdf() — a harness artifact, not an engine divergence.
+            # Stringify timestamps engine-side on BOTH sides; Spark
+            # CAST(ts AS STRING) and DuckDB CAST(ts AS VARCHAR) render
+            # identically ('YYYY-MM-DD HH:MM:SS[.ffffff]').
+            ts_cols = [
+                f.name
+                for f in out.schema.fields
+                if f.dataType.typeName().startswith("timestamp")
+            ]
+            for c in ts_cols:
+                out = out.withColumn(c, F.col(c).cast("string"))
+            sdf = out.toPandas()
         except Exception as e:  # noqa: BLE001
             s_err = type(e).__name__
             try:  # is the JVM still with us? (the first run of this
@@ -143,7 +159,14 @@ def main(only: list[str]) -> int:
             rowsonly.append(name)
             continue
         try:
-            odf = con.execute(osql[name]).fetchdf()
+            rel = con.sql(osql[name])
+            exprs = ", ".join(
+                f'CAST("{c}" AS VARCHAR) AS "{c}"'
+                if "TIMESTAMP" in str(t).upper()
+                else f'"{c}"'
+                for c, t in zip(rel.columns, rel.types)
+            )
+            odf = rel.project(exprs).fetchdf()
         except Exception as e:  # noqa: BLE001
             o_err = type(e).__name__
         if s_err and o_err:
