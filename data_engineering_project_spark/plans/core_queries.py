@@ -172,10 +172,15 @@ def dq_clicks_exceed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_props_stats",
     sql="""
-    SELECT event_type,
-           ROUND(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events GROUP BY event_type
+    WITH j AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k
+        FROM events
+    )
+    SELECT event_type, ROUND(avg(k), 4) AS avg_k, max(k) AS max_k
+    FROM j GROUP BY event_type
     """,
     doc="JSON-in-string extraction (the reference's data has "
     "device_info_json/ext_vars but never parses them — SURVEY.md §1.2; the "

@@ -1702,7 +1702,9 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH a AS (
         SELECT user_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k,
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
                     AS BIGINT) AS units
@@ -1711,7 +1713,9 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT user_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k,
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
                     AS BIGINT) AS units
