@@ -314,3 +314,117 @@ def docs_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
         ).alias("alloc"),
     )
+
+
+@register(
+    "docs_leakage_safe_split",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               md5(translate(trim(text),
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   'abcdefghijklmnopqrstuvwxyz')) AS fp
+        FROM documents
+    ),
+    tagged AS (
+        SELECT n_chars, fp,
+               CASE WHEN bn < {TRAIN_LT} THEN 'train'
+                    WHEN bn < {VAL_LT} THEN 'val'
+                    ELSE 'test' END AS sn,
+               CASE WHEN bf < {TRAIN_LT} THEN 'train'
+                    WHEN bf < {VAL_LT} THEN 'val'
+                    ELSE 'test' END AS ss
+        FROM (
+            SELECT n_chars, fp,
+                   CAST(('0x' || substr(md5('split-v1'
+                                            || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % 10000 AS bn,
+                   CAST(('0x' || substr(md5('split-fp-v1' || fp),
+                                        1, 8)) AS BIGINT) % 10000 AS bf
+            FROM base
+        )
+    ),
+    long AS (
+        SELECT 'naive' AS scheme, sn AS split, fp, n_chars FROM tagged
+        UNION ALL
+        SELECT 'fp_safe', ss, fp, n_chars FROM tagged
+    ),
+    grp AS (
+        SELECT scheme, split, fp,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM long GROUP BY 1, 2, 3
+    ),
+    w AS (
+        SELECT *, count(*) OVER (PARTITION BY scheme, fp) AS n_splits
+        FROM grp
+    )
+    SELECT scheme, split,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS straddling_groups,
+           CAST(sum(chars) AS BIGINT) AS total_chars
+    FROM w GROUP BY scheme, split
+    """,
+    doc="Dedup-aware (leakage-safe) train/val/test split, with the leakage "
+    "audit that justifies it: assigning splits by doc_id hash (the naive "
+    "scheme, docs_split_manifest's rule) lets DUPLICATE documents straddle "
+    "train and test — memorized-copy eval contamination. The safe scheme "
+    "buckets on the normalized content FINGERPRINT "
+    "(operators/text.py:fingerprint — ASCII fold + trim + md5), so every "
+    "copy of a document lands in the same split by construction. Emits one "
+    "row per (scheme, split): docs, fingerprint groups, groups that "
+    "STRADDLE >1 split under that scheme (the leakage count — provably 0 "
+    "for every fp_safe row, measured >0 for naive wherever dupes exist), "
+    "and chars. Scale shape: one map-side tag, one shuffle keyed on the "
+    "32-byte fingerprint (the same key exact dedup pays), then a window "
+    "over the fp-cell table — never over raw docs; assignment stays a pure "
+    "row function, reproducible on any engine/partitioning and monotone "
+    "under corpus growth.",
+    tags=("sharding", "curation", "dedup", "sampling"),
+)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_engineering_project_spark.operators import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = T.fingerprint(F.col("text"))
+
+    def tag(b):
+        return (
+            F.when(b < TRAIN_LT, F.lit("train"))
+            .when(b < VAL_LT, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    tagged = d.select(
+        fp.alias("fp"),
+        "n_chars",
+        tag(hash_bucket(F.col("doc_id"), salt="split-v1")).alias("sn"),
+        tag(hash_bucket(fp, salt="split-fp-v1")).alias("ss"),
+    )
+    long = tagged.selectExpr(
+        "fp", "n_chars", "stack(2, 'naive', sn, 'fp_safe', ss) AS (scheme, split)"
+    )
+    grp = long.groupBy("scheme", "split", "fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    # windowed straddle count (NOT a self-join: a NULL fingerprint — NULL
+    # text — is a real group, and join keys would drop it on both engines
+    # while window partitions keep it)
+    n_splits = F.count(F.lit(1)).over(Window.partitionBy("scheme", "fp"))
+    return (
+        grp.withColumn("n_splits", n_splits)
+        .groupBy("scheme", "split")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum((F.col("n_splits") > 1).cast("int"))
+            .cast("bigint")
+            .alias("straddling_groups"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+        )
+    )

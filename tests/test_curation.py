@@ -75,3 +75,43 @@ def test_quota_sample_keeps_all_below_quota(spark):
     df = spark.range(4).select(F.lit("h").alias("host"), F.col("id").alias("doc_id"))
     out = C.quota_sample(df, "host", 10).filter("quota_keep")
     assert out.count() == 4
+
+
+def test_leakage_safe_split_contract(spark, tmp_path):
+    """docs_leakage_safe_split: duplicate documents (including case
+    variants unified by the ASCII fold) must NEVER straddle splits under
+    the fp_safe scheme, and the naive doc_id scheme must measurably leak
+    on the same corpus (the sf fixtures have no dupes, so the audit
+    column is exercised here and by the hostile sweeps)."""
+    from data_engineering_project_spark.plans.catalog import queries
+
+    rows = []
+    # 200 exact copies: doc_id-hash assignment scatters them 80/10/10
+    for i in range(200):
+        rows.append((i, "the quick brown fox", 19, "en", "srcA"))
+    # case variants share a fingerprint only through the ASCII fold
+    rows.append((200, "Hello World", 11, "en", "srcB"))
+    rows.append((201, "HELLO WORLD", 11, "en", "srcB"))
+    rows.append((202, "hello world", 11, "en", "srcB"))
+    # a unique doc: a group of one can never straddle
+    rows.append((203, "completely unique text", 22, "en", "srcB"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars int, lang string, source string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = queries()["docs_leakage_safe_split"](spark, str(tmp_path)).collect()
+    by = {(r["scheme"], r["split"]): r for r in out}
+
+    safe = [r for r in out if r["scheme"] == "fp_safe"]
+    assert safe and all(r["straddling_groups"] == 0 for r in safe)
+    # each fingerprint group lives in exactly ONE split under fp_safe:
+    # 3 groups total (copies, hello-case family, unique)
+    assert sum(r["n_groups"] for r in safe) == 3
+    assert sum(r["n_docs"] for r in safe) == 204
+
+    naive = [r for r in out if r["scheme"] == "naive"]
+    assert sum(r["n_docs"] for r in naive) == 204
+    # 200 ids hash across all three splits -> the copy group straddles;
+    # it is counted once per split it appears in
+    assert sum(r["straddling_groups"] for r in naive) >= 2
