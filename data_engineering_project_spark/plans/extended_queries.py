@@ -409,6 +409,53 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURVE_THRESHOLDS = (0.30, 0.35, 0.40, 0.45, 0.50)
+_CURVE_LIST = ", ".join(f"CAST({t} AS DOUBLE)" for t in _CURVE_THRESHOLDS)
+
+
+@register(
+    "emb_dup_threshold_curve",
+    sql=_BLOCKED_PAIRS_CTE
+    + f""",
+    t AS (SELECT unnest([{_CURVE_LIST}]) AS threshold)
+    SELECT t.threshold,
+           CAST(sum(CASE WHEN p.c >= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN p.c >= t.threshold THEN p.id_b END)
+                AS BIGINT) AS n_removable
+    FROM pairs p CROSS JOIN t
+    GROUP BY t.threshold
+    """,
+    doc="Semantic-dedup threshold-tuning curve: for each candidate cosine "
+    "cutoff, how many blocked near-dup pairs qualify and how many vectors "
+    "the keep-lowest-id rule would remove (distinct higher-id members of "
+    "qualifying pairs). THE table a data engineer reads before committing "
+    "a dedup threshold at 100 TB — one pass over the blocked pairs "
+    "(exactly emb_blocked_near_pairs' bounded O(sum of block^2) join), "
+    "each pair fanned out once per threshold with map-side combine, so "
+    "the curve costs one shuffle of |thresholds| x |blocks| partial rows. "
+    "Cosines are bit-identical across engines (emb_dup_clusters "
+    "precedent), so the >= cuts agree exactly.",
+    tags=("similarity", "dedup", "profile"),
+)
+def emb_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _blocked_pairs(spark, sf_dir)
+    long = pairs.select(
+        "c",
+        "id_b",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _CURVE_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    qual = F.col("c") >= F.col("threshold")
+    return long.groupBy("threshold").agg(
+        F.sum(qual.cast("int")).cast("bigint").alias("n_pairs"),
+        F.count_distinct(F.when(qual, F.col("id_b")))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
+
+
 @register(
     "emb_blocked_near_pairs",
     sql=_BLOCKED_PAIRS_CTE
