@@ -223,3 +223,23 @@ def test_rowpair_scorer_bit_identical_to_expression_cosine(spark):
         ).collect()
     }
     assert expr == vec and len(vec) == 60  # exact float equality, all pairs
+
+
+def test_dup_threshold_curve_is_monotone(spark, sf_dir):
+    """emb_dup_threshold_curve: qualifying pairs and removable vectors must
+    be non-increasing in the threshold, and removable <= pairs at every
+    cutoff (each removable vector needs at least one qualifying pair)."""
+    from data_engineering_project_spark.plans.catalog import queries
+
+    rows = (
+        queries()["emb_dup_threshold_curve"](spark, sf_dir)
+        .orderBy("threshold")
+        .collect()
+    )
+    assert len(rows) == 5
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_pairs"] <= prev["n_pairs"]
+        assert cur["n_removable"] <= prev["n_removable"]
+    for r in rows:
+        assert r["n_removable"] <= max(r["n_pairs"], 0) or r["n_pairs"] == 0
+        assert (r["n_pairs"] == 0) == (r["n_removable"] == 0)
