@@ -1999,14 +1999,19 @@ def users_spend_topk_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_variant_props_stats",
     sql="""
+    WITH j AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN CAST(props->>'$.k' AS BIGINT)
+               END AS k
+        FROM events WHERE props IS NOT NULL
+    )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
-    FROM events
-    WHERE props IS NOT NULL
-    GROUP BY event_type
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM j GROUP BY event_type
     """,
     doc="Semi-structured props through Spark 4's VARIANT type — the modern "
     "path for open-schema JSON columns (vs the string-probing "
@@ -2021,8 +2026,11 @@ def users_spend_topk_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # try_parse_json, not parse_json: a malformed document yields a NULL
+    # variant (k extracts NULL) instead of aborting the job — mirrored by
+    # the oracle's json_valid guard (hostile-string sweep, r11)
     v = ev.filter(F.col("props").isNotNull()).withColumn(
-        "pv", F.parse_json("props")
+        "pv", F.try_parse_json("props")
     )
     k = F.variant_get("pv", "$.k", "bigint")
     return v.groupBy("event_type").agg(

@@ -178,6 +178,10 @@ def main(only: list[str]) -> int:
         print("one-sided refusals (acceptable; eyeball-worthy):")
         for r in one_sided:
             print("  ", r)
+    if sym_refused:
+        print("both-engines refusals (symmetric; acceptable):")
+        for r in sym_refused:
+            print("  ", r)
     new = [(n, why) for n, why in silent if n not in KNOWN]
     if new:
         print(f"SILENT DIVERGENCE — new, not in KNOWN ({len(new)}):")

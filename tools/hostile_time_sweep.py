@@ -201,6 +201,10 @@ def main(only: list[str]) -> int:
         print("one-sided refusals (acceptable; eyeball-worthy):")
         for r in one_sided:
             print("  ", r)
+    if sym_refused:
+        print("both-engines refusals (symmetric; acceptable):")
+        for r in sym_refused:
+            print("  ", r)
     if crashed:
         print(f"JVM-KILLERS — a crash is never an acceptable refusal "
               f"({len(crashed)}):")
