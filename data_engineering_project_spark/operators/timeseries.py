@@ -62,10 +62,13 @@ def bucket_spine(
     # the current optimizer happens not to fire it, but an empty spine
     # must be empty BY CONSTRUCTION (sequence(NULL, NULL) → NULL →
     # explode drops it), not by null-propagation accident (ADVICE r10).
-    # strict bound: sequence() is end-inclusive, so require
-    # lo + step*(max_slots-1) >= hi — at most max_slots slots exactly
+    # exact bound: sequence(lo, hi, step) emits floor((hi-lo)/step)+1
+    # slots, which is <= max_slots  iff  lo + step*max_slots > hi. The
+    # earlier >= (max_slots-1) form was conservative — it refused legal
+    # non-step-aligned spans (step 1h, max_slots 10, span 9.5h -> 10
+    # slots but lo+9h < hi raised; ADVICE r11).
     hi_ok = F.when(F.col("_hi").isNull(), F.col("_hi")).when(
-        F.expr(f"_lo + ({step}) * {max_slots - 1}") >= F.col("_hi"),
+        F.expr(f"_lo + ({step}) * {max_slots}") > F.col("_hi"),
         F.col("_hi"),
     ).otherwise(
         F.raise_error(

@@ -241,5 +241,5 @@ def test_dup_threshold_curve_is_monotone(spark, sf_dir):
         assert cur["n_pairs"] <= prev["n_pairs"]
         assert cur["n_removable"] <= prev["n_removable"]
     for r in rows:
-        assert r["n_removable"] <= max(r["n_pairs"], 0) or r["n_pairs"] == 0
+        assert r["n_removable"] <= r["n_pairs"]
         assert (r["n_pairs"] == 0) == (r["n_removable"] == 0)

@@ -159,3 +159,24 @@ def test_bucket_spine_max_slots_is_strict(spark):
     assert TS.bucket_spine(df, ["k"], "h", max_slots=10).count() == 10
     with pytest.raises(Exception, match="bucket_spine.*max_slots"):
         TS.bucket_spine(df, ["k"], "h", max_slots=9).count()
+
+
+def test_bucket_spine_max_slots_exact_on_unaligned_span(spark):
+    """A span that is not a multiple of step must not be falsely refused:
+    step 1h over a 9.5h span yields exactly 10 slots, so max_slots=10
+    passes and max_slots=9 refuses (ADVICE r11: the old conservative
+    bound lo + step*(max_slots-1) >= hi raised on this legal range)."""
+    import datetime as dt
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 0, 0)),
+            ("a", dt.datetime(2024, 1, 1, 9, 30)),
+        ],
+        "k string, h timestamp",
+    )  # sequence(00:00, 09:30, 1h) -> 00:00..09:00 = 10 slots
+    assert TS.bucket_spine(df, ["k"], "h", max_slots=10).count() == 10
+    with pytest.raises(Exception, match="bucket_spine.*max_slots"):
+        TS.bucket_spine(df, ["k"], "h", max_slots=9).count()

@@ -28,6 +28,7 @@ Exit 0 iff every query is layout-invariant.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import sys
 import time
@@ -42,6 +43,18 @@ OUT_ROOT = os.environ.get(
 )
 K_FILES = 64
 SHUFFLE_SEED = 0x5EED
+
+
+def coprime_stride(n: int) -> int:
+    """Smallest odd stride >= 7919 with gcd(stride, n) == 1, so the
+    multiplicative walk (seed + i*stride) % n is a bijection on 0..n-1.
+    A plain divisibility check is NOT enough: bumping 7919 -> 7921
+    (= 89^2) passes ``n % stride != 0`` for n = 89*k yet shares the
+    factor 89, silently duplicating/dropping rows (ADVICE r11)."""
+    stride = 7919
+    while math.gcd(stride, n) != 1:
+        stride += 2
+    return stride
 
 
 def build_layouts() -> tuple[str, str]:
@@ -64,10 +77,8 @@ def build_layouts() -> tuple[str, str]:
         d64 = os.path.join(k64_dir, f"{t}.parquet")
         os.makedirs(d64, exist_ok=True)
         if n > 0:
-            stride = 7919  # prime; co-prime with any n not divisible by it
-            while n % stride == 0:
-                stride += 2
-            perm = [(SHUFFLE_SEED + i * stride) % n for i in range(n)]
+            perm = [(SHUFFLE_SEED + i * coprime_stride(n)) % n
+                    for i in range(n)]
             shuffled = table.take(pa.array(perm, type=pa.int64()))
         else:
             shuffled = table
