@@ -56,8 +56,12 @@ HEADLINE = (
     # real scale surface (measured exponent 1.0, shuffle ∝ corpus)
     "docs_duplicate_ngram_spans",
     "docs_quality_scores",
-    "docs_jaccard_vs_query",
-    "emb_cosine_topk",
+    # docs_jaccard_vs_query + emb_cosine_topk retired r12 (sub-0.5 s
+    # constant-bound; pair-dedup and vector ranking stay covered by
+    # minhash/simhash and ivf/ivfpq rows); slots go to the round-11
+    # dedup threshold-tuning curve and the exact-re-rank serving path
+    "emb_dup_threshold_curve",
+    "emb_ivfpq_rerank_topk",
     "emb_lsh_bucket_profile",
     # second wave: join/window/pivot/skew/UDF classes
     "events_asof_purchase_click",
@@ -67,13 +71,17 @@ HEADLINE = (
     "q18_large_orders",
     "docs_frame_sampling",
     "emb_ivf_topk",
-    "docs_bpe_token_stats",
+    # docs_bpe_token_stats retired r12 (BPE class keeps docs_bpe_merges,
+    # the expensive half); slot goes to the round-11 leakage-safe split
+    "docs_leakage_safe_split",
     # third wave: pure-pushdown scan and sketch classes
     "q6_forecast_revenue",
     "events_cms_heavy_hitters",
-    # fourth wave: iterative graph and combiner-friendly timeseries agg
+    # fourth wave: iterative graph; events_ohlc_daily retired r12
+    # (timeseries agg stays covered by events_daily_anomalies); slot goes
+    # to the round-11 torn-state streaming cohort serving row
     "graph_pagerank_trade",
-    "events_ohlc_daily",
+    "events_cohort_serving",
     # fifth wave: behavioral analytics (stacked windows, wedge join)
     "events_funnel_conversion",
     "parts_triangle_affinity",
@@ -90,7 +98,11 @@ HEADLINE = (
     "docs_bigram_lm_score",
     "suppliers_cooccurrence",
     "parts_pareto_frontier",
-    "events_pit_enrichment",
+    # events_pit_enrichment retired r12 (sub-0.4 s constant-bound; the
+    # as-of/PIT class stays covered by events_asof_purchase_click); slot
+    # goes to the suffix-automaton-free substring canonical manifest —
+    # the heaviest un-benched catalog row
+    "docs_substring_canonical_manifest",
     # ninth wave (round 4): shrinking-iteration graph peel, broadcast
     # membership sketch, two-pass data-derived sampling, truncated-vs-full
     # vector ranking
@@ -171,6 +183,40 @@ def _calibration_sentinel(spark, runs: int) -> dict[str, float]:
         out[f"{name}_spread"] = round(samples[-1] - samples[0], 3)
     out["total_sec"] = round(out["cpu_sec"] + out["shuffle_sec"], 3)
     return out
+
+
+# Local (interleaved) calibration: bench runs headliners in FIXED order, so
+# a decaying-load box systematically inflates the same early queries while
+# the single run-start sentinel under-reads the load they actually saw
+# (round-11 driver bench: the three flagged "risers" were all early-order
+# queries on a box whose sentinel decayed 2.635 -> 1.615 s across the run;
+# all three judge-re-timed into band). A mini-sentinel every N queries makes
+# per-query normalization LOCAL: each query divides by the average of the
+# probes bracketing its block, so a load transient shows up as a moved
+# denominator instead of a phantom regression.
+MINI_SENTINEL_EVERY = 8
+MINI_CPU_ROWS = 50_000_000
+MINI_SHUFFLE_ROWS = 1 << 21
+MINI_SHUFFLE_KEYS = 1 << 12
+
+
+def _mini_sentinel(spark) -> float:
+    """One timed pass of a small fixed workload (~0.3 s): cpu hash fold +
+    one tiny exchange. Single-shot on purpose — it probes the box state AT
+    THIS MOMENT; a median over retries would smooth away exactly the
+    transient it exists to catch."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(MINI_CPU_ROWS, numPartitions=int(CPUS)).select(
+        F.bit_xor(F.xxhash64("id")).alias("h")
+    ).collect()
+    spark.range(MINI_SHUFFLE_ROWS, numPartitions=int(CPUS)).groupBy(
+        (F.col("id") % MINI_SHUFFLE_KEYS).alias("k")
+    ).agg(F.bit_xor(F.xxhash64("id")).alias("s")).select(
+        F.bit_xor(F.xxhash64("k", "s")).alias("h")
+    ).collect()
+    return time.perf_counter() - t0
 
 
 def _stage_totals(spark) -> dict[str, int] | None:
@@ -347,7 +393,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     shuffle_mb: dict[str, dict[str, float] | None] = {}
-    for name in HEADLINE:
+    minis: list[float] = []
+    for qi, name in enumerate(HEADLINE):
+        if qi % MINI_SENTINEL_EVERY == 0:
+            minis.append(round(_mini_sentinel(spark), 3))
         fn = qs[name]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         before = _stage_totals(spark)
@@ -367,6 +416,19 @@ def main() -> None:
             }
         else:
             shuffle_mb[name] = None
+    minis.append(round(_mini_sentinel(spark), 3))  # closing bracket probe
+
+    # per-query LOCAL normalization: divide by the average of the probes
+    # bracketing the query's block (mini i sits before block i)
+    def _local_norm(qi: int, wall: float) -> float:
+        i = qi // MINI_SENTINEL_EVERY
+        local = (minis[i] + minis[min(i + 1, len(minis) - 1)]) / 2
+        return round(wall / max(local, 1e-3), 3)
+
+    queries_per_local_sentinel = {
+        name: _local_norm(qi, timings[name])
+        for qi, name in enumerate(HEADLINE)
+    }
 
     # DuckDB twin: the same query's oracle SQL on the same parquet
     duck: dict[str, float | None] = {}
@@ -433,6 +495,12 @@ def main() -> None:
             k: round(v / max(sentinel["total_sec"], 1e-3), 3)
             for k, v in timings.items()
         },
+        # interleaved probes + the LOCAL normalization (round-11 verdict
+        # #5): if mini_sentinel_sec decays/spikes across the run, trust
+        # queries_per_local_sentinel over raw walls for per-query deltas
+        mini_sentinel_sec=minis,
+        mini_sentinel_every=MINI_SENTINEL_EVERY,
+        queries_per_local_sentinel=queries_per_local_sentinel,
         serving_index=_serving_index_latency(spark),
         spread_max_minus_min=spreads,
         per_run_mb=shuffle_mb,

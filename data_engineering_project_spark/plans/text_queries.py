@@ -632,15 +632,29 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # guard: Spark's sequence(1, 0) auto-reverses to [1, 0] instead of
     # returning empty (DuckDB's generate_series IS empty) — sub-2-char
-    # docs would fabricate bigrams on one side only
-    pos = docs.filter(F.length("text") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1), "
-                "i -> substring(text, i, 2))"
-            )
-        ).alias("b"),
+    # docs would fabricate bigrams on one side only.
+    # Bigrams are PACKED-CODEPOINT LONGS, not 2-char strings: the key
+    # rides through a persist, a broadcast join, and two groupBys, and a
+    # long hashes/compares/serializes for a fraction of a UTF8String
+    # (A/B tools/ab_bigram_lm_variants.py on the sf0.1->sf0.5 big
+    # denominators: marginal 1.99 -> 0.80 s, slope 3.2 -> ~1.9; the
+    # split-chars-only variant measured FLAT, so the string keys — not
+    # the substring walk — were the cost). 1114112 = 0x110000 exceeds
+    # the max Unicode codepoint, so a*1114112+b is injective; the key
+    # never leaves the query (output is per-doc scores), so the
+    # representation is internal.
+    pos = (
+        docs.filter(F.length("text") >= 2)
+        .select("doc_id", F.split("text", "").alias("ch"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ch) - 2), "
+                    "i -> ascii(ch[i]) * 1114112L + ascii(ch[i + 1]))"
+                )
+            ).alias("b"),
+        )
     )
     # No (doc, bigram) pre-count layer: occurrence-level scoring sums the
     # same total (Σ_occurrences t(b) ≡ Σ_b c_d(b)·t(b)) while both
@@ -654,15 +668,16 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pos = pos.persist(StorageLevel.MEMORY_AND_DISK)
     model = pos.groupBy("b").agg(F.count("*").cast("bigint").alias("cb"))
-    ctx = model.groupBy(F.substring("b", 1, 1).alias("x")).agg(
+    first_cp = (F.col("b") / 1114112).cast("bigint")  # exact: b < 2^41
+    ctx = model.groupBy(first_cp.alias("x")).agg(
         F.sum("cb").cast("bigint").alias("cx")
     )
     vocab = model.agg(
-        F.countDistinct(F.substring("b", 2, 1)).cast("bigint").alias("v")
+        F.count_distinct(F.col("b") % 1114112).cast("bigint").alias("v")
     )
     term = (
         model.join(
-            F.broadcast(ctx), F.substring(model["b"], 1, 1) == ctx["x"]
+            F.broadcast(ctx), (model["b"] / 1114112).cast("bigint") == ctx["x"]
         )
         .crossJoin(F.broadcast(vocab))
         .select(

@@ -87,11 +87,46 @@ def v2_distinct_then_fold(spark, sf_dir):
     )
 
 
+def v3_direct_fold(spark, sf_dir):
+    """ONE shuffle: skip the pre-distinct entirely — collect_set dedups
+    inside its own partial (map-side) fold, so the orderkey exchange is
+    the only exchange before the pair count. The incumbent pays a second
+    full shuffle for the HashAggregate distinct; at ≤7 lines/order the
+    dedup win per row is small, so the question is whether the saved
+    exchange beats the codegen'd pre-shrink (round-12, sf0.1->sf0.5
+    denominators)."""
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("supps"))
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(supps, (x, i) -> "
+                "transform(slice(supps, i + 2, size(supps)), "
+                f"y -> x * {PACK}L + y)))"
+            )
+        ).alias("pk")
+    )
+    counts = pairs.groupBy("pk").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    top = counts.orderBy(F.desc("n_orders"), "pk").limit(20)
+    return top.select(
+        F.expr(f"CAST(pk div {PACK}L AS BIGINT)").alias("supp_a"),
+        F.expr(f"CAST(pk % {PACK}L AS BIGINT)").alias("supp_b"),
+        "n_orders",
+    )
+
+
 if __name__ == "__main__":
     run_ab(
         {
             "v0_collect_set_fold": suppliers_cooccurrence,
             "v1_distinct_selfjoin": v1_distinct_selfjoin,
             "v2_distinct_then_fold": v2_distinct_then_fold,
+            "v3_direct_fold": v3_direct_fold,
         }
     )

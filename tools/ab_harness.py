@@ -29,6 +29,12 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def _smaller_sf_dir(path: str) -> str | None:
+    # explicit override: lets an A/B use the big local denominators
+    # (SF_DIR=.localdata/sf0.5, SMALL=/root/testdata/sf0.1) instead of
+    # the default /10 sibling convention (round-12: tools/make_sf.py)
+    override = os.environ.get("SPARK_GRAFT_SF_SMALL_DIR")
+    if override:
+        return override if os.path.isdir(override) else None
     base = os.path.basename(os.path.normpath(path))
     if not base.startswith("sf"):
         return None
