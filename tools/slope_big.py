@@ -103,12 +103,21 @@ def main() -> None:
         )
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slope_sf05.json")
+    # subset runs MERGE into the standing table (re-measuring one query
+    # must not discard the other entries' evidence)
+    prior: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prior = json.load(fh).get("queries", {})
+        except (OSError, ValueError):
+            prior = {}
     payload = {
         "small": SMALL_DIR,
         "big": BIG_DIR,
         "runs_per_point": runs,
         "noise_floor_sec": NOISE_FLOOR_SEC,
-        "queries": out,
+        "queries": {**prior, **out},
     }
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=1)
