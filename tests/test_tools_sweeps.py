@@ -28,3 +28,26 @@ def test_shuffle_permutation_is_bijection_on_hostile_n():
         stride = coprime_stride(n)
         perm = [(SHUFFLE_SEED + i * stride) % n for i in range(n)]
         assert sorted(perm) == list(range(n)), n
+
+
+def test_engine_version_pin_matches_and_catches_drift(tmp_path, monkeypatch):
+    """Seventh standing axis (r11 verdict #7): the battery certifies only
+    the pinned engines; drift must refuse loudly (unless overridden)."""
+    import json
+
+    import pytest
+
+    import tools.version_pin as vp
+
+    vp.assert_engine_versions()  # the committed pin matches this image
+
+    fake = dict(json.load(open(vp.PIN_PATH)))
+    fake["pyspark"] = "0.0.0"
+    p = tmp_path / "pin.json"
+    p.write_text(json.dumps(fake))
+    monkeypatch.setattr(vp, "PIN_PATH", str(p))
+    monkeypatch.delenv("SPARK_GRAFT_ALLOW_VERSION_DRIFT", raising=False)
+    with pytest.raises(SystemExit, match="engine-version drift"):
+        vp.assert_engine_versions()
+    monkeypatch.setenv("SPARK_GRAFT_ALLOW_VERSION_DRIFT", "1")
+    vp.assert_engine_versions()  # exploratory override

@@ -21,6 +21,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.version_pin import assert_engine_versions
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.001")
 
 
@@ -35,6 +37,7 @@ def result_hash(df) -> str:
 
 
 def main(only: list[str]) -> int:
+    assert_engine_versions()
     from data_engineering_project_spark.session import get_spark
     from data_engineering_project_spark.plans.catalog import queries
 

@@ -43,6 +43,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tools.driver_sim as sim
+from tools.version_pin import assert_engine_versions
 
 #: Known silent divergences, each requiring a ROADMAP backlog note with
 #: its root-cause class. All 4 first-run findings were fixed in round 10.
@@ -111,6 +112,7 @@ def build_mutated_tables() -> None:
 
 
 def main(only: list[str]) -> int:
+    assert_engine_versions()
     build_mutated_tables()
     import duckdb
     from pyspark.sql import SparkSession

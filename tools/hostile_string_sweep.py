@@ -35,6 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tools.driver_sim as sim
+from tools.version_pin import assert_engine_versions
 
 #: Known silent divergences, each requiring a ROADMAP backlog note.
 #: EMPTY since round 11: the round-10 backlog (10 entries in four
@@ -127,6 +128,7 @@ def build_mutated_tables() -> None:
 
 
 def main(only: list[str]) -> int:
+    assert_engine_versions()
     build_mutated_tables()
     import duckdb
     from pyspark.sql import SparkSession

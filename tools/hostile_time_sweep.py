@@ -30,6 +30,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tools.driver_sim as sim
+from tools.version_pin import assert_engine_versions
 
 #: Known silent divergences, each requiring a ROADMAP backlog note.
 KNOWN: dict[str, str] = {}
@@ -80,6 +81,7 @@ def build_mutated_tables() -> None:
 
 
 def main(only: list[str]) -> int:
+    assert_engine_versions()
     build_mutated_tables()
     import pickle
 

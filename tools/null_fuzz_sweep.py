@@ -29,6 +29,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tools.driver_sim as sim
+from tools.version_pin import assert_engine_versions
 
 #: Known NULL-shape divergences, each with its root-cause class — the
 #: audit exits 0 on these and 1 on anything new. All 32 first-run
@@ -90,6 +91,7 @@ def build_mutated_tables() -> None:
 
 
 def main(only: list[str]) -> int:
+    assert_engine_versions()
     build_mutated_tables()
     sim.SF_DIR = OUT_DIR  # the compare loop reads this module global
     if only:

@@ -36,6 +36,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import tools.driver_sim as sim
+from tools.version_pin import assert_engine_versions
 
 BASE_SF = os.environ.get("SPARK_GRAFT_PARTITION_BASE", "/root/testdata/sf0.001")
 OUT_ROOT = os.environ.get(
@@ -100,6 +101,7 @@ def result_hash(df) -> str:
 
 
 def main(only: list[str]) -> int:
+    assert_engine_versions()
     k1_dir, k64_dir = build_layouts()
     from pyspark.sql import SparkSession
 
