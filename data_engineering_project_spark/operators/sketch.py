@@ -147,6 +147,7 @@ def cms_heavy_hitters(
     width: int = WIDTH,
     seed: int = 42,
     hasher: str = "md5",
+    pre_agg: bool = False,
 ) -> DataFrame:
     """Two-pass φ-heavy-hitters: keys whose estimated count ≥ φ·N.
 
@@ -155,7 +156,25 @@ def cms_heavy_hitters(
     true heavy hitter survives (perfect recall); collisions can admit a
     near-threshold false positive — precision is governed by width.
     Returns ``(key, est_count, total_count)`` ordered by est desc.
+
+    ``pre_agg=True`` folds the stream to exact ``(key, weight)`` counts
+    FIRST and builds the sketch from the weighted key table —
+    ``CMS(weighted counts) == CMS(stream)`` bit-for-bit (same buckets,
+    same sums, collisions included), but the md5 probes are computed per
+    DISTINCT key instead of per stream row and pass 2 reuses the same
+    probed frame instead of rescanning the table (A/B tools/ab_cms.py on
+    the sf0.1->sf0.5 big denominators: marginal 2.00 s -> ~0, absolute
+    halved). The trade is the shuffle shape: pre-agg's exchange carries
+    distinct-keys-per-partition partials — the right choice when key
+    cardinality is bounded (user ids here); the default stream shape
+    keeps the sketch-sized exchange that is THE point of a CMS when keys
+    are billions of long-tail n-grams/URLs.
     """
+    if pre_agg:
+        return _cms_heavy_hitters_weighted(
+            df, key, threshold_frac=threshold_frac, depth=depth,
+            width=width, seed=seed, hasher=hasher,
+        )
     sketch = count_min_sketch(
         df, key, depth=depth, width=width, seed=seed, hasher=hasher
     )
@@ -176,6 +195,51 @@ def cms_heavy_hitters(
         width=width,
         seed=seed,
         hasher=hasher,
+    )
+    return (
+        est.filter(F.col("est_count") >= threshold_frac * total)
+        .withColumn("total_count", F.lit(total))
+        .orderBy(F.col("est_count").desc(), F.col(key))
+    )
+
+
+def _cms_heavy_hitters_weighted(
+    df: DataFrame,
+    key: str,
+    *,
+    threshold_frac: float,
+    depth: int,
+    width: int,
+    seed: int,
+    hasher: str,
+) -> DataFrame:
+    """``pre_agg=True`` body: weighted sketch over exact per-key counts.
+
+    One map-side-combined exact count per key, ONE probed frame persisted
+    and reused by both the sketch build (sum of weights per bucket) and
+    the estimation join — zero extra table scans, md5 per distinct key.
+    Estimates are identical to the stream build by linearity of the
+    bucket sums (property-tested in tests/test_sketch.py).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    keyed = df.groupBy(key).agg(F.count("*").alias("_w"))
+    probed = keyed.select(
+        key,
+        "_w",
+        F.explode(_probes(F.col(key), depth, width, seed, hasher)).alias("p"),
+    ).select(key, "_w", "p.row_idx", "p.bucket")
+    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+    sketch = probed.groupBy("row_idx", "bucket").agg(
+        F.sum("_w").alias("cnt")
+    )
+    sketch_rows = sketch.collect()
+    total = sum(r["cnt"] for r in sketch_rows if r["row_idx"] == 0)
+    sketch_local = df.sparkSession.createDataFrame(sketch_rows, sketch.schema)
+    est = (
+        probed.join(F.broadcast(sketch_local), ["row_idx", "bucket"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
     return (
         est.filter(F.col("est_count") >= threshold_frac * total)

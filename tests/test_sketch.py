@@ -87,6 +87,33 @@ def test_cms_deterministic_across_builds(spark, sf_dir):
     assert a == b
 
 
+def test_cms_weighted_preagg_build_is_bit_identical(spark, sf_dir):
+    """CMS(exact per-key counts as weights) == CMS(stream), collisions
+    included, by linearity of the bucket sums — the pre_agg=True fast
+    path (A/B'd zero-marginal on the sf0.5 denominators) must never be
+    allowed to drift from the stream build it claims to equal."""
+    ev = load_table(spark, sf_dir, "events")
+    stream = sorted(
+        K.cms_heavy_hitters(ev, "user_id", threshold_frac=0.008).collect()
+    )
+    weighted = sorted(
+        K.cms_heavy_hitters(
+            ev, "user_id", threshold_frac=0.008, pre_agg=True
+        ).collect()
+    )
+    assert stream == weighted
+    # and at a lower threshold (more rows, more collision exposure)
+    stream2 = sorted(
+        K.cms_heavy_hitters(ev, "user_id", threshold_frac=0.0001).collect()
+    )
+    weighted2 = sorted(
+        K.cms_heavy_hitters(
+            ev, "user_id", threshold_frac=0.0001, pre_agg=True
+        ).collect()
+    )
+    assert stream2 == weighted2
+
+
 def test_hll_estimate_close_to_exact_and_deterministic(spark, sf_dir):
     # raw estimates (the catalog query now emits the bound WITNESS; the
     # underlying sketch accuracy is asserted here on the raw aggregate)
