@@ -219,6 +219,16 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     folded = F.aggregate(toks, acc0, step)
+    # persist the tiny (doc_id + 5 ints) frame: per_doc feeds BOTH the
+    # global stats aggregate and the scoring join, and without the pin
+    # the interpreted HOF fold — the dominant cost — runs twice per
+    # execution. Cold-cache A/B on the sf0.1->sf0.5 denominators
+    # (tools/ab_bm25.py + clearCache protocol): marginal 1.55 -> 0.55 s,
+    # slope 2.1 -> ~0.4. A regexp_count lookaround variant measured the
+    # same marginal with no persist; kept the fold for one tokenizer
+    # primitive across the search family.
+    from pyspark.storagelevel import StorageLevel
+
     per_doc = docs.select(
         "doc_id",
         folded["dl"].alias("dl"),
@@ -226,7 +236,7 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             folded[f"t{i}"].alias(f"tf_{i}")
             for i in range(len(_SEARCH_TERMS))
         ],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
