@@ -944,8 +944,6 @@ def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "information", "window"),
 )
 def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     # Adjacent-pair unfold stays array-side (one struct per position, no
     # join): slice yields positions 1..len-1; element_at(ts, i+2) is the
@@ -961,13 +959,24 @@ def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = bg.groupBy(
         F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     ).agg(F.count("*").cast("bigint").alias("n_xy"))
-    marg = pairs.select(
-        "w1",
-        "w2",
-        "n_xy",
-        F.sum("n_xy").over(Window.partitionBy("w1")).alias("n_x"),
-        F.sum("n_xy").over(Window.partitionBy("w2")).alias("n_y"),
-        F.sum("n_xy").over(Window.partitionBy()).alias("n"),
+    # marginals as aggregates + broadcast joins, NOT windows: the former
+    # partitionBy() global window funneled the ENTIRE pairs table through
+    # one task — bounded here by distinct-bigram count, but a word-level
+    # bigram vocabulary at 100 TB is billions of rows through a single
+    # partition (the one scale-killer shape the plan audits exist to
+    # catch; r12 slope sweep read 2.07 on it). The per-word marginal
+    # tables are vocab-sized -> broadcast; N is a 1-row scalar attach.
+    # pairs feeds three aggregates + the join, so pin it once.
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_x = pairs.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))
+    n_y = pairs.groupBy("w2").agg(F.sum("n_xy").alias("n_y"))
+    n = pairs.agg(F.sum("n_xy").alias("n"))
+    marg = (
+        pairs.join(F.broadcast(n_x), "w1")
+        .join(F.broadcast(n_y), "w2")
+        .crossJoin(F.broadcast(n))
     )
     return (
         marg.filter(F.col("n_xy") >= 5)
