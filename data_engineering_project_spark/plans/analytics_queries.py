@@ -902,14 +902,17 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "share thresholds 80/95% — the contribution-analysis operator behind "
     "'which 20% of SKUs carry 80% of revenue'. Threshold tests are pure "
     "integer comparisons (cum*10 <= tot*8), so no floating-point share "
-    "ever exists to disagree across engines. The ranking window runs on "
-    "the POST-AGGREGATION part ledger (|parts| rows, not line items); a "
-    "cumulative distribution is inherently a global order — at extreme "
-    "dimension cardinality, range-partition the prefix sums.",
+    "ever exists to disagree across engines. The cumulative revenue runs "
+    "on the POST-AGGREGATION part ledger (|parts| rows, not line items) "
+    "via the two-pass range-partitioned prefix scan "
+    "(operators/prefix.py) — parallel across buckets, no single-reducer "
+    "global window even at hundreds of millions of SKUs.",
     tags=("analytics", "window", "classification"),
 )
 def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from data_engineering_project_spark.operators.prefix import (
+        partitioned_cumsum,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -917,13 +920,23 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("units")
     )
-    w_cum = Window.orderBy(F.desc("units"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # two-pass parallel prefix scan (operators/prefix.py), NOT a global
+    # ordered window: the part ledger scales with the DIMENSION (hundreds
+    # of millions of SKUs at 100 TB) and the single-reducer window would
+    # route all of it through one task (r12: same migration as the
+    # weighted median's ratified shape). Descending revenue order =
+    # ascending on the negated key; partkey breaks ties exactly like the
+    # old (DESC units, ASC partkey) frame. Total is a 1-row broadcast.
+    cum = partitioned_cumsum(
+        rev.withColumn("_negu", -F.col("units")),
+        order_col="_negu",
+        value_col="units",
+        tie_col="l_partkey",
+        out_col="cum_units",
     )
-    ranked = rev.select(
-        "units",
-        F.sum("units").over(w_cum).alias("cum_units"),
-        F.sum("units").over(Window.partitionBy()).alias("tot_units"),
+    tot = rev.agg(F.sum("units").alias("tot_units"))
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
+        "units", "cum_units", "tot_units"
     )
     classed = ranked.select(
         F.when(

@@ -655,14 +655,25 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.filter(F.col("event_type") == "click")
         .agg(F.countDistinct("user_id").alias("n_clickers"))
     )
-    wg = Window.partitionBy()
-    d = conv.select(
-        (F.col("cv") - F.col("fc")).alias("d_us")
-    ).select(
-        "d_us",
-        F.row_number().over(Window.orderBy("d_us")).alias("rn"),
-        F.count("*").over(wg).alias("n"),
-        F.sum("d_us").over(wg).alias("s"),
+    from data_engineering_project_spark.operators.prefix import (
+        partitioned_cumsum,
+    )
+
+    dd = conv.select((F.col("cv") - F.col("fc")).alias("d_us"))
+    # rank/count/sum over the per-converted-user deltas without a
+    # single-reducer window: converted users scale with the data (r12
+    # migration, same two-pass scan as the weighted median). Ties in
+    # d_us get an arbitrary rank permutation exactly like row_number;
+    # the rank-boundary selections below read the same VALUE either way.
+    d = partitioned_cumsum(
+        dd.withColumn("_one", F.lit(1)),
+        order_col="d_us",
+        value_col="_one",
+        out_col="rn",
+    ).crossJoin(
+        F.broadcast(
+            dd.agg(F.count("*").alias("n"), F.sum("d_us").alias("s"))
+        )
     )
     return (
         d.crossJoin(F.broadcast(clk))
@@ -768,11 +779,11 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "restates it explicitly). Balances and revenues snap to integer "
     "units pre-sum; the revenue side pre-aggregates orders per customer "
     "BEFORE its join (15:1 row reduction ahead of the shuffle). The "
-    "global rank window runs single-partition over customers — at true "
-    "100 TB scale that one column would route through the mergeable "
-    "histogram quantile sketch (`events_value_quantile_rollup`) "
-    "instead; the exact-rank form is the oracle-checkable reference "
-    "semantics.",
+    "exact rank is the two-pass range-partitioned prefix scan "
+    "(operators/prefix.py) — parallel across balance buckets, no "
+    "single-reducer window; for approximate bins at extreme scale the "
+    "mergeable histogram sketch (`events_value_quantile_rollup`) "
+    "remains the cheaper alternative.",
     tags=("stats", "binning", "feature"),
 )
 def customers_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,17 +791,26 @@ def customers_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").isNotNull()  # null-fuzz: rank/window measures must be non-null
     )
     o = load_table(spark, sf_dir, "orders")
-    ranked = c.select(
+    from data_engineering_project_spark.operators.prefix import (
+        partitioned_cumsum,
+    )
+
+    bal = c.select(
         "c_custkey",
         decimal_units(F.col("c_acctbal"), 100).alias("bal_u"),
-    ).select(
-        "c_custkey",
-        "bal_u",
-        F.row_number()
-        .over(Window.orderBy("bal_u", "c_custkey"))
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
     )
+    # rank = two-pass range-partitioned cumsum of 1 over the (bal_u,
+    # custkey) total order (operators/prefix.py) — parallel across value
+    # buckets; the old single-reducer row_number window routed every
+    # customer through one task (r12 migration). n rides a 1-row
+    # broadcast instead of a global count window.
+    ranked = partitioned_cumsum(
+        bal.withColumn("_one", F.lit(1)),
+        order_col="bal_u",
+        value_col="_one",
+        tie_col="c_custkey",
+        out_col="rn",
+    ).crossJoin(F.broadcast(bal.agg(F.count("*").alias("n"))))
     binned = ranked.select(
         "c_custkey",
         "bal_u",
