@@ -914,12 +914,17 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitioned_cumsum,
     )
 
+    from pyspark.storagelevel import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem")
+    # persist the per-part ledger: the prefix scan's bounds + bucketed
+    # passes and the grand-total aggregate would otherwise each replay
+    # the full lineitem scan (three fact scans at 100 TB)
     rev = li.groupBy("l_partkey").agg(
         F.sum(decimal_units(F.col("l_extendedprice"), 100))
         .cast("bigint")
         .alias("units")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # two-pass parallel prefix scan (operators/prefix.py), NOT a global
     # ordered window: the part ledger scales with the DIMENSION (hundreds
     # of millions of SKUs at 100 TB) and the single-reducer window would

@@ -659,7 +659,16 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitioned_cumsum,
     )
 
-    dd = conv.select((F.col("cv") - F.col("fc")).alias("d_us"))
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the tiny per-converted-user delta frame FIRST: the prefix
+    # scan's bounds pass + bucketed pass and the totals aggregate are
+    # three consumers, and unpinned each would replay the events scan +
+    # user window (the weighted median's ratified persisted-cell-table
+    # discipline; plan-asserted below at <=2 FileScans).
+    dd = conv.select((F.col("cv") - F.col("fc")).alias("d_us")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # rank/count/sum over the per-converted-user deltas without a
     # single-reducer window: converted users scale with the data (r12
     # migration, same two-pass scan as the weighted median). Ties in
@@ -795,10 +804,12 @@ def customers_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitioned_cumsum,
     )
 
+    from pyspark.storagelevel import StorageLevel
+
     bal = c.select(
         "c_custkey",
         decimal_units(F.col("c_acctbal"), 100).alias("bal_u"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers: bounds, scan, n
     # rank = two-pass range-partitioned cumsum of 1 over the (bal_u,
     # custkey) total order (operators/prefix.py) — parallel across value
     # buckets; the old single-reducer row_number window routed every

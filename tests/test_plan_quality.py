@@ -550,9 +550,15 @@ def test_interarrival_single_scan_two_keyed_windows(plans):
 
 def test_time_to_convert_shares_user_partitioning(plans):
     # first-click window + per-user min groupBy reuse one hash exchange on
-    # user_id; only the tiny converted-users frame sorts globally
+    # user_id; the converted-user delta frame is CACHED once (r12: its
+    # rank rides the two-pass prefix scan, whose bounds/bucketed/totals
+    # consumers would otherwise each replay the events scan). Every
+    # InMemoryTableScan PRINT embeds the cached lineage's FileScan, so
+    # effective scans = raw count - cached prints + 1 materialization.
     plan = plans("events_time_to_convert")
-    assert plan.count("FileScan") <= 2  # events + broadcast clicker count
+    assert "InMemoryTableScan" in plan
+    effective = plan.count("FileScan") - plan.count("InMemoryTableScan") + 1
+    assert effective <= 2  # one delta materialization + clicker count
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
@@ -720,12 +726,17 @@ def test_mannwhitney_single_scan_no_join(plans):
     assert "Join" not in plan
 
 
-def test_collocations_pmi_no_join(plans):
-    # bigrams unfold array-side and marginals are window sums over the
-    # grouped pair table: a single documents scan and zero joins
+def test_collocations_pmi_broadcast_marginals(plans):
+    # bigrams unfold array-side; marginals are vocab-sized aggregates
+    # joined back BROADCAST onto the cached pair table (r12: the former
+    # partitionBy() global window funneled every pair through one task).
+    # Effective scans: InMemoryTableScan prints embed the cached lineage's
+    # FileScan, so subtract the prints and add back one materialization.
     plan = plans("docs_collocations_pmi")
-    assert plan.count("FileScan") == 1
-    assert "Join" not in plan
+    assert "InMemoryTableScan" in plan  # pairs cached once, four consumers
+    assert plan.count("FileScan") - plan.count("InMemoryTableScan") + 1 == 1
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan  # marginals never shuffle the pairs
 
 
 def test_theilsen_self_joins_cached_rollup(plans):
