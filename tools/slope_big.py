@@ -35,17 +35,19 @@ BIG_DIR = "/root/repo/.localdata/sf0.5"
 SMALL_DIR = "/root/testdata/sf0.1"
 NOISE_FLOOR_SEC = 0.05
 
-# the nine >2x entries from BENCH_r11 / VERDICT r11, worst first
+# the nine >2x entries from BENCH_r11 / VERDICT r11, worst first —
+# ALL DISPOSITIONED in r12 on the big denominator (annotations = outcome;
+# the standing table lives in slope_sf05.json / ROADMAP round-12):
 WEAK_SET = (
-    "suppliers_cooccurrence",       # 12.3  (flip-flopper, A/A'd r9)
-    "docs_bigram_lm_score",         # 7.5   (A/A'd r10)
-    "events_balanced_downsample",   # 7.5   (A/A'd r10)
-    "q1_pricing_summary",           # 6.8   (ratified floor r6 + exact_avg A/B)
-    "running_revenue_window",       # 4.8   (never dispositioned — verdict #2)
-    "graph_pagerank_trade",         # 4.2   (A/A'd r11, ratified floor)
-    "docs_quality_scores",          # 3.7   (evidence-closed floor r11)
-    "docs_duplicate_ngram_spans",   # 2.6   (never dispositioned — verdict #2)
-    "graph_kcore_trade",            # 2.1   (ratified scaffold)
+    "suppliers_cooccurrence",       # 12.3 -> 6.61 FLOOR (4-variant A/B)
+    "docs_bigram_lm_score",         # 7.5  -> 0.92 FIXED (packed-int keys)
+    "events_balanced_downsample",   # 7.5  -> 1.19 cleared
+    "q1_pricing_summary",           # 6.8  -> null (zero marginal) cleared
+    "running_revenue_window",       # 4.8  -> 0.62 cleared (beats DuckDB)
+    "graph_pagerank_trade",         # 4.2  -> 1.17 cleared
+    "docs_quality_scores",          # 3.7  -> 1.84 cleared
+    "docs_duplicate_ngram_spans",   # 2.6  -> 0.57 cleared (beats DuckDB)
+    "graph_kcore_trade",            # 2.1  -> 0.80 cleared (beats DuckDB)
 )
 
 
