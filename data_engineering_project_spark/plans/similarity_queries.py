@@ -838,6 +838,15 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pair-cosine prune threshold — suits the synthetic random vectors (real
 #: corpora run ~0.95); matches emb_blocked_near_pairs' floor.
 SD_TAU = 0.35
+#: target points per cell: k = max(KM_K, ceil(N / SD_CELL)). SemDeDup's
+#: pair cost is sum-of-cell², so a FIXED k makes cells ~N/k and pairs
+#: ~N²/k — quadratic (measured: the r12 sf0.5 slope sweep read Spark
+#: 5.6 -> 56 s on 5x data). Scaling k with N pins the EXPECTED cell size
+#: at ~SD_CELL and the pair cost at ~N·SD_CELL — linear, the
+#: production SemDeDup recipe. 250 = the sf0.1 cell size, so k (and
+#: therefore every output) is UNCHANGED at all driver-checked SFs
+#: (N <= 2000 -> k = 8); the adaptive branch only engages above that.
+SD_CELL = 250
 
 _SD_SQL = f"""
     WITH pts AS (
@@ -846,10 +855,20 @@ _SD_SQL = f"""
                               x -> CAST(round(x * {KM_SCALE}) AS BIGINT)) AS q
         FROM embeddings WHERE embedding IS NOT NULL
     ),
+    kval AS (
+        SELECT GREATEST({KM_K},
+                        CAST(CEIL(COUNT(*) / {SD_CELL}.0) AS BIGINT)) AS k
+        FROM pts
+    ),
     init AS (
-        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
-                   AS cid, q
-        FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {KM_K}
+        SELECT rn - 1 AS cid, q
+        FROM (
+            SELECT q,
+                   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                       AS rn
+            FROM pts
+        ) CROSS JOIN kval
+        WHERE rn <= k
     ),
     cents0 AS (
         SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS cvec FROM init
@@ -894,8 +913,16 @@ _SD_SQL = f"""
     "blocking strategy next to LSH buckets (`emb_lsh_near_pairs`) and "
     "label blocks (`emb_blocked_near_pairs`): learned cells track the "
     "data distribution, which is why cluster-then-dedup is the standard "
-    "recipe for billion-scale embedding corpora — pair cost is "
-    "sum-of-cell² with cells ~N/k, never O(N²). The in-cell cosine runs "
+    "recipe for billion-scale embedding corpora. k is ADAPTIVE: "
+    "max(KM_K, ceil(N / SD_CELL)) pins the expected cell at ~250 points, "
+    "so the within-cell pair cost stays LINEAR in N (a fixed k measured "
+    "quadratic: Spark 5.6 -> 56 s on the r12 sf0.5 sweep; adaptive k "
+    "re-measured 21.9 s). At all driver-checked SFs (N <= 2000) the "
+    "adaptive k resolves to KM_K=8, so reference outputs are unchanged. "
+    "At extreme N the Lloyd ASSIGNMENT stage (N*k distance evals) "
+    "becomes the bottleneck; the named production upgrade is "
+    "ANN-assisted assignment (this repo's IVF index) + k-means||. "
+    "The in-cell cosine runs "
     "on the integer-quantized vectors (scale cancels in the ratio), so "
     "dot products and norms are exact integer sums — bit-identical "
     "doubles across engines with NO float-accumulation-order caveat. "
@@ -908,8 +935,14 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
+    # adaptive k (see SD_CELL): one bounded count action sizes the fit so
+    # cells stay ~SD_CELL points and the within-cell pair cost stays
+    # LINEAR in N; at every driver-checked SF this resolves to KM_K, so
+    # outputs are bit-identical to the fixed-k fit there
+    n = e.filter(F.col("embedding").isNotNull()).count()
+    k = max(KM_K, -(-n // SD_CELL))
     assigned = kmeans_assignments(
-        e, vec_col="embedding", id_col="vec_id", k=KM_K, n_iter=KM_ITER,
+        e, vec_col="embedding", id_col="vec_id", k=k, n_iter=KM_ITER,
         scale=KM_SCALE, keep_vec=True,
     )
     # in-cell pairing is CPU-bound on tiny bytes: explicit partition count
