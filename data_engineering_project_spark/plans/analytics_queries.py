@@ -485,22 +485,54 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked GROUP BY decile
     """,
     doc="ntile decile profiling — the distribution-bucketing window shape "
-    "(complements median/percentile in orders_price_quantiles): one global "
-    "sort window (o_orderkey tie-break makes bucket edges deterministic), "
-    "then per-decile extents. At 100 TB a global ntile is a single range "
-    "partition sort — the documented alternative is percentile_approx "
-    "bucket edges when a total sort is too expensive.",
+    "(complements median/percentile in orders_price_quantiles). The rank "
+    "is the two-pass range-partitioned prefix scan (operators/prefix.py, "
+    "sampled splits — o_totalprice is a skewed double) — parallel across "
+    "value buckets, never a single-reducer ORDER BY window over the "
+    "data-scaled orders table — and ntile's exact front-loaded-remainder "
+    "bucket rule is restated arithmetically from (rank, n): the first "
+    "n%10 buckets get ceil(n/10) rows. o_orderkey tie-break makes bucket "
+    "edges deterministic. For approximate bins at extreme scale, "
+    "percentile_approx bucket edges remain the cheaper alternative.",
     tags=("window", "agg"),
 )
 def orders_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from data_engineering_project_spark.operators.prefix import (
+        partitioned_cumsum,
+    )
 
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice").isNotNull()  # null-fuzz: rank/window measures must be non-null
     )
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    base = o.select("o_totalprice", "o_orderkey").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # 3 consumers: split sampling, scan, n
+    # rank = two-pass prefix scan of 1 over the (price, orderkey) total
+    # order; n rides a 1-row broadcast instead of a count() OVER () window
+    ranked = partitioned_cumsum(
+        base.withColumn("_one", F.lit(1)),
+        order_col="o_totalprice",
+        value_col="_one",
+        tie_col="o_orderkey",
+        out_col="rn",
+        split_strategy="sampled",
+    ).crossJoin(F.broadcast(base.agg(F.count("*").alias("n"))))
+    # exact ntile(10): with q = n div 10 and r = n % 10, the first r
+    # buckets hold q+1 rows and the rest hold q (the else branch is
+    # unreachable when q = 0, so its div-by-zero never evaluates)
+    decile = F.expr(
+        """CAST(CASE
+             WHEN rn <= (n % 10) * ((n div 10) + 1)
+             THEN (rn - 1) div ((n div 10) + 1) + 1
+             ELSE (n % 10)
+                  + (rn - (n % 10) * ((n div 10) + 1) - 1) div (n div 10)
+                  + 1
+           END AS INT)"""
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),
@@ -1126,11 +1158,12 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "end, and the running sum over boundary timestamps is the live "
     "concurrency. Starts order before ends at equal timestamps (d DESC), "
     "so touching sessions count as overlapping — the max-overlap "
-    "convention. Boundaries collapse to the grouped (t, d) table before "
-    "the ordered window, the grouped-frequency device again; at cluster "
-    "scale the cumulative becomes a two-pass range-partitioned prefix "
-    "sum, the same upgrade path the KS statistic documents. All counts "
-    "are exact integers.",
+    "convention. Boundaries collapse to the grouped (t, d) table first, "
+    "but that table scales ~2×|sessions| (raw event timestamps, not a "
+    "saturating cell grid), so the running sum is the two-pass "
+    "range-partitioned prefix scan (operators/prefix.py, sampled splits "
+    "over the timestamp key) — parallel across time buckets, never a "
+    "single-reducer ORDER BY window. All counts are exact integers.",
     tags=("window", "sessionize", "sweep-line"),
 )
 def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,10 +1196,22 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").cast("bigint").alias("dd"))
         .persist()
     )
-    w = Window.orderBy(F.col("t"), F.col("d").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from data_engineering_project_spark.operators.prefix import (
+        partitioned_cumsum,
     )
-    run = agg.select("t", F.sum("dd").over(w).alias("c"))
+
+    # sweep order is (t ASC, d DESC) — starts before ends at equal t; the
+    # prefix scan orders [order_col, tie_col] ascending, so negate d.
+    # (t, d) is unique post-groupBy, making (t, -d) the required total
+    # order; equal-t rows always share a bucket (splits are on t alone).
+    run = partitioned_cumsum(
+        agg.withColumn("_tb", -F.col("d")),
+        order_col="t",
+        value_col="dd",
+        tie_col="_tb",
+        out_col="c",
+        split_strategy="sampled",
+    ).select("t", "c")
     daily_max = run.groupBy(F.to_date("t").alias("day")).agg(
         F.max("c").cast("bigint").alias("max_concurrent")
     )

@@ -965,17 +965,23 @@ def docs_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram vocabulary at 100 TB is billions of rows through a single
     # partition (the one scale-killer shape the plan audits exist to
     # catch; r12 slope sweep read 2.07 on it). The per-word marginal
-    # tables are vocab-sized -> broadcast; N is a 1-row scalar attach.
+    # tables are vocab-sized — a SIZE-GATED hint, not a forced one: a
+    # billion-word vocabulary must degrade to a shuffle join, not OOM
+    # the driver (r12 ADVICE). N is a 1-row scalar attach.
     # pairs feeds three aggregates + the join, so pin it once.
     from pyspark.storagelevel import StorageLevel
+
+    from data_engineering_project_spark.operators.hints import (
+        broadcast_if_small,
+    )
 
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     n_x = pairs.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))
     n_y = pairs.groupBy("w2").agg(F.sum("n_xy").alias("n_y"))
     n = pairs.agg(F.sum("n_xy").alias("n"))
     marg = (
-        pairs.join(F.broadcast(n_x), "w1")
-        .join(F.broadcast(n_y), "w2")
+        pairs.join(broadcast_if_small(n_x), "w1")
+        .join(broadcast_if_small(n_y), "w2")
         .crossJoin(F.broadcast(n))
     )
     return (

@@ -128,12 +128,26 @@ def _perturb_docs(table: pa.Table, k: int) -> pa.Table:
 
 def _perturb_embeddings(table: pa.Table, k: int) -> pa.Table:
     col = table["embedding"].combine_chunks()
+    # NULL embeddings would need the validity bitmap threaded through
+    # from_arrays below — fail loudly instead of tripping the length
+    # assert with a confusing message / silently turning NULLs into []
+    assert col.null_count == 0, (
+        f"{col.null_count} NULL embeddings — _perturb_embeddings assumes "
+        "a dense list column (thread the validity bitmap if this changes)"
+    )
     offsets = col.offsets
     values = col.values.to_numpy(zero_copy_only=False)
     lens = np.diff(offsets.to_numpy(zero_copy_only=False))
     assert (lens == lens[0]).all(), "variable-length embeddings"
     dim = int(lens[0])
-    mat = np.roll(values.reshape(-1, dim), k % dim, axis=1)
+    # roll is modular in dim: replica k and k+dim would share a rotation,
+    # i.e. verbatim cross-replica duplicate vectors, breaking the
+    # documented no-artificial-near-dup invariant
+    assert k < dim, (
+        f"replica {k} >= embedding dim {dim}: np.roll repeats, creating "
+        "verbatim duplicate vectors across replicas"
+    )
+    mat = np.roll(values.reshape(-1, dim), k, axis=1)
     arr = pa.ListArray.from_arrays(offsets, pa.array(mat.ravel(), type=pa.float32()))
     return _replace(table, "embedding", arr)
 
