@@ -55,7 +55,11 @@ HEADLINE = (
     # duplicated-span profile, whose span-key shuffle is the class's
     # real scale surface (measured exponent 1.0, shuffle ∝ corpus)
     "docs_duplicate_ngram_spans",
-    "docs_quality_scores",
+    # docs_quality_scores retired r13 (0.39 s constant-bound, slope 1.84
+    # cleared; text scoring stays covered by bm25/bigram/collocations);
+    # slot goes to the Gopher repetition profile — the r12 sweep's worst
+    # entry (slope 9.24), rewritten map-side this round, needs a trend line
+    "docs_repetition_profile",
     # docs_jaccard_vs_query + emb_cosine_topk retired r12 (sub-0.5 s
     # constant-bound; pair-dedup and vector ranking stay covered by
     # minhash/simhash and ivf/ivfpq rows); slots go to the round-11
@@ -97,7 +101,12 @@ HEADLINE = (
     # bipartite projection, pruned skyline, union+LOCF PIT lookup
     "docs_bigram_lm_score",
     "suppliers_cooccurrence",
-    "parts_pareto_frontier",
+    # parts_pareto_frontier retired r13 (0.30 s constant-bound, slope 0.0
+    # — outright beats the oracle; skyline stays slope-tracked in
+    # slope_sf05.json); slot goes to the association-rules miner, the
+    # r12 sweep's second un-dispositioned weak entry (slope 4.39) — a
+    # 4-variant A/B floor-ratified it r13, the trend line watches it
+    "parts_association_rules",
     # events_pit_enrichment retired r12 (sub-0.4 s constant-bound; the
     # as-of/PIT class stays covered by events_asof_purchase_click); slot
     # goes to the suffix-automaton-free substring canonical manifest —
