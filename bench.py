@@ -312,6 +312,60 @@ def _serving_index_latency(spark) -> dict:
         return {"err": str(exc)[:200]}
 
 
+def _cohort_serving_read_latency(spark, runs: int) -> dict:
+    """events_cohort_serving's headline wall is dominated by its streaming
+    protocol theater (three micro-batch upserts, a forced redelivery, a
+    torn-state kill+replay) — in-run spread 6.4 s made the r12 number
+    uninformative (r12 verdict #8). Split the two phases: build the state
+    ONCE untimed from clean batches, then time only read_cohort_retention
+    — the per-query path a serving user pays. Goes to BENCH_DETAIL.json;
+    the driver line keeps the full protocol row."""
+    import shutil
+    import tempfile
+
+    try:
+        from pyspark.sql import functions as F
+
+        from data_engineering_project_spark.sources.tables import load_table
+        from data_engineering_project_spark.streaming.pipeline import (
+            read_cohort_retention,
+            upsert_cohort_state,
+        )
+
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "ts"
+        )
+        tmp = tempfile.mkdtemp(prefix="bench_cohort_read_")
+        try:
+            t0 = time.perf_counter()
+            writer = upsert_cohort_state(tmp, time_col="ts")
+            for i in range(3):
+                writer(
+                    ev.filter(
+                        F.coalesce(F.pmod("event_id", F.lit(3)), F.lit(0))
+                        == i
+                    ),
+                    i,
+                )
+            build = time.perf_counter() - t0
+            read_cohort_retention(spark, tmp).collect()  # warmup
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                read_cohort_retention(spark, tmp).collect()
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            return {
+                "state_build_sec": round(build, 3),
+                "read_sec_median": round(samples[len(samples) // 2], 4),
+                "n_batches": 3,
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as exc:  # never let the probe kill the bench
+        return {"err": str(exc)[:200]}
+
+
 def _duckdb_conn(sf_dir: str):
     import duckdb
 
@@ -511,6 +565,7 @@ def main() -> None:
         mini_sentinel_every=MINI_SENTINEL_EVERY,
         queries_per_local_sentinel=queries_per_local_sentinel,
         serving_index=_serving_index_latency(spark),
+        cohort_serving_read=_cohort_serving_read_latency(spark, runs),
         spread_max_minus_min=spreads,
         per_run_mb=shuffle_mb,
         runs_per_query=runs,
