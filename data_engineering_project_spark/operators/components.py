@@ -30,12 +30,19 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    fallback_to_star: bool = True,
 ) -> DataFrame:
     """Undirected connected components over an edge list.
 
     Returns ``(node, component)`` where ``component`` is the smallest node
-    id reachable from ``node``. Raises if not converged within
-    ``max_iter`` rounds (pathological diameter — use star-contraction).
+    id reachable from ``node``. Plain min-label propagation needs
+    diameter-many rounds, so a chain-shaped graph (e.g. the salted-chunk
+    CHAIN EDGES a hot dedup bucket emits: a 3.8k-doc bucket in 64-doc
+    chunks is a 60-edge path — the r13 sf0.5 sweep hit exactly this)
+    blows the round cap. When that happens the call ESCALATES to
+    :func:`connected_components_star` (O(log² n) rounds, diameter-free,
+    identical contract — equality property-tested) instead of raising;
+    pass ``fallback_to_star=False`` to get the old loud failure.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -85,6 +92,8 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 return labels
+        if fallback_to_star:
+            return connected_components_star(edges, src=src, dst=dst)
         raise RuntimeError(
             f"connected_components: no convergence in {max_iter} rounds — "
             "graph diameter too large for plain propagation; use "

@@ -52,3 +52,26 @@ def test_star_two_components_and_isolated_pair(spark):
 def test_star_empty_edges(spark):
     df = spark.createDataFrame([], "src: long, dst: long")
     assert connected_components_star(df).count() == 0
+
+
+def test_plain_cc_escalates_to_star_on_high_diameter(spark):
+    # path 0-1-…-60: diameter 60 > the 20-round propagation cap. The r13
+    # sf0.5 sweep hit this via salted-chunk chain edges (a 3.8k-doc hot
+    # bucket in 64-doc chunks IS a ~60-edge path); plain propagation must
+    # escalate to star contraction and return the identical labeling
+    # instead of raising.
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src: long, dst: long"
+    )
+    got = _as_map(connected_components(df).collect())
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_plain_cc_fallback_can_be_disabled(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src: long, dst: long"
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(df, fallback_to_star=False).collect()

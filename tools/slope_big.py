@@ -73,6 +73,32 @@ def main() -> None:
     con_small = bench._duckdb_conn(SMALL_DIR)
     con_big = bench._duckdb_conn(BIG_DIR)
 
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "slope_sf05.json"
+    )
+
+    def _flush(out: dict) -> None:
+        # MERGE into the standing table after EVERY query (a wave killed
+        # by a wall-clock timeout must not discard finished measurements
+        # — the r13 wave-2 lesson; re-measuring one query must not
+        # discard the other entries' evidence either)
+        prior: dict = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as fh:
+                    prior = json.load(fh).get("queries", {})
+            except (OSError, ValueError):
+                prior = {}
+        payload = {
+            "small": SMALL_DIR,
+            "big": BIG_DIR,
+            "runs_per_point": runs,
+            "noise_floor_sec": NOISE_FLOOR_SEC,
+            "queries": {**prior, **out},
+        }
+        with open(path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+
     out: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
@@ -97,6 +123,7 @@ def main() -> None:
             "wall_sec": round(time.perf_counter() - t0, 1),
         }
         out[name] = rec
+        _flush(out)
         print(
             f"{name:32s} spark {rec['spark_sf0.1']:6.2f}->{rec['spark_sf0.5']:6.2f}"
             f"  duck {rec['duck_sf0.1']:6.3f}->{rec['duck_sf0.5']:6.3f}"
@@ -104,25 +131,6 @@ def main() -> None:
             flush=True,
         )
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "slope_sf05.json")
-    # subset runs MERGE into the standing table (re-measuring one query
-    # must not discard the other entries' evidence)
-    prior: dict = {}
-    if os.path.exists(path):
-        try:
-            with open(path) as fh:
-                prior = json.load(fh).get("queries", {})
-        except (OSError, ValueError):
-            prior = {}
-    payload = {
-        "small": SMALL_DIR,
-        "big": BIG_DIR,
-        "runs_per_point": runs,
-        "noise_floor_sec": NOISE_FLOOR_SEC,
-        "queries": {**prior, **out},
-    }
-    with open(path, "w") as fh:
-        json.dump(payload, fh, indent=1)
     print(f"wrote {path}")
 
 
