@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from data_engineering_project_spark.operators.clustering import (
     _assign,
     _lloyd,
+    _lloyd_books_multi,
     _pq_code,
     quantize_vec,
 )
@@ -356,14 +357,13 @@ def build_ivfpq_index(
             "cell",
             F.zip_with("q", "cvec", lambda a, b: a - b).alias("r"),
         ).persist()
-        books: list[dict[int, list[float]]] = []
-        for s in range(n_sub):
-            rs = res.select(
-                "vec_id", F.slice("r", s * sub + 1, sub).alias("q")
-            ).persist()
-            _, cents = _lloyd(rs, k_codes, n_iter)
-            rs.unpersist()
-            books.append(cents)
+        # all n_sub residual codebooks train with SHARED jobs (one init +
+        # one stats job per round, bit-identical books — r13 job fusion)
+        books = _lloyd_books_multi(
+            res, k=k_codes, n_iter=n_iter, n_sub=n_sub, sub=sub, vec_col="r"
+        )
+        if books is None:  # unreachable: assigned was proven non-empty
+            books = [{} for _ in range(n_sub)]
         data = res.select(
             "vec_id",
             "cell",

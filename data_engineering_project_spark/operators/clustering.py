@@ -152,6 +152,84 @@ def _lloyd(
     return _assign(pts, centroids), centroids
 
 
+def _lloyd_books_multi(
+    frame: DataFrame,
+    *,
+    k: int,
+    n_iter: int,
+    n_sub: int,
+    sub: int,
+    vec_col: str = "q",
+) -> list[dict[int, list[float]]] | None:
+    """Train ``n_sub`` independent Lloyd codebooks — one per contiguous
+    length-``sub`` slice of ``vec_col`` — with SHARED Spark jobs.
+
+    Bit-identical to ``n_sub`` sequential :func:`_lloyd` calls over the
+    slices (the r13 job-fusion optimization): the md5-ordered init does not
+    depend on the slice, so every subspace draws the SAME k rows (ONE
+    TakeOrdered job instead of n_sub); each recompute round evaluates all
+    n_sub assignment argmins in one projection and aggregates all
+    subspaces' (cluster, dim) integer sums in ONE groupBy job (posexplode
+    of the full vector = the union of the n_sub slice explodes). Sums are
+    exact bigint (order-free) and the sum/n division happens driver-side in
+    the same order, so the returned books match the sequential fit exactly
+    — property-tested in tests/test_timeseries_clustering.py.
+
+    Returns the list of per-subspace codebooks, or None on an empty frame
+    (the ``_lloyd`` ``(None, {})`` contract).
+    """
+    init_rows = (
+        frame.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(k).collect()
+    )
+    if not init_rows:
+        return None
+    books: list[dict[int, list[float]]] = [
+        {
+            cid: [float(v) for v in row[vec_col][s * sub : (s + 1) * sub]]
+            for cid, row in enumerate(init_rows)
+        }
+        for s in range(n_sub)
+    ]
+
+    for _ in range(n_iter - 1):
+        cls = F.array(
+            *[_pq_code(F.col(vec_col), s, sub, books[s]) for s in range(n_sub)]
+        )
+        s_col = F.floor(F.col("dim") / sub).cast("int")
+        stats = (
+            # the assignment argmins resolve in their OWN projection: a
+            # generator (posexplode) in the same select strips the struct
+            # field names the argmin's getField("cid") needs
+            frame.select(F.col(vec_col).alias("_v"), cls.alias("_cls"))
+            .select("_cls", F.posexplode("_v").alias("dim", "qv"))
+            .select(
+                s_col.alias("s"),
+                F.element_at(F.col("_cls"), s_col + 1).alias("cluster"),
+                (F.col("dim") % sub).alias("d"),
+                "qv",
+            )
+            .groupBy("s", "cluster", "d")
+            .agg(F.sum("qv").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_books: list[dict[int, list[float]]] = [{} for _ in range(n_sub)]
+        for r in stats:
+            if r["cluster"] is None:
+                continue  # phantom trailing dims on a malformed row
+            new_books[r["s"]].setdefault(r["cluster"], [0.0] * sub)[
+                r["d"]
+            ] = r["sm"] / r["n"]
+        # empty clusters keep their previous centroid, per subspace
+        books = [
+            {
+                cid: new_books[s].get(cid, books[s][cid])
+                for cid in sorted(books[s])
+            }
+            for s in range(n_sub)
+        ]
+    return books
+
+
 def opq_dim_permutation(
     df: DataFrame,
     *,
@@ -249,22 +327,21 @@ def pq_topk(
         )
     qfull = [float(v) for v in qrows[0]["qf"]] if qrows else []
 
-    # per-subspace codebooks (driver state k × sub); the training caches are
-    # released as each fit finishes — final codes need no assignment frame
-    books: list[dict[int, list[float]]] = []
+    # per-subspace codebooks (driver state k × sub), trained with SHARED
+    # jobs — one init TakeOrdered + one stats groupBy per round for ALL
+    # subspaces instead of n_sub sequential fits (bit-identical books;
+    # r13 job fusion: the fixed training constant dominated bench wall)
+    books = _lloyd_books_multi(
+        full, k=k, n_iter=n_iter, n_sub=n_sub, sub=sub, vec_col="qf"
+    )
+    if books is None:
+        full.unpersist()
+        return full.select(
+            "vec_id", F.lit(0.0).alias("adc")
+        ).filter(F.lit(False))
     adc_terms = []
     for s in range(n_sub):
-        pts = full.select(
-            "vec_id", F.slice("qf", s * sub + 1, sub).alias("q")
-        ).persist()
-        assigned, cents = _lloyd(pts, k, n_iter)
-        pts.unpersist()
-        if assigned is None:
-            full.unpersist()
-            return full.select(
-                "vec_id", F.lit(0.0).alias("adc")
-            ).filter(F.lit(False))
-        books.append(cents)
+        cents = books[s]
         q0 = qfull[s * sub : (s + 1) * sub]
         # ADC lookup entries: ||q0_s - c||² in the SAME left-fold order the
         # oracle's list_sum uses (both are IEEE doubles → bit-identical)
@@ -414,15 +491,14 @@ def ivfpq_topk(
     # per-subspace global residual codebooks (training collects only the
     # k × sub centroid state; the assignment frames are discarded — final
     # codes are recomputed below as map-only expressions, which is exact
-    # because _lloyd's last step IS _assign with these same centroids)
-    books: list[dict[int, list[float]]] = []
-    for s in range(n_sub):
-        rs = res.select(
-            "vec_id", F.slice("r", s * sub + 1, sub).alias("q")
-        ).persist()
-        _, cents = _lloyd(rs, k, n_iter)
-        rs.unpersist()
-        books.append(cents)
+    # because Lloyd's last step IS assignment with these same centroids).
+    # All n_sub fits share jobs (_lloyd_books_multi, bit-identical books;
+    # r13 job fusion — training constants dominated bench wall)
+    books = _lloyd_books_multi(
+        res, k=k, n_iter=n_iter, n_sub=n_sub, sub=sub, vec_col="r"
+    )
+    if books is None:  # unreachable: qrows above proved res non-empty
+        books = [{} for _ in range(n_sub)]
     # the first fit materialized ``res``; nothing re-reads the raw corpus
     pts.unpersist()
 

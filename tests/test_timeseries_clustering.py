@@ -180,3 +180,45 @@ def test_bucket_spine_max_slots_exact_on_unaligned_span(spark):
     assert TS.bucket_spine(df, ["k"], "h", max_slots=10).count() == 10
     with pytest.raises(Exception, match="bucket_spine.*max_slots"):
         TS.bucket_spine(df, ["k"], "h", max_slots=9).count()
+
+
+def test_lloyd_books_multi_matches_sequential_subspace_fits(spark):
+    """The fused multi-subspace trainer (r13 job fusion) must return
+    BIT-IDENTICAL codebooks to n_sub sequential _lloyd calls over the
+    slices — the equivalence the PQ/IVF-PQ oracle hashes rest on."""
+    import random
+
+    from data_engineering_project_spark.operators.clustering import (
+        _lloyd,
+        _lloyd_books_multi,
+    )
+
+    rng = random.Random(7)
+    dim, n_sub, k, n_iter = 8, 4, 3, 3
+    sub = dim // n_sub
+    rows = [
+        (i, [rng.randint(-1000, 1000) for _ in range(dim)]) for i in range(60)
+    ]
+    frame = spark.createDataFrame(rows, "vec_id long, q array<bigint>")
+
+    seq_books = []
+    for s in range(n_sub):
+        pts = frame.select(
+            "vec_id", F.slice("q", s * sub + 1, sub).alias("q")
+        )
+        _, cents = _lloyd(pts, k, n_iter)
+        seq_books.append(cents)
+
+    multi = _lloyd_books_multi(
+        frame, k=k, n_iter=n_iter, n_sub=n_sub, sub=sub, vec_col="q"
+    )
+    assert multi == seq_books  # exact float equality, not approx
+
+    # empty-frame contract matches _lloyd's (None, {})
+    empty = frame.filter(F.lit(False))
+    assert (
+        _lloyd_books_multi(
+            empty, k=k, n_iter=n_iter, n_sub=n_sub, sub=sub, vec_col="q"
+        )
+        is None
+    )
