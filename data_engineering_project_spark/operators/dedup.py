@@ -394,13 +394,31 @@ def minhash_lsh_pairs(
         .join(sh_by_id, F.col("id_b") == sh_by_id["_sh_id"])
         .select("id_a", "id_b", "sh_a", F.col("_sh").alias("sh_b"))
     )
+    # materialize (inter, union) ONCE: the old filter-on-jaccard +
+    # emit-half_up6 pair evaluated array_intersect twice per candidate
+    # (Catalyst does not CSE across the Filter/Project boundary); the
+    # threshold still compares the raw double inter/union and the emitted
+    # value still routes the same integers through half_up_ratio, so
+    # results are bit-unchanged (r13, guide §1.2 per-task work)
+    from data_engineering_project_spark.functions.scalars import (
+        half_up_ratio,
+    )
+
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        verified.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= min_jaccard)
+        verified.withColumn("_i", inter)
+        .withColumn(
+            "_u", F.size("sh_a") + F.size("sh_b") - F.col("_i")
+        )
+        .filter(
+            F.col("_i").cast("double") / F.col("_u") >= min_jaccard
+        )
         .select(
             "id_a",
             "id_b",
-            jaccard_half_up6(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            half_up_ratio(
+                F.col("_i").cast("long"), F.col("_u").cast("long"), 6
+            ).alias("jaccard"),
         )
     )
 

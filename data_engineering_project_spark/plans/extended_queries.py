@@ -389,15 +389,26 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.repartition(
         spark.sparkContext.defaultParallelism, F.col("label")
     )
+    # norm precompute (r13, guide §1.2 "per-task work"): ‖v‖ is a
+    # per-VECTOR quantity, but cosine-per-pair recomputed it per PAIR —
+    # O(Σ block²) interpreted HOF folds where O(n) suffice. sqrt over the
+    # same left-fold is the identical IEEE double, so every downstream
+    # cosine (near-pairs / dup-clusters / threshold curve) is bit-unchanged;
+    # each pair now evaluates ONE fold (the dot) instead of three.
+    e = e.select(
+        "vec_id", "label", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("label"),
         F.col("embedding").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     return a.join(
         b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
@@ -405,7 +416,10 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         "label",
-        S.cosine(F.col("vec_a"), F.col("vec_b")).alias("c"),
+        (
+            S.dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("nrm_a") * F.col("nrm_b"))
+        ).alias("c"),
     )
 
 

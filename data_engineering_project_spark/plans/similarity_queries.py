@@ -948,7 +948,19 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-cell pairing is CPU-bound on tiny bytes: explicit partition count
     # on the block key or AQE coalesces the pair stage to one thread (the
     # _blocked_pairs / minhash lesson)
-    blocks = assigned.repartition(
+    lnorm2 = lambda col: F.aggregate(
+        F.transform(col, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # norm precompute (r13, guide §1.2): √Σq² is per-POINT — computing it
+    # per PAIR ran the interpreted HOF fold O(pairs) extra times (the
+    # dominant term of the sf0.5 marginal). Σq² is an exact integer sum
+    # and sqrt of the same bigint is the identical double, so the pair
+    # cosine below is bit-unchanged; each pair now folds ONCE (the dot).
+    blocks = assigned.withColumn(
+        "sn", F.sqrt(lnorm2(F.col("q")).cast("double"))
+    ).repartition(
         spark.sparkContext.defaultParallelism, F.col("cluster")
     ).persist()
     # distinct column names on each side: a self-join on `cluster == cluster`
@@ -958,19 +970,16 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").alias("cl_a"),
         F.col("vec_id").alias("id_a"),
         F.col("q").alias("qa"),
+        F.col("sn").alias("sn_a"),
     )
     b = blocks.select(
         F.col("cluster").alias("cl_b"),
         F.col("vec_id").alias("id_b"),
         F.col("q").alias("qb"),
+        F.col("sn").alias("sn_b"),
     )
     ldot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    lnorm2 = lambda col: F.aggregate(
-        F.transform(col, lambda x: x * x),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -978,13 +987,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b"))
     ).select(
         "id_b",
-        (
-            ldot.cast("double")
-            / (
-                F.sqrt(lnorm2(F.col("qa")).cast("double"))
-                * F.sqrt(lnorm2(F.col("qb")).cast("double"))
-            )
-        ).alias("c"),
+        (ldot.cast("double") / (F.col("sn_a") * F.col("sn_b"))).alias("c"),
     )
     pruned = (
         pairs.filter(F.col("c") >= SD_TAU)
