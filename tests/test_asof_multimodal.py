@@ -275,12 +275,13 @@ class TestConnectedComponents:
             connected_components,
         )
 
-        # a 6-chain cannot converge in 1 round of min-propagation
+        # a 6-chain cannot converge in 1 round of min-propagation; with the
+        # star-contraction fallback disabled the round cap stays loud
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(6)], "src long, dst long"
         )
         with pytest.raises(RuntimeError, match="no convergence"):
-            connected_components(edges, max_iter=1)
+            connected_components(edges, max_iter=1, fallback_to_star=False)
 
 
 class TestDeterministicSampling:
