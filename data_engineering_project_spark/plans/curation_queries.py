@@ -110,6 +110,31 @@ def docs_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic planted-PII augmentation (shared by the
+    registered query and tools/ab_pii.py's cost-attribution variants)."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_id_s = F.col("doc_id").cast("string")
+    salt_s = (F.lit(1000) + F.col("doc_id") % 9000).cast("string")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), doc_id_s, F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" call 555-"), salt_s, F.lit(" today")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" id 523-45-"), salt_s, F.lit(" end")),
+        )
+        .otherwise(F.lit("")),
+    )
+    return d.select("doc_id", "source", pii_text.alias("pii_text"))
+
+
 @register(
     "docs_pii_redaction",
     sql=f"""
@@ -157,26 +182,7 @@ def docs_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "pii"),
 )
 def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    doc_id_s = F.col("doc_id").cast("string")
-    salt_s = (F.lit(1000) + F.col("doc_id") % 9000).cast("string")
-    pii_text = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(F.lit(" contact user"), doc_id_s, F.lit("@example.com now")),
-        )
-        .when(
-            F.col("doc_id") % 11 == 0,
-            F.concat(F.lit(" call 555-"), salt_s, F.lit(" today")),
-        )
-        .when(
-            F.col("doc_id") % 13 == 0,
-            F.concat(F.lit(" id 523-45-"), salt_s, F.lit(" end")),
-        )
-        .otherwise(F.lit("")),
-    )
-    aug = d.select("doc_id", "source", pii_text.alias("pii_text"))
+    aug = _pii_augmented(spark, sf_dir)
     counted = aug.select(
         "source",
         C.pii_count(F.col("pii_text"), "email").alias("n_email"),
