@@ -82,16 +82,20 @@ def v2_hashagg_packed(spark, sf_dir):
     )
     mx = ch.groupBy("user_id").agg(
         F.max("_seq").alias("_mx"),
-        F.count(F.lit(1)).alias("n_changes"),
-    )
+        F.count(F.lit(1)).alias("_n"),
+    ).select(F.col("user_id").alias("_mx_uid"), "_mx", "_n")
     return (
-        ch.join(mx, (ch["user_id"] == mx["user_id"]) & (ch["_seq"] == mx["_mx"]))
+        ch.join(
+            mx,
+            (F.col("user_id") == F.col("_mx_uid"))
+            & (F.col("_seq") == F.col("_mx")),
+        )
         .filter(F.col("op") != "D")
         .select(
-            ch["user_id"],
+            "user_id",
             F.col("value").alias("last_value"),
             F.col("ts").alias("last_ts"),
-            F.col("n_changes").cast("bigint").alias("n_changes"),
+            F.col("_n").cast("bigint").alias("n_changes"),
         )
     )
 
@@ -103,5 +107,4 @@ if __name__ == "__main__":
             "v1_window": v1_window,
             "v2_hashagg_packed": v2_hashagg_packed,
         },
-        rows_probe=v0_current,
     )

@@ -83,6 +83,9 @@ def v3_augment_only(spark, sf_dir):
 
 
 if __name__ == "__main__":
+    # cost ATTRIBUTION, not alternatives: each variant computes a
+    # different (strict subset) aggregate on purpose, so the harness's
+    # identical-rows equivalence check does not apply
     run_ab(
         {
             "v0_current": v0_current,
@@ -90,5 +93,5 @@ if __name__ == "__main__":
             "v2_redact_only": v2_redact_only,
             "v3_augment_only": v3_augment_only,
         },
-        rows_probe=v0_current,
+        equivalence_check=False,
     )
