@@ -390,20 +390,43 @@ def docs_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     doc="TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))+1, "
     "sklearn's convention): the keyword-extraction / doc-representation "
-    "primitive of text pipelines. Plan shape at 100 TB: one explode, tf agg "
-    "keyed (doc, term), df agg keyed term, term-keyed join back, one window "
-    "per doc — no driver-side vocabulary, no UDF; N arrives via a single-row "
-    "broadcast crossJoin.",
+    "primitive of text pipelines. Plan shape at 100 TB: per-doc (term, tf) "
+    "pairs are computed INSIDE the row (T.term_counts — boundary run-length "
+    "over array_sort(tokens), the docs_repetition_profile device), so only "
+    "doc×distinct-term rows ever explode and NO token-granularity shuffle "
+    "exists; the persisted pair frame feeds both df and the scoring join "
+    "(the BM25 one-fold lesson), df is a vocab-sized SIZE-GATED broadcast "
+    "(the collocations marginals pattern — a billion-word vocabulary "
+    "degrades to a shuffle join instead of OOMing the driver), and the "
+    "top-3 window prunes to ≤3 rows/doc per map task via WindowGroupLimit "
+    "before its exchange. No driver-side vocabulary, no UDF; N arrives via "
+    "a single-row broadcast crossJoin. r13 A/B (tools/ab_tfidf.py, sf0.1→"
+    "sf0.5 marginal, noop sink): 3.48 → 0.84 s; the old shape tokenized "
+    "twice (the tf/df DAG fork above the explode) and paid a token-level "
+    "distinct.",
     tags=("text", "agg", "window"),
 )
 def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from data_engineering_project_spark.operators.hints import (
+        broadcast_if_small,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
-    n = d.agg(F.count("*").alias("n_docs"))
+    # explicit-count repartition: the per-doc RLE fold is CPU-heavy on few
+    # bytes — a single-file scan partition (or AQE byte-based coalescing)
+    # would single-thread it (the docs_repetition_profile finding)
+    d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    tc = d.select(
+        "doc_id", T.term_counts(T.tokens(F.col("text"))).alias("tc")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tf = tc.select("doc_id", F.explode("tc").alias("t")).select(
+        "doc_id", F.col("t.term").alias("term"), F.col("t.tf").alias("tf")
+    )
+    df_ = broadcast_if_small(tf.groupBy("term").agg(F.count("*").alias("df")))
+    n = tc.agg(F.count("*").alias("n_docs"))
     score = F.col("tf") * (
         F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     )

@@ -638,3 +638,43 @@ def test_sessionize_matches_bruteforce_with_boundary_ties(spark, events):
             want[i] = (u, sid)
             prev = t
     assert got == want
+
+
+# token lists that stress the run-length boundary logic: repeats, empty
+# strings (the whitespace tokenizer emits '' for blank text), singletons,
+# and already-sorted / reverse-sorted inputs via the sampled alphabet
+TOKEN_LISTS = st.lists(
+    st.sampled_from(["a", "b", "ab", "", "z", "aa"]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(toks=TOKEN_LISTS)
+@settings(**_SETTINGS)
+def test_term_counts_equals_explode_groupby(spark, toks):
+    """term_counts (the map-side boundary-RLE device behind
+    docs_tfidf_top_terms, r13) must agree with the shuffle shape it
+    replaced — explode + groupBy count — for any token multiset."""
+    from collections import Counter
+
+    from data_engineering_project_spark.operators.text import term_counts
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    [row] = df.select(term_counts(F.col("toks")).alias("tc")).collect()
+    got = {p["term"]: p["tf"] for p in row["tc"]}
+    assert got == dict(Counter(toks))
+    # terms are emitted sorted and exactly once apiece
+    assert [p["term"] for p in row["tc"]] == sorted(set(toks))
+
+
+def test_term_counts_null_array_propagates(spark):
+    from data_engineering_project_spark.operators.text import term_counts
+
+    [row] = (
+        spark.range(1)
+        .select(F.lit(None).cast("array<string>").alias("toks"))
+        .select(term_counts(F.col("toks")).alias("tc"))
+        .collect()
+    )
+    assert row["tc"] is None
