@@ -744,38 +744,59 @@ def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distance to the nearest OTHER centroid, s = (b−a)/max(a,b) — the "
     "standard clustering-quality metric, in the O(N·k) centroid form "
     "that scales (full silhouette is O(N²) pairwise and dead at 100 TB). "
-    "Centroids are the same posexplode/two-level-agg build as "
-    "emb_ivf_topk; every embedding scores against the broadcast k-row "
-    "centroid table map-side. Each row's s floor-quantizes to integer "
-    "micro-units BEFORE the per-label mean (cross-row double summation "
-    "is merge-order-dependent — the repo's standard device), so the "
-    "oracle hash-matches exactly.",
+    "Centroids are k rows of 64 per-dimension avg columns on one "
+    "groupBy(label) (partial-agg'd map-side; avg∘get reproduces "
+    "posexplode's NULL-skipping per dimension — the old N×D posexplode "
+    "build paid row generation plus a (label,pos) hash agg), collected "
+    "into a SINGLE broadcast row with ‖c‖ precomputed, so own/best-other "
+    "cosines are array HOFs evaluated map-side: ‖v‖ once per vector, ‖c‖ "
+    "once per centroid, and NO per-vector shuffle — the old shape "
+    "crossJoined k centroid rows and re-shuffled all N·k scored rows "
+    "through groupBy(vec_id) while recomputing ‖v‖ k times (r13 A/B "
+    "tools/ab_silhouette.py: sf0.1→sf0.5 marginal 1.225 → 0.436 s, slope "
+    "4.24 → ~1.7). Each row's s floor-quantizes to integer micro-units "
+    "BEFORE the per-label mean (cross-row double summation is merge-"
+    "order-dependent — the repo's standard device), so the oracle "
+    "hash-matches exactly.",
     tags=("similarity", "clustering", "quality"),
 )
 def emb_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    expl = e.select(
-        "label", F.posexplode("embedding").alias("pos", "v0")
-    ).select("label", "pos", F.col("v0").cast("double").alias("v"))
-    cent = expl.groupBy("label", "pos").agg(F.avg("v").alias("c"))
-    cvec = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("cv")
-    ).select(F.col("label").alias("clabel"), "cv")
-    scored = e.crossJoin(F.broadcast(cvec)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        S.cosine(F.col("embedding"), F.col("cv")).alias("cos"),
+    cvec = e.groupBy("label").agg(
+        *[
+            F.avg(F.get("embedding", i).cast("double")).alias(f"c{i}")
+            for i in range(EMB_DIM)
+        ]
+    ).select(
+        F.col("label").alias("clabel"),
+        F.array(*[F.col(f"c{i}") for i in range(EMB_DIM)]).alias("cv"),
     )
-    per_vec = scored.groupBy("vec_id", "label").agg(
-        F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos"))).alias(
-            "own_cos"
-        ),
-        F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos"))).alias(
-            "best_other_cos"
-        ),
+    cents = cvec.agg(
+        F.collect_list(
+            F.struct(
+                F.col("clabel"), F.col("cv"), S.norm(F.col("cv")).alias("cn")
+            )
+        ).alias("cents")
+    )
+    own = F.get(
+        F.filter(F.col("cents"), lambda c: c["clabel"] == F.col("label")), 0
+    )
+    own_cos = S.dot(F.col("embedding"), own["cv"]) / (F.col("ne") * own["cn"])
+    best_other_cos = F.array_max(
+        F.transform(
+            F.filter(F.col("cents"), lambda c: c["clabel"] != F.col("label")),
+            lambda c: S.dot(F.col("embedding"), c["cv"])
+            / (F.col("ne") * c["cn"]),
+        )
+    )
+    per_vec = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("ne", S.norm(F.col("embedding")))
+        .select(
+            "label",
+            own_cos.alias("own_cos"),
+            best_other_cos.alias("best_other_cos"),
+        )
     )
     a = 1 - F.col("own_cos")
     b = 1 - F.col("best_other_cos")

@@ -243,3 +243,36 @@ def test_dup_threshold_curve_is_monotone(spark, sf_dir):
     for r in rows:
         assert r["n_removable"] <= r["n_pairs"]
         assert (r["n_pairs"] == 0) == (r["n_removable"] == 0)
+
+
+def test_dimsum_centroids_match_posexplode_build(spark):
+    """emb_centroid_silhouette's r13 centroid build (64 avg∘get columns on
+    one groupBy(label)) must reproduce the posexplode/two-level-agg shape
+    it replaced — including NULL-element skipping and double accumulation
+    — bit-for-bit on a frame with repeats and a NULL dimension."""
+    rows = [
+        (0, [1.0, 2.0, None]),
+        (0, [3.0, 4.0, 5.0]),
+        (0, [5.0, 0.0, 1.0]),
+        (1, [2.5, None, None]),
+    ]
+    e = spark.createDataFrame(rows, "label int, embedding array<double>")
+    dim = 3
+
+    expl = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v0")
+    ).select("label", "pos", F.col("v0").cast("double").alias("v"))
+    old = {
+        (r["label"], r["pos"]): r["c"]
+        for r in expl.groupBy("label", "pos").agg(F.avg("v").alias("c")).collect()
+    }
+
+    new = e.groupBy("label").agg(
+        *[
+            F.avg(F.get("embedding", i).cast("double")).alias(f"c{i}")
+            for i in range(dim)
+        ]
+    )
+    for r in new.collect():
+        for i in range(dim):
+            assert r[f"c{i}"] == old.get((r["label"], i)), (r["label"], i)
