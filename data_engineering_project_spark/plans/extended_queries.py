@@ -10,6 +10,8 @@ that makes it survive a 1000-executor scale-up.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -383,6 +385,10 @@ _BLOCKED_PAIRS_CTE = """
 def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-blocked exact-cosine candidate pairs (shared by the near-pair
     listing and the duplicate-cluster queries)."""
+    from data_engineering_project_spark.plans.similarity_queries import (
+        EMB_DIM,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
     # explicit-count repartition on the block key: in-block exact cosine is
     # CPU-bound on tiny bytes — AQE coalescing would single-thread it
@@ -393,22 +399,58 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-VECTOR quantity, but cosine-per-pair recomputed it per PAIR —
     # O(Σ block²) interpreted HOF folds where O(n) suffice. sqrt over the
     # same left-fold is the identical IEEE double, so every downstream
-    # cosine (near-pairs / dup-clusters / threshold curve) is bit-unchanged;
-    # each pair now evaluates ONE fold (the dot) instead of three.
+    # cosine (near-pairs / dup-clusters / threshold curve) is bit-unchanged.
+    #
+    # presplit dot (r13, guide §2.3/§4 "keep the hot loop compiled"): the
+    # remaining per-pair fold — S.dot's zip_with+aggregate — is a
+    # higher-order function, i.e. CodegenFallback: every one of the
+    # O(Σ block²) pairs paid an interpreted 64-step closure fold. Each
+    # side now projects its 64 elements into scalar double columns ONCE
+    # per vector (O(n) work); the per-pair score is a left-associated sum
+    # of 64 plain column products starting from 0.0 — the identical IEEE
+    # evaluation order, compiled. A/B at sf0.5 (tools/ab_blocked_pairs.py):
+    # marginal 17.5 s → 2.4 s (7.3×); unrolling at PAIR time (GetArrayItem
+    # per term) and struct-packing both lose — flat pre-join columns are
+    # the shape that codegens. The wf gate falls back to the old fold
+    # expression for any row whose array is not exactly EMB_DIM long
+    # (ragged/NULL inputs keep bit-identical semantics: zip_with pads with
+    # NULL on length mismatch but sums a SHORTER fold when both sides are
+    # equally short — only the true arrays can reproduce that).
+    wf = F.size("embedding") == EMB_DIM
     e = e.select(
-        "vec_id", "label", "embedding", S.norm(F.col("embedding")).alias("nrm")
+        "vec_id",
+        "label",
+        "embedding",
+        S.norm(F.col("embedding")).alias("nrm"),
+        wf.alias("wf"),
+        *[
+            F.get("embedding", i).cast("double").alias(f"x{i}")
+            for i in range(EMB_DIM)
+        ],
     )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("label"),
         F.col("embedding").alias("vec_a"),
         F.col("nrm").alias("nrm_a"),
+        F.col("wf").alias("wf_a"),
+        *[F.col(f"x{i}").alias(f"a{i}") for i in range(EMB_DIM)],
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("vec_b"),
         F.col("nrm").alias("nrm_b"),
+        F.col("wf").alias("wf_b"),
+        *[F.col(f"x{i}").alias(f"b{i}") for i in range(EMB_DIM)],
+    )
+    split_dot = functools.reduce(
+        lambda acc, t: acc + t,
+        [F.col(f"a{i}") * F.col(f"b{i}") for i in range(EMB_DIM)],
+        F.lit(0.0),
+    )
+    pair_dot = F.when(F.col("wf_a") & F.col("wf_b"), split_dot).otherwise(
+        S.dot(F.col("vec_a"), F.col("vec_b"))
     )
     return a.join(
         b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
@@ -416,10 +458,7 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         "label",
-        (
-            S.dot(F.col("vec_a"), F.col("vec_b"))
-            / (F.col("nrm_a") * F.col("nrm_b"))
-        ).alias("c"),
+        (pair_dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("c"),
     )
 
 

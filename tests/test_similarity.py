@@ -276,3 +276,96 @@ def test_dimsum_centroids_match_posexplode_build(spark):
     for r in new.collect():
         for i in range(dim):
             assert r[f"c{i}"] == old.get((r["label"], i)), (r["label"], i)
+
+
+def test_blocked_pairs_presplit_matches_fold_on_hostile_frame(spark, tmp_path):
+    """_blocked_pairs' r13 presplit dot (64 scalar double columns per side,
+    left-associated compiled sum, wf-gated) must reproduce the old
+    zip_with+aggregate fold shape bit-for-bit on EVERY hostile row class:
+    well-formed 64-dim floats, a NULL element, a NaN element, TWO equally
+    short arrays (the fold sums a SHORTER left fold — the case only the
+    fallback branch can reproduce), a length-mismatched array (NULL dot on
+    both paths), a NULL embedding, and an empty array."""
+    import math
+
+    from data_engineering_project_spark.operators.similarity import dot, norm
+    from data_engineering_project_spark.plans.extended_queries import (
+        _blocked_pairs,
+    )
+
+    random.seed(3)
+    rows = []
+    for vid in range(6):  # well-formed 64-dim vectors, one shared label
+        rows.append(
+            (vid, [random.uniform(-1, 1) for _ in range(64)], 0)
+        )
+    null_elem = [1.0] * 64
+    null_elem[7] = None
+    rows.append((6, null_elem, 0))
+    nan_elem = [1.0] * 64
+    nan_elem[3] = float("nan")
+    rows.append((7, nan_elem, 0))
+    rows.append((8, [0.9, 0.9, 0.9], 0))  # equally-short pair: fold sums
+    rows.append((9, [0.8, 0.95, 0.99], 0))  # 3 terms, presplit must too
+    rows.append((10, [0.5] * 5, 0))  # length-mismatched vs everything
+    rows.append((11, None, 0))  # NULL embedding
+    rows.append((12, [], 0))  # empty array
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    e.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    def old_shape():
+        base = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+        base = base.select(
+            "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+        )
+        a = base.select(
+            F.col("vec_id").alias("id_a"),
+            "label",
+            F.col("embedding").alias("vec_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        b = base.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("label").alias("label_b"),
+            F.col("embedding").alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        return a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        ).select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("c"),
+        )
+
+    old = {(r["id_a"], r["id_b"]): r["c"] for r in old_shape().collect()}
+    new = {
+        (r["id_a"], r["id_b"]): r["c"]
+        for r in _blocked_pairs(spark, str(tmp_path)).collect()
+    }
+    assert set(new) == set(old) and len(new) == 13 * 12 // 2
+    diverged = [
+        k
+        for k in old
+        if not (
+            old[k] == new[k]
+            or (old[k] is None and new[k] is None)
+            or (
+                old[k] is not None
+                and new[k] is not None
+                and math.isnan(old[k])
+                and math.isnan(new[k])
+            )
+        )
+    ]
+    assert not diverged, diverged
+    # the short-equal pair must carry the REAL partial-fold cosine (not
+    # NULL): proves the fallback branch ran, not the gated fast path
+    assert new[(8, 9)] is not None and not math.isnan(new[(8, 9)])
