@@ -55,8 +55,10 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
     measured ~130 ms/doc (≈100× the codegen cost) on 300-char docs at
     n_hashes=16. Use :func:`minhash_signatures` (the explode + min-agg
     DataFrame form, bit-identical output) for anything beyond a handful of
-    rows; this expression form survives for single-seed probes like the
-    signature-profile query.
+    rows — even at n_hashes=1 the interpreted per-shingle closure costs
+    ~13× the compiled path at scale (r13 wave-C: the signature-profile
+    query's 16 s sf0.5 marginal fell to 1.2 s when it left this form).
+    This expression form survives as the bit-exact reference.
     """
     # factory keeps each transform lambda UNARY: a 2-param lambda (even with
     # a default) makes pyspark pass the array index as the second arg,

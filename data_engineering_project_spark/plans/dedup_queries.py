@@ -293,14 +293,28 @@ def docs_jaccard_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash"),
 )
 def docs_minhash_signature_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (guide §4 "keep the hot loop compiled"): this was the expression
+    # form — array_min(transform(sh, md5(...))) per row — whose own operator
+    # docstring (minhash_signature) warns it evaluates INTERPRETED
+    # (higher-order functions are CodegenFallback). Wave-C slope 7.82,
+    # d_spark 16.0 s at sf0.5. Rebuilt as the minhash_signatures
+    # explode+min-agg shape (spread repartition on doc_id so the md5 CPU
+    # parallelizes regardless of scan splits; the groupBy's own exchange
+    # carries only per-doc PARTIAL (count, min) rows): md5 runs in a
+    # compiled Project, marginal 16.0 → 1.2 s (tools/ab_minhash_profile.py).
+    # explode_outer keeps empty-shingle docs as one NULL row: count("s")
+    # reads 0 and min over the all-NULL group reads NULL — exactly the
+    # expression form's (size=0, array_min=NULL) output (equivalence
+    # asserted at sf0.1 by the A/B harness and pinned by
+    # tests/test_dedup.py::test_minhash_signature_profile_keeps_empty_docs).
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", D.shingles(F.col("text"), 3).alias("sh"))
-    return sh.select(
-        "doc_id",
-        F.size("sh").cast("bigint").alias("n_shingles"),
-        F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit("0:"), s)))
-        ).alias("minhash_0"),
+    d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    ex = d.select(
+        "doc_id", F.explode_outer(D.shingles(F.col("text"), 3)).alias("s")
+    )
+    return ex.groupBy("doc_id").agg(
+        F.count("s").cast("bigint").alias("n_shingles"),
+        F.min(F.md5(F.concat(F.lit("0:"), F.col("s")))).alias("minhash_0"),
     )
 
 

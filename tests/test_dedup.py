@@ -496,3 +496,46 @@ def test_salted_chunks_cap_boundary(spark):
             assert len(subs) > 1, n  # 9 ids over 16 sub-buckets: spread
         else:
             assert subs == {0} and chunks == {(0, 0)}, n
+
+
+def test_minhash_signature_profile_keeps_empty_docs(spark, tmp_path):
+    """The r13 explode+min-agg rewrite of docs_minhash_signature_profile
+    must keep EVERY document row — including NULL-text, whitespace-only and
+    single-token docs — with the expression form's exact output:
+    (n_shingles=0, minhash_0=NULL) for empty shingle sets, the single
+    whole-text shingle for 0 < n_tokens < k, and the distinct-shingle count
+    + lexicographic-min md5 otherwise."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from data_engineering_project_spark.plans.dedup_queries import (
+        docs_minhash_signature_profile,
+    )
+
+    rows = [
+        (0, "a b c d"),          # 2 distinct 3-shingles
+        (1, "a b c a b c a b c"),  # repeats dedup to distinct shingles
+        (2, "one two"),          # shorter than k: one whole-text shingle
+        (3, "   "),              # whitespace-only: one empty-token shingle
+        (4, None),               # NULL text: empty shingle set
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["minhash_0"])
+        for r in docs_minhash_signature_profile(spark, str(tmp_path)).collect()
+    }
+
+    def m(s):
+        return hashlib.md5(("0:" + s).encode()).hexdigest()
+
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0] == (2, min(m("a b c"), m("b c d")))
+    assert got[1] == (3, min(m("a b c"), m("b c a"), m("c a b")))
+    assert got[2] == (1, m("one two"))
+    # whitespace-only text tokenizes to one empty token -> the whole-text
+    # shingle is '' (verified identical to the replaced expression form)
+    assert got[3] == (1, m(""))
+    assert got[4] == (0, None)
