@@ -268,6 +268,160 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Col
     return F.concat(*bits)
 
 
+def blocked_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str,
+    dim: int,
+) -> DataFrame:
+    """Within-block all-pairs exact cosine (``id_a < id_b``) — the shared
+    quadratic pair stage behind the label-blocked dedup queries and the
+    LSH candidate scorer.
+
+    The per-pair dot is the r13 PRESPLIT shape: each side projects its
+    ``dim`` elements into scalar double columns ONCE per vector (O(n)); the
+    pair score is a left-associated compiled sum of plain column products
+    from a 0.0 literal — the identical IEEE evaluation order as the
+    ``zip_with``+``aggregate`` fold it replaces, but every node codegens
+    (higher-order functions are CodegenFallback, so the fold ran
+    INTERPRETED once per pair — 7.3× the marginal at sf0.5,
+    tools/ab_blocked_pairs.py; unrolling at pair time and struct-packing
+    both measured worse). A well-formedness gate (both arrays exactly
+    ``dim`` long) falls back to the fold so ragged/NULL/NaN inputs keep
+    bit-identical semantics — zip_with sums a SHORTER fold when both
+    arrays are equally short, which only the true arrays reproduce
+    (tests/test_similarity.py::
+    test_blocked_pairs_presplit_matches_fold_on_hostile_frame).
+
+    Returns ``(id_a, id_b, <block_col>, cosine)``. Norms are computed once
+    per vector (each pair folds nothing at all on the gated path).
+    """
+    import functools
+
+    wf = F.size(F.col(vec_col)) == dim
+    base = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_nrm"),
+        wf.alias("_wf"),
+        *[
+            F.get(F.col(vec_col), i).cast("double").alias(f"_x{i}")
+            for i in range(dim)
+        ],
+    )
+    # rename BEFORE the self-join: alias-qualified self-joins on the same
+    # lineage resolve ambiguously in Spark
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col),
+        F.col(vec_col).alias("_vec_a"),
+        F.col("_nrm").alias("_nrm_a"),
+        F.col("_wf").alias("_wf_a"),
+        *[F.col(f"_x{i}").alias(f"_a{i}") for i in range(dim)],
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("_block_b"),
+        F.col(vec_col).alias("_vec_b"),
+        F.col("_nrm").alias("_nrm_b"),
+        F.col("_wf").alias("_wf_b"),
+        *[F.col(f"_x{i}").alias(f"_b{i}") for i in range(dim)],
+    )
+    split_dot = functools.reduce(
+        lambda acc, t: acc + t,
+        [F.col(f"_a{i}") * F.col(f"_b{i}") for i in range(dim)],
+        F.lit(0.0),
+    )
+    pair_dot = F.when(
+        F.col("_wf_a") & F.col("_wf_b"), split_dot
+    ).otherwise(dot(F.col("_vec_a"), F.col("_vec_b")))
+    return a.join(
+        b,
+        (F.col(block_col) == F.col("_block_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select(
+        "id_a",
+        "id_b",
+        block_col,
+        (pair_dot / (F.col("_nrm_a") * F.col("_nrm_b"))).alias("cosine"),
+    )
+
+
+def _lsh_buckets_exact_vectorized(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int,
+) -> DataFrame:
+    """``(id, bucket)`` — numpy-vectorized EXACT twin of the per-row
+    :func:`lsh_bucket` expression, malformed rows included.
+
+    Differs from :func:`lsh_buckets_vectorized` (which emits NULL buckets
+    for NULL vectors and assumes well-formed lengths) by reproducing the
+    expression form's fold semantics on every hostile row class:
+
+    - NULL vector, length ≠ ``dim``, or a NULL ELEMENT → bucket
+      ``'0' * n_planes``: ``zip_with`` pads/propagates NULL, the dot folds
+      to NULL, and ``when(NULL >= 0)`` emits '0' for every plane. The
+      NULL-element case must be flagged SPARK-side (``exists(v, isNull)``)
+      because Arrow→pandas converts list nulls to NaN, erasing the
+      NULL/NaN distinction the fold semantics depend on.
+    - A NaN element (or inf−inf overflow) makes the projection NaN, and
+      Spark's ``NaN >= 0`` is TRUE (NaN sorts above every double) — so
+      NaN projections read bit '1': numpy bits are ``(p >= 0) | isnan(p)``.
+    - Well-formed rows take one matmul per Arrow batch — bit-identical to
+      the fold up to |projection| within one ulp of zero, the
+      lsh_buckets_vectorized contract already relied on by the hash-green
+      bucket-profile query.
+    """
+    import pandas as pd  # noqa: F401  (driver-side import check)
+
+    planes = _hyperplanes(dim, n_planes, seed)  # captured by value
+    zero_bucket = "0" * n_planes
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        plane_mat = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+        for pdf in it:
+            ok = np.fromiter(
+                (
+                    v is not None and len(v) == dim and not hn
+                    for v, hn in zip(pdf[vec_col], pdf["_has_null_elem"])
+                ),
+                dtype=bool,
+                count=len(pdf),
+            )
+            buckets = [zero_bucket] * len(pdf)
+            if ok.any():
+                mat = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][ok]]
+                )
+                proj = mat @ plane_mat  # (n_ok, n_planes)
+                bits = (proj >= 0) | np.isnan(proj)
+                strs = ["".join("10"[1 - b] for b in row) for row in bits]
+                it_s = iter(strs)
+                buckets = [next(it_s) if m else zero_bucket for m in ok]
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(
+        id_col,
+        vec_col,
+        F.coalesce(
+            F.exists(F.col(vec_col), lambda x: x.isNull()), F.lit(False)
+        ).alias("_has_null_elem"),
+    )
+    return src.mapInPandas(batches, f"{id_col} {id_type}, bucket string")
+
+
 def lsh_candidate_pairs(
     corpus: DataFrame,
     *,
@@ -280,24 +434,28 @@ def lsh_candidate_pairs(
     """Near-duplicate candidate pairs: bucket by LSH key, self-join within
     buckets (id_a < id_b), score exactly with cosine. The self-join shuffles
     both sides on the bucket key only — no cross join ever materializes.
+
+    r13 shape: bucketing is one numpy matmul per Arrow batch
+    (:func:`_lsh_buckets_exact_vectorized` — the pre-r13 per-row
+    ``lsh_bucket`` expression folded n_planes interpreted dots per vector,
+    and its 512-literal plane tree dominated small-SF planning), joined
+    back on the id; scoring runs through :func:`blocked_cosine_pairs`
+    (presplit compiled dot, norms once per vector — the expression this
+    wrapped before re-folded the dot AND both norms interpreted once per
+    PAIR). sf0.1→sf0.5 marginal 3.6 → 0.4 s (tools/ab_lsh_pairs.py);
+    outputs bit-identical (asserted there at sf0.1, and on every malformed
+    row class by construction — see the bucketing twin's docstring).
     """
-    bucketed = corpus.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket")
+    buckets = _lsh_buckets_exact_vectorized(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, seed=seed,
     )
-    # rename BEFORE the self-join: alias-qualified self-joins on the same
-    # lineage resolve ambiguously in Spark
-    left = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    bucketed = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        buckets, id_col
     )
-    right = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
-    )
-    pairs = left.join(right, on="bucket").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
-    )
+    return blocked_cosine_pairs(
+        bucketed, id_col=id_col, vec_col=vec_col, block_col="bucket", dim=dim
+    ).select("id_a", "id_b", "cosine")
 
 
 def lsh_buckets_vectorized(

@@ -10,8 +10,6 @@ that makes it survive a 1000-executor scale-up.
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -395,71 +393,15 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.repartition(
         spark.sparkContext.defaultParallelism, F.col("label")
     )
-    # norm precompute (r13, guide §1.2 "per-task work"): ‖v‖ is a
-    # per-VECTOR quantity, but cosine-per-pair recomputed it per PAIR —
-    # O(Σ block²) interpreted HOF folds where O(n) suffice. sqrt over the
-    # same left-fold is the identical IEEE double, so every downstream
-    # cosine (near-pairs / dup-clusters / threshold curve) is bit-unchanged.
-    #
-    # presplit dot (r13, guide §2.3/§4 "keep the hot loop compiled"): the
-    # remaining per-pair fold — S.dot's zip_with+aggregate — is a
-    # higher-order function, i.e. CodegenFallback: every one of the
-    # O(Σ block²) pairs paid an interpreted 64-step closure fold. Each
-    # side now projects its 64 elements into scalar double columns ONCE
-    # per vector (O(n) work); the per-pair score is a left-associated sum
-    # of 64 plain column products starting from 0.0 — the identical IEEE
-    # evaluation order, compiled. A/B at sf0.5 (tools/ab_blocked_pairs.py):
-    # marginal 17.5 s → 2.4 s (7.3×); unrolling at PAIR time (GetArrayItem
-    # per term) and struct-packing both lose — flat pre-join columns are
-    # the shape that codegens. The wf gate falls back to the old fold
-    # expression for any row whose array is not exactly EMB_DIM long
-    # (ragged/NULL inputs keep bit-identical semantics: zip_with pads with
-    # NULL on length mismatch but sums a SHORTER fold when both sides are
-    # equally short — only the true arrays can reproduce that).
-    wf = F.size("embedding") == EMB_DIM
-    e = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        S.norm(F.col("embedding")).alias("nrm"),
-        wf.alias("wf"),
-        *[
-            F.get("embedding", i).cast("double").alias(f"x{i}")
-            for i in range(EMB_DIM)
-        ],
-    )
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label"),
-        F.col("embedding").alias("vec_a"),
-        F.col("nrm").alias("nrm_a"),
-        F.col("wf").alias("wf_a"),
-        *[F.col(f"x{i}").alias(f"a{i}") for i in range(EMB_DIM)],
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("vec_b"),
-        F.col("nrm").alias("nrm_b"),
-        F.col("wf").alias("wf_b"),
-        *[F.col(f"x{i}").alias(f"b{i}") for i in range(EMB_DIM)],
-    )
-    split_dot = functools.reduce(
-        lambda acc, t: acc + t,
-        [F.col(f"a{i}") * F.col(f"b{i}") for i in range(EMB_DIM)],
-        F.lit(0.0),
-    )
-    pair_dot = F.when(F.col("wf_a") & F.col("wf_b"), split_dot).otherwise(
-        S.dot(F.col("vec_a"), F.col("vec_b"))
-    )
-    return a.join(
-        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select(
-        "id_a",
-        "id_b",
-        "label",
-        (pair_dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("c"),
-    )
+    # r13 (guide §4 "keep the hot loop compiled"): the per-pair cosine runs
+    # through S.blocked_cosine_pairs — presplit compiled dot, norms once
+    # per vector, wf-gated fallback to the fold for ragged inputs. A/B at
+    # sf0.5 (tools/ab_blocked_pairs.py): pair-stage marginal 17.5 → 2.4 s
+    # (7.3×); pair-time unrolling and struct-packing both measured worse.
+    return S.blocked_cosine_pairs(
+        e, id_col="vec_id", vec_col="embedding", block_col="label",
+        dim=EMB_DIM,
+    ).withColumnRenamed("cosine", "c")
 
 
 _CURVE_THRESHOLDS = (0.30, 0.35, 0.40, 0.45, 0.50)

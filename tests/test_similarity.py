@@ -369,3 +369,70 @@ def test_blocked_pairs_presplit_matches_fold_on_hostile_frame(spark, tmp_path):
     # the short-equal pair must carry the REAL partial-fold cosine (not
     # NULL): proves the fallback branch ran, not the gated fast path
     assert new[(8, 9)] is not None and not math.isnan(new[(8, 9)])
+
+
+def test_lsh_candidate_pairs_matches_expression_form_on_hostile_frame(spark):
+    """The r13 lsh_candidate_pairs rewrite (vectorized exact bucketing +
+    presplit pair scoring) must reproduce the pre-r13 per-row expression
+    shape — lsh_bucket() + cosine()-per-pair — on every hostile row class:
+    well-formed vectors, a NULL vector, a NaN element, an equally-short
+    pair (buckets to '0'*n_planes on BOTH paths and carries a real partial
+    cosine), a length-mismatched vector, and an empty array."""
+    import math
+
+    from data_engineering_project_spark.operators.similarity import (
+        cosine,
+        lsh_bucket,
+        lsh_candidate_pairs,
+    )
+
+    dim, n_planes, seed = 8, 4, 42
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(8)]
+    nanv = [0.5] * dim
+    nanv[2] = float("nan")
+    rows += [
+        (8, nanv),
+        (9, None),
+        (10, [0.9, 0.8, 0.7]),   # equally-short pair: real partial cosine
+        (11, [0.85, 0.81, 0.69]),
+        (12, [0.4] * 5),          # length-mismatched with everything
+        (13, []),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), dim, n_planes, seed).alias("bucket"),
+    )
+    left = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "bucket"
+    )
+    right = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "bucket"
+    )
+    old_pairs = (
+        left.join(right, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+        )
+    )
+    old = {(r["id_a"], r["id_b"]): r["cosine"] for r in old_pairs.collect()}
+    new = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_candidate_pairs(
+            e, dim=dim, n_planes=n_planes, seed=seed
+        ).collect()
+    }
+    assert set(new) == set(old)
+    assert (10, 11) in new  # the short-equal pair bucketed together
+    for k in old:
+        o, n = old[k], new[k]
+        same = (
+            o == n
+            or (o is None and n is None)
+            or (o is not None and n is not None and math.isnan(o) and math.isnan(n))
+        )
+        assert same, (k, o, n)
