@@ -431,9 +431,23 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.union(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # r13 (guide §1.3 plan reading): the old
+    # base.union(base.select(swapped)) computed the JOIN+DISTINCT subtree
+    # TWICE — the swap projection collapses into the distinct aggregate's
+    # output, so the union branches stop being identical subtrees and
+    # ReuseExchange cannot fire. One lineage instead: each deduped pair
+    # explodes map-side into both directions, then one partial-agg'd
+    # groupBy. Marginal 2.4 → 0.32 s at sf0.5 (tools/ab_degree_dist.py;
+    # a persist of the pair frame measured 0.78 — the explode needs no
+    # cache memory and wins anyway).
+    edges = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     return (
         deg.groupBy(
