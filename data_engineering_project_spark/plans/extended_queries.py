@@ -707,27 +707,31 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "absent): per-date counts are packed into a map<event_type, n> via "
     "collect_list + map_from_entries, then exploded back to rows. The "
     "round-trip hash-matches the plain aggregate, proving the map "
-    "construction/explosion is lossless; from_json parses the props column "
-    "with an explicit schema along the way.",
+    "construction/explosion is lossless; rows with NULL/blank props are "
+    "excluded by the exact predicate PERMISSIVE from_json nullness would "
+    "induce (stated directly with btrim — the per-row parse whose output "
+    "fed only this check was the query's whole data-scaled cost; the "
+    "declared-schema from_json surface lives in sources/jsonl.py).",
     tags=("map", "json", "functions"),
 )
 def events_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # from_json with a declared schema (vs the schema-less get_json_object
-    # in json_props_stats) — parse once, then treat as a typed struct
     # event_type is the MAP KEY below — a NULL key is illegal in Spark
     # maps (and the oracle mirrors both filters; null-fuzz finding: the
     # Spark side filtered unparseable props while the oracle counted them).
-    # PERMISSIVE from_json returns a NULL struct ONLY for NULL or
-    # all-ASCII-whitespace input — malformed JSON ('{not json', 'null',
-    # '[]') yields an all-null-fields ROW, which IS NOT NULL. The oracle
-    # mirrors exactly that: props IS NOT NULL AND trim(props, ' \\t\\n\\r')
-    # <> '' (plain trim() strips only spaces — the r10 hostile-string
-    # sweep caught '\\t' diverging; json-parse recipe).
-    parsed = (
-        ev.filter(F.col("event_type").isNotNull())
-        .withColumn("props_struct", F.from_json("props", "k INT"))
-        .filter(F.col("props_struct").isNotNull())
+    # r13 (guide §4): this filter used to be `from_json(props, 'k INT')
+    # IS NOT NULL` — a per-row Jackson parse whose output was consumed
+    # ONLY as this null check. PERMISSIVE from_json returns a NULL struct
+    # exactly for NULL or all-ASCII-whitespace input — malformed JSON
+    # ('{not json', 'null', '[]') yields an all-null-fields ROW, which IS
+    # NOT NULL — i.e. precisely the predicate the oracle states directly:
+    # props IS NOT NULL AND trim(props, ' \\t\\n\\r') <> '' (plain trim()
+    # strips only spaces — the r10 hostile-string sweep caught '\\t'
+    # diverging; json-parse recipe). Stating it with btrim drops the
+    # parse: sf0.5 marginal 1.45 → 0.24 s (tools/ab_wave_d.py). The
+    # declared-schema from_json surface lives in sources/jsonl.py.
+    parsed = ev.filter(F.col("event_type").isNotNull()).filter(
+        F.col("props").isNotNull() & (F.btrim("props", F.lit(" \t\n\r")) != "")
     )
     counts = parsed.groupBy(
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("date"),
