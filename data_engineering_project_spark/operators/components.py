@@ -29,7 +29,7 @@ def connected_components(
     *,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 8,
     fallback_to_star: bool = True,
 ) -> DataFrame:
     """Undirected connected components over an edge list.
@@ -39,16 +39,32 @@ def connected_components(
     diameter-many rounds, so a chain-shaped graph (e.g. the salted-chunk
     CHAIN EDGES a hot dedup bucket emits: a 3.8k-doc bucket in 64-doc
     chunks is a 60-edge path — the r13 sf0.5 sweep hit exactly this)
-    blows the round cap. When that happens the call ESCALATES to
-    :func:`connected_components_star` (O(log² n) rounds, diameter-free,
-    identical contract — equality property-tested) instead of raising;
-    pass ``fallback_to_star=False`` to get the old loud failure.
+    blows the round cap. When that happens the call ESCALATES — but
+    WITHOUT discarding the rounds already paid: the graph is contracted
+    by the learned labels and :func:`connected_components_star` (O(log²)
+    rounds, diameter-free) runs on the residual QUOTIENT graph only (one
+    node per surviving label — exactly the unconverged chain structure,
+    typically a few thousand rows), then composes node → label → root.
+    Identical contract — equality property-tested; pass
+    ``fallback_to_star=False`` to get the old loud failure.
+
+    ``max_iter`` defaults to 8, a diameter budget, not a convergence
+    tuning knob: duplicate clusters are dense (diameter ≤ ~3, converged
+    by round 4-5); past ~8 rounds the graph is chain-shaped and each
+    propagation round advances the min label ONE hop — the r13 sf0.5
+    profile read 21 rounds at ~1 s/round — while the quotient star
+    closes the same residual in 2-3 jobs over a tiny frame.
     """
+    # localCheckpoint (not persist): persist caches the ROWS but every
+    # round's join still embeds sym's full upstream logical plan — for a
+    # near-dup pipeline feeding this operator that is the whole blocked-
+    # pairs tree, re-analyzed by Catalyst once per round. Truncating the
+    # lineage makes each round's plan O(round), not O(pipeline).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -63,44 +79,62 @@ def connected_components(
         # cannot drop a round.
         .localCheckpoint()
     )
-    try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym["b"] == labels["node"])
-                .groupBy(F.col("a").alias("node2"))
-                .agg(F.min("component").alias("nbr_component"))
-            )
-            new_labels = (
-                labels.join(
-                    neighbor_min, labels["node"] == neighbor_min["node2"], "left"
-                )
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_component"), F.col("component")),
-                    ).alias("component"),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                return labels
-        if fallback_to_star:
-            return connected_components_star(edges, src=src, dst=dst)
-        raise RuntimeError(
-            f"connected_components: no convergence in {max_iter} rounds — "
-            "graph diameter too large for plain propagation; use "
-            "star-contraction"
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("component").alias("nbr_component"))
         )
-    finally:
-        sym.unpersist()
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["node2"], "left"
+            )
+            .select(
+                "node",
+                F.col("component").alias("_old"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        # convergence check folded into the checkpointed frame: the old
+        # label rides along as _old, so `changed` is a filter+count over
+        # the just-materialized rows — not a second join per round
+        changed = new_labels.filter(
+            F.col("component") != F.col("_old")
+        ).count()
+        labels = new_labels.select("node", "component")
+        if changed == 0:
+            return labels
+    if fallback_to_star:
+        # Contract by the labels already learned: every within-cluster
+        # edge has collapsed to a self-loop by now, so the quotient holds
+        # only the cross-label (chain) structure. Star-contract THAT,
+        # then compose node -> label -> root; labels whose cluster fully
+        # converged never enter the quotient and keep their value.
+        la = labels.select(F.col("node").alias("a"), F.col("component").alias("ca"))
+        lb = labels.select(F.col("node").alias("b"), F.col("component").alias("cb"))
+        quotient = (
+            sym.join(la, "a")
+            .join(lb, "b")
+            .select(F.col("ca").alias("u"), F.col("cb").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        roots = connected_components_star(quotient, src="u", dst="v").select(
+            F.col("node").alias("component"), F.col("component").alias("_root")
+        )
+        return labels.join(roots, "component", "left").select(
+            "node",
+            F.coalesce(F.col("_root"), F.col("component")).alias("component"),
+        )
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} rounds — "
+        "graph diameter too large for plain propagation; use "
+        "star-contraction"
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -67,6 +67,35 @@ def test_plain_cc_escalates_to_star_on_high_diameter(spark):
     assert got == {i: 0 for i in range(61)}
 
 
+def test_quotient_escalation_matches_full_star_on_mixed_graph(spark):
+    # dense 5-clique (converges in 1-2 rounds) + 40-edge chain (forces
+    # escalation) + isolated pair + self-loop inside the clique. With
+    # max_iter=2 the escalation path MUST fire; the composed
+    # labels-then-quotient-star answer must equal star over the raw edges.
+    clique = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(i, i + 1) for i in range(40)]
+    extras = [(500, 501), (101, 101)]
+    df = spark.createDataFrame(
+        clique + chain + extras, "src: long, dst: long"
+    )
+    got = _as_map(connected_components(df, max_iter=2).collect())
+    want = {i: 0 for i in range(41)}
+    want.update({100 + i: 100 for i in range(5)})
+    want.update({500: 500, 501: 500})
+    assert got == want
+    assert got == _as_map(connected_components_star(df).collect())
+
+
+def test_quotient_escalation_matches_propagation_on_random_graph(spark):
+    rng = random.Random(13)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    escalated = _as_map(connected_components(df, max_iter=1).collect())
+    converged = _as_map(connected_components(df, max_iter=30).collect())
+    assert escalated == converged
+
+
 def test_plain_cc_fallback_can_be_disabled(spark):
     import pytest
 
