@@ -1189,14 +1189,36 @@ def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # the sufficient statistics ride the scan as LONGs, not DEC38: Spark's
+    # Decimal leaves its compact-long representation above precision 18,
+    # so sum(dec38 * dec38) pays a BigDecimal multiply+add PER ROW (the
+    # r13 full-catalog sweep read a 22x slope on it; the long split
+    # measured 10x less marginal in tools/ab_wave_e.py). cents < 2^24 by
+    # the fixed-decimal contract, so cents^2 < 2^48 splits exactly into
+    # (hi = c^2 >> 24, lo = c^2 & (2^24 - 1)); per-group long sums stay
+    # exact below 2^39 rows/group — above the 100 TB per-returnflag count
+    # — and the k-row group table reconstructs the exact decimals.
+    cents = decimal_units(F.col("l_extendedprice"), 100)
+    c2 = cents * cents
     u = li.select(
-        "l_returnflag", decimal_units(F.col("l_extendedprice"), 100).alias("cents")
+        "l_returnflag",
+        cents.alias("cents"),
+        F.shiftright(c2, 24).alias("hi"),
+        c2.bitwiseAND(F.lit((1 << 24) - 1)).alias("lo"),
     )
-    cd = F.col("cents").cast(DEC38)
-    g = u.groupBy("l_returnflag").agg(
-        F.count("*").cast(DEC38).alias("n"),
-        F.sum(cd).alias("s"),
-        F.sum(cd * cd).alias("ss"),
+    g0 = u.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_l"),
+        F.sum("cents").alias("s_l"),
+        F.sum("hi").alias("ss_hi"),
+        F.sum("lo").alias("ss_lo"),
+    )
+    g = g0.select(
+        F.col("n_l").cast(DEC38).alias("n"),
+        F.col("s_l").cast(DEC38).alias("s"),
+        (
+            F.col("ss_hi").cast(DEC38) * F.lit(1 << 24).cast(DEC38)
+            + F.col("ss_lo").cast(DEC38)
+        ).alias("ss"),
     )
     # s_g^2/n_g is the one non-integer term: a raw double sum over groups
     # would accumulate in shuffle order (the float-order trap), so each
