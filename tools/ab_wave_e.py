@@ -42,6 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_engineering_project_spark.functions.scalars import decimal_units
+from data_engineering_project_spark.plans.analytics_queries import (
+    promo_revenue_by_brand as v0_promo,
+)
 from data_engineering_project_spark.plans.core_queries import (
     json_props_stats as v0_json,
 )
@@ -145,6 +148,41 @@ def v1_variant_project_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def v1_promo_decimal_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_engineering_project_spark.functions.scalars import half_up_div
+    from data_engineering_project_spark.plans.analytics_queries import (
+        broadcast_if_small,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    # decimal_units instead of F.round: same half-up integer snap (the
+    # exact_decimal_sum pairing, proven vs the oracle's ROUND for
+    # nonnegative money values) without Round's per-row BigDecimal hop —
+    # and the sums become LONG sums instead of integer-valued double sums
+    rev_units = decimal_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
+    )
+    return (
+        li.filter(F.to_date("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .select("l_partkey", rev_units.alias("rev_u"))
+        .join(broadcast_if_small(p), p["p_partkey"] == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            half_up_div(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("rev_u")).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                10_000,
+                2,
+            ).alias("promo_revenue"),
+            half_up_div(F.sum("rev_u"), 10_000, 2).alias("total_revenue"),
+        )
+    )
+
+
 EXPERIMENTS = {
     "anova": {
         "v0_anova": v0_anova,
@@ -157,6 +195,10 @@ EXPERIMENTS = {
     "variant": {
         "v0_variant": v0_variant,
         "v1_variant_project_once": v1_variant_project_once,
+    },
+    "promo": {
+        "v0_promo": v0_promo,
+        "v1_promo_decimal_units": v1_promo_decimal_units,
     },
 }
 
