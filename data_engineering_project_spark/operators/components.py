@@ -24,6 +24,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_ids(sc) -> set[int]:
+    """Ids of currently persisted RDDs (localCheckpoint blocks included —
+    they never register with the SQL CacheManager, so DataFrame.unpersist
+    cannot reach them; the SparkContext registry can)."""
+    out: set[int] = set()
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        out.add(it.next()._1())
+    return out
+
+
+def _checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """Eager localCheckpoint + the ids of the RDDs it persisted, so an
+    iterative loop can FREE the previous round once the next one
+    materializes. Without this every round's checkpoint blocks live for
+    the whole session (r13 measured the failure: 40+ checkpoint rounds in
+    one session outpaced the ContextCleaner and degraded sym-build 5.8 →
+    26.7 s; ADVICE r13)."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint()
+    return out, _persistent_ids(sc) - before
+
+
+def _unpersist_ids(df: DataFrame, ids: set[int]) -> None:
+    """Unpersist the given RDD ids (non-blocking). Safe ONLY for frames
+    that are never referenced again — a localCheckpoint'd RDD has no
+    lineage to recompute from."""
+    if not ids:
+        return
+    it = (
+        df.sparkSession.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    )
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            t._2().unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     *,
@@ -60,24 +99,22 @@ def connected_components(
     # near-dup pipeline feeding this operator that is the whole blocked-
     # pairs tree, re-analyzed by Catalyst once per round. Truncating the
     # lineage makes each round's plan O(round), not O(pipeline).
-    sym = (
+    sym, sym_ids = _checkpoint_tracked(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    # localCheckpoint (not persist): each round's plan embeds the
+    # previous round's twice (neighbor join + convergence join), so
+    # without lineage TRUNCATION the logical plan doubles per round
+    # and Catalyst itself OOMs after ~15 rounds. persist() caches data
+    # but keeps the full plan; checkpointing cuts it. On a real
+    # cluster prefer setCheckpointDir + checkpoint() so executor loss
+    # cannot drop a round.
+    labels, prev_ids = _checkpoint_tracked(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        # localCheckpoint (not persist): each round's plan embeds the
-        # previous round's twice (neighbor join + convergence join), so
-        # without lineage TRUNCATION the logical plan doubles per round
-        # and Catalyst itself OOMs after ~15 rounds. persist() caches data
-        # but keeps the full plan; checkpointing cuts it. On a real
-        # cluster prefer setCheckpointDir + checkpoint() so executor loss
-        # cannot drop a round.
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -85,11 +122,10 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        new_labels, new_ids = _checkpoint_tracked(
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["node2"], "left"
-            )
-            .select(
+            ).select(
                 "node",
                 F.col("component").alias("_old"),
                 F.least(
@@ -97,7 +133,6 @@ def connected_components(
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         # convergence check folded into the checkpointed frame: the old
         # label rides along as _old, so `changed` is a filter+count over
@@ -105,8 +140,16 @@ def connected_components(
         changed = new_labels.filter(
             F.col("component") != F.col("_old")
         ).count()
+        # the eager checkpoint above materialized this round; the previous
+        # round's blocks are now unreachable — free them (ADVICE r13: they
+        # otherwise accumulate max_iter frames per call for the session)
+        _unpersist_ids(new_labels, prev_ids)
+        prev_ids = new_ids
         labels = new_labels.select("node", "component")
         if changed == 0:
+            # the returned frame reads only the final round's checkpoint;
+            # sym is no longer reachable from it
+            _unpersist_ids(labels, sym_ids)
             return labels
     if fallback_to_star:
         # Contract by the labels already learned: every within-cluster
@@ -126,10 +169,15 @@ def connected_components(
         roots = connected_components_star(quotient, src="u", dst="v").select(
             F.col("node").alias("component"), F.col("component").alias("_root")
         )
-        return labels.join(roots, "component", "left").select(
+        out = labels.join(roots, "component", "left").select(
             "node",
             F.coalesce(F.col("_root"), F.col("component")).alias("component"),
         )
+        # the star call consumed `quotient` eagerly (its input checkpoint
+        # materializes on entry) and `out` reads only the final labels
+        # checkpoint + the star's own result frame — sym is unreachable now
+        _unpersist_ids(out, sym_ids)
+        return out
     raise RuntimeError(
         f"connected_components: no convergence in {max_iter} rounds — "
         "graph diameter too large for plain propagation; use "
@@ -205,18 +253,23 @@ def connected_components_star(
     ``connected_components``; equality on random graphs is
     property-tested in tests/test_components_star.py.
     """
-    e = (
+    e, prev_ids = _checkpoint_tracked(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     if e.isEmpty():
         return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        ls = _large_star(e2).localCheckpoint()
+        e2, e2_ids = _checkpoint_tracked(_small_star(_large_star(e)))
+        ls, ls_ids = _checkpoint_tracked(_large_star(e2))
         stable = ls.exceptAll(e2).isEmpty() and e2.exceptAll(ls).isEmpty()
+        # ls exists only for the fixed-point check; the previous round's
+        # edges are unreachable once e2 materialized — free both (the
+        # final e2 stays: the returned frame reads it)
+        _unpersist_ids(e2, ls_ids)
+        _unpersist_ids(e2, prev_ids)
+        prev_ids = e2_ids
         e = e2
         if stable:
             roots = (

@@ -280,20 +280,272 @@ def blocked_cosine_pairs(
     quadratic pair stage behind the label-blocked dedup queries and the
     LSH candidate scorer.
 
-    The per-pair dot is the r13 PRESPLIT shape: each side projects its
-    ``dim`` elements into scalar double columns ONCE per vector (O(n)); the
-    pair score is a left-associated compiled sum of plain column products
-    from a 0.0 literal — the identical IEEE evaluation order as the
-    ``zip_with``+``aggregate`` fold it replaces, but every node codegens
-    (higher-order functions are CodegenFallback, so the fold ran
-    INTERPRETED once per pair — 7.3× the marginal at sf0.5,
-    tools/ab_blocked_pairs.py; unrolling at pair time and struct-packing
-    both measured worse). A well-formedness gate (both arrays exactly
-    ``dim`` long) falls back to the fold so ragged/NULL/NaN inputs keep
-    bit-identical semantics — zip_with sums a SHORTER fold when both
-    arrays are equally short, which only the true arrays reproduce
+    r14 ARROW KERNEL (guide §4: hand whole blocks to vectorized native
+    code): each block ships ONCE through Arrow (`applyInArrow`) — n rows
+    of `dim` floats, not O(n²) pair rows — and the kernel emits the pair
+    triangle from numpy. The per-pair dot accumulates rank-1 updates in
+    dimension order (``acc += A[:,d]·B[:,d]`` for d = 0..dim-1 from a 0.0
+    matrix), i.e. the identical strict left fold the old
+    ``zip_with``+``aggregate`` expression evaluated, so every IEEE double
+    is bit-identical (NaN/inf included). This replaces the r13 presplit
+    (64 scalar double columns per join side, kept below as
+    :func:`blocked_cosine_pairs_presplit`): the presplit's wide
+    projection cost ~+1 s of planning/codegen constant per consumer at
+    small SF and doubled the join's shuffle bytes; the kernel's plan is a
+    plain block-keyed exchange + FlatMapGroupsInArrow.
+
+    Fold-semantics contract on hostile rows, reproduced exactly
     (tests/test_similarity.py::
-    test_blocked_pairs_presplit_matches_fold_on_hostile_frame).
+    test_blocked_pairs_presplit_matches_fold_on_hostile_frame and
+    ..._arrow_kernel_matches_presplit):
+
+    - NULL vector, or any NULL ELEMENT in either side → cosine NULL (the
+      fold's NULL product poisons the dot AND that side's norm; NULL
+      elements are flagged SPARK-side because Arrow→numpy erases the
+      NULL/NaN distinction — the `_lsh_buckets_exact_vectorized` lesson);
+    - length mismatch → NULL (``zip_with`` pads the shorter side);
+    - two equally SHORT arrays → the shorter fold's real value;
+    - NaN/inf elements → IEEE propagation, bit-identical in numpy;
+    - a pair whose norm product is EXACTLY 0.0 with a non-NULL dot (two
+      empty arrays, or two equal-length all-zero vectors) → the kernel
+      RAISES, reproducing ANSI-mode Spark's loud DIVIDE_BY_ZERO on the
+      expression paths (NULL operands stay NULL — the SQL null check
+      precedes the zero check; a NaN divisor is not zero and divides
+      through as IEEE NaN).
+
+    NaN must survive the boundary as a VALUE (Spark ranks NaN above every
+    double, so ``NaN >= threshold`` is TRUE while ``NULL >= t`` drops the
+    row): `mapInPandas` coerces NaN→NULL at the return boundary, so the
+    kernel is `applyInArrow` with an explicit validity mask.
+
+    Returns ``(id_a, id_b, <block_col>, cosine)``. Rows with a NULL id or
+    NULL block emit no pairs (the old join's ``<``/``=`` semantics).
+    """
+    import pyarrow as pa  # driver-side import check  # noqa: F401
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    blk_t = df.schema[block_col].dataType.simpleString()
+    out_schema = (
+        f"id_a {id_t}, id_b {id_t}, {block_col} {blk_t}, cosine double"
+    )
+
+    src = df.filter(
+        F.col(block_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col),
+        F.col(vec_col).alias("_vec"),
+        F.coalesce(
+            F.exists(F.col(vec_col), lambda x: x.isNull()), F.lit(False)
+        ).alias("_hn"),
+    )
+    # explicit-count repartition on the block key: the shuffle's BYTES are
+    # tiny while per-block work is quadratic CPU — AQE's byte-advisory
+    # coalescing would collapse the python workers onto one task. The
+    # group clustering below reuses this exact partitioning (no second
+    # exchange).
+    src = src.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(block_col)
+    )
+
+    def score_block(tbl: "pa.Table") -> "pa.Table":
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids = tbl.column("_id").combine_chunks()
+        blk0 = tbl.column(block_col)[0] if tbl.num_rows else None
+        vec = tbl.column("_vec").combine_chunks()
+
+        def _empty() -> "pa.Table":
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=ids.type),
+                    pa.array([], type=ids.type),
+                    pa.array([], type=tbl.column(block_col).type),
+                    pa.array([], type=pa.float64()),
+                ],
+                names=["id_a", "id_b", block_col, "cosine"],
+            )
+
+        m = tbl.num_rows
+        if m < 2:
+            return _empty()
+
+        # sort by id so emitted pairs are (smaller id, larger id) — the
+        # old join's id_a < id_b orientation (cosine itself is symmetric
+        # bit-for-bit: per-element products commute, fold order is by
+        # dimension on both orientations)
+        order = pc.sort_indices(ids)
+        order_np = order.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids.take(order)
+        vec = vec.take(order)
+        hn = (
+            tbl.column("_hn")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)[order_np]
+        )
+        valid = vec.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+        lens_f = vec.value_lengths().to_numpy(zero_copy_only=False)
+        lens = np.where(
+            valid, np.nan_to_num(lens_f, nan=-1.0), -1.0
+        ).astype(np.int64)
+        fast = valid & ~hn & (lens == dim)
+
+        pos_i: list = []
+        pos_j: list = []
+        cos_v: list = []
+        cos_null: list = []
+
+        fast_idx = np.flatnonzero(fast)
+        k = len(fast_idx)
+        if k >= 2:
+            X = (
+                vec.take(pa.array(fast_idx))
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(k, dim)
+            )
+            with np.errstate(all="ignore"):
+                # norm fold: sqrt((0.0 + x0²) + x1² + ...) — cumsum IS
+                # np.add.accumulate, the strict sequential left fold
+                nrm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+                # chunk the pair triangle so acc stays ~64 MB
+                cs = max(1, min(k, (1 << 23) // max(k, 1)))
+                for r0 in range(0, k - 1, cs):
+                    r1 = min(r0 + cs, k - 1)
+                    A = X[r0:r1]
+                    P = X[r0 + 1 :]
+                    acc = np.zeros((r1 - r0, P.shape[0]))
+                    for d in range(dim):
+                        # strict left fold over dims: 0.0 + t0 + t1 + ...
+                        acc += A[:, d, None] * P[None, :, d]
+                    den = nrm[r0:r1][:, None] * nrm[r0 + 1 :][None, :]
+                    cos = acc / den
+                    mask = (
+                        np.arange(P.shape[0])[None, :]
+                        >= np.arange(r1 - r0)[:, None]
+                    )
+                    li, lj = np.nonzero(mask)
+                    if (den[li, lj] == 0.0).any():
+                        raise ArithmeticError(
+                            "[DIVIDE_BY_ZERO] zero norm product in "
+                            "blocked_cosine_pairs (ANSI-mode parity with "
+                            "the expression form's Divide)"
+                        )
+                    pos_i.append(fast_idx[r0 + li])
+                    pos_j.append(fast_idx[r0 + 1 + lj])
+                    cos_v.append(cos[li, lj])
+                    cos_null.append(np.zeros(len(li), dtype=bool))
+
+        slow_idx = np.flatnonzero(~fast)
+        if len(slow_idx):
+            s_i: list = []
+            s_j: list = []
+            s_v: list = []
+            s_null: list = []
+
+            def _pair(a: int, b: int) -> None:
+                # fold value for a pair where at least one side is slow
+                s_i.append(a)
+                s_j.append(b)
+                ok = (
+                    valid[a]
+                    and valid[b]
+                    and not hn[a]
+                    and not hn[b]
+                    and lens[a] == lens[b]
+                )
+                if not ok:
+                    s_v.append(np.nan)
+                    s_null.append(True)
+                    return
+                if lens[a] == 0:
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero norm product in "
+                        "blocked_cosine_pairs (two empty arrays; ANSI-mode "
+                        "parity with the expression form's Divide)"
+                    )
+                u = np.asarray(vec[a].as_py(), dtype=np.float64)
+                w = np.asarray(vec[b].as_py(), dtype=np.float64)
+                with np.errstate(all="ignore"):
+                    dv = np.cumsum(u * w)[-1]
+                    na = np.sqrt(np.cumsum(u * u)[-1])
+                    nb = np.sqrt(np.cumsum(w * w)[-1])
+                    den = na * nb
+                    if den == 0.0:
+                        raise ArithmeticError(
+                            "[DIVIDE_BY_ZERO] zero norm product in "
+                            "blocked_cosine_pairs (ANSI-mode parity with "
+                            "the expression form's Divide)"
+                        )
+                    s_v.append(float(dv / den))
+                s_null.append(False)
+
+            fast_pos_sorted = fast_idx  # increasing
+            for s in slow_idx:
+                for t in range(int(s) + 1, m):
+                    _pair(int(s), t)
+                # fast partners BEFORE s (slow partners < s were covered
+                # when that smaller slow row iterated)
+                for t in fast_pos_sorted[fast_pos_sorted < s]:
+                    _pair(int(t), int(s))
+            pos_i.append(np.asarray(s_i, dtype=np.int64))
+            pos_j.append(np.asarray(s_j, dtype=np.int64))
+            cos_v.append(np.asarray(s_v, dtype=np.float64))
+            cos_null.append(np.asarray(s_null, dtype=bool))
+
+        if not pos_i:
+            return _empty()
+        pi = np.concatenate(pos_i)
+        pj = np.concatenate(pos_j)
+        cv = np.concatenate(cos_v)
+        cn = np.concatenate(cos_null)
+        id_a = ids.take(pa.array(pi))
+        id_b = ids.take(pa.array(pj))
+        # the old join's STRICT id_a < id_b drops duplicate-id pairs
+        neq = pc.not_equal(id_a, id_b)
+        if pc.any(pc.invert(neq)).as_py():
+            keep = neq.to_numpy(zero_copy_only=False).astype(bool)
+            id_a = id_a.filter(neq)
+            id_b = id_b.filter(neq)
+            cv = cv[keep]
+            cn = cn[keep]
+        return pa.Table.from_arrays(
+            [
+                id_a,
+                id_b,
+                pa.repeat(blk0, len(cv)),
+                pa.array(cv, mask=cn, type=pa.float64()),
+            ],
+            names=["id_a", "id_b", block_col, "cosine"],
+        )
+
+    return src.groupBy(block_col).applyInArrow(score_block, out_schema)
+
+
+def blocked_cosine_pairs_presplit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str,
+    dim: int,
+) -> DataFrame:
+    """The r13 PRESPLIT shape of :func:`blocked_cosine_pairs`, kept as the
+    pure-JVM reference implementation (A/B baseline + equality tests).
+
+    Each side projects its ``dim`` elements into scalar double columns
+    ONCE per vector (O(n)); the pair score is a left-associated compiled
+    sum of plain column products from a 0.0 literal — the identical IEEE
+    evaluation order as the ``zip_with``+``aggregate`` fold it replaced,
+    but every node codegens (higher-order functions are CodegenFallback,
+    so the fold ran INTERPRETED once per pair — 7.3× the marginal at
+    sf0.5, tools/ab_blocked_pairs.py). A well-formedness gate (both
+    arrays exactly ``dim`` long) falls back to the fold so ragged/NULL/
+    NaN inputs keep bit-identical semantics.
 
     Returns ``(id_a, id_b, <block_col>, cosine)``. Norms are computed once
     per vector (each pair folds nothing at all on the gated path).
@@ -375,10 +627,13 @@ def _lsh_buckets_exact_vectorized(
     - A NaN element (or inf−inf overflow) makes the projection NaN, and
       Spark's ``NaN >= 0`` is TRUE (NaN sorts above every double) — so
       NaN projections read bit '1': numpy bits are ``(p >= 0) | isnan(p)``.
-    - Well-formed rows take one matmul per Arrow batch — bit-identical to
-      the fold up to |projection| within one ulp of zero, the
-      lsh_buckets_vectorized contract already relied on by the hash-green
-      bucket-profile query.
+    - Well-formed rows take one matmul per Arrow batch. BLAS pairwise
+      summation can differ from the expression form's strict left fold by
+      ~1 ulp, which only matters when it flips the SIGN — so projections
+      within a relative epsilon of zero (|p| ≤ 1e-9·Σ|xᵢpᵢ|) are
+      recomputed with the exact sequential fold (``np.cumsum``) before the
+      sign is read (ADVICE r13: the empirical sf0.1 bit-identity is now a
+      structural guarantee).
     """
     import pandas as pd  # noqa: F401  (driver-side import check)
 
@@ -405,6 +660,12 @@ def _lsh_buckets_exact_vectorized(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][ok]]
                 )
                 proj = mat @ plane_mat  # (n_ok, n_planes)
+                # near-zero projections: BLAS order may differ from the
+                # strict left fold by ~1 ulp — re-fold exactly before the
+                # sign is read (see docstring)
+                scale = np.abs(mat) @ np.abs(plane_mat)
+                for ri, pi in zip(*np.nonzero(np.abs(proj) <= 1e-9 * scale)):
+                    proj[ri, pi] = np.cumsum(mat[ri] * plane_mat[:, pi])[-1]
                 bits = (proj >= 0) | np.isnan(proj)
                 strs = ["".join("10"[1 - b] for b in row) for row in bits]
                 it_s = iter(strs)
@@ -471,7 +732,9 @@ def lsh_buckets_vectorized(
     instead of per-row expression interpretation (~100× per-row at bulk
     scale — the right engine for bucketing billions of vectors; the
     expression form remains the bit-exact reference). Same hyperplanes, same
-    buckets: a sign flip would need |dot| within float ulp of zero.
+    buckets: projections within a relative epsilon of zero are re-folded
+    with the exact sequential order before the sign is read, so a BLAS
+    pairwise-summation ulp can never flip a bucket bit (ADVICE r13).
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
@@ -492,7 +755,11 @@ def lsh_buckets_vectorized(
                 mat = np.array(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][ok]]
                 )
-                bits = mat @ plane_mat >= 0  # (n_ok, n_planes)
+                proj = mat @ plane_mat  # (n_ok, n_planes)
+                scale = np.abs(mat) @ np.abs(plane_mat)
+                for ri, pi in zip(*np.nonzero(np.abs(proj) <= 1e-9 * scale)):
+                    proj[ri, pi] = np.cumsum(mat[ri] * plane_mat[:, pi])[-1]
+                bits = proj >= 0  # (n_ok, n_planes)
                 strs = ["".join("10"[1 - b] for b in row) for row in bits]
                 it_s = iter(strs)
                 buckets = [next(it_s) if m else None for m in ok]

@@ -388,16 +388,17 @@ def _blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    # explicit-count repartition on the block key: in-block exact cosine is
-    # CPU-bound on tiny bytes — AQE coalescing would single-thread it
-    e = e.repartition(
-        spark.sparkContext.defaultParallelism, F.col("label")
-    )
-    # r13 (guide §4 "keep the hot loop compiled"): the per-pair cosine runs
-    # through S.blocked_cosine_pairs — presplit compiled dot, norms once
-    # per vector, wf-gated fallback to the fold for ragged inputs. A/B at
-    # sf0.5 (tools/ab_blocked_pairs.py): pair-stage marginal 17.5 → 2.4 s
-    # (7.3×); pair-time unrolling and struct-packing both measured worse.
+    # r14 (guide §4 "hand whole blocks to vectorized native code"): the
+    # pair stage is S.blocked_cosine_pairs' Arrow kernel — each block
+    # ships once through applyInArrow and the pair triangle is emitted by
+    # a numpy strict-left-fold accumulation (bit-identical doubles). The
+    # operator pins its own explicit block-key repartition (AQE byte-
+    # advisory coalescing would single-thread the CPU-bound blocks), so
+    # no repartition here. r13 history: fold (interpreted HOF) 17.5 s →
+    # presplit compiled columns 2.4 s sf0.5 marginal
+    # (tools/ab_blocked_pairs.py); the presplit's 64-wide projection cost
+    # ~+1 s planning constant per consumer at sf0.1 — the Arrow kernel
+    # removes both.
     return S.blocked_cosine_pairs(
         e, id_col="vec_id", vec_col="embedding", block_col="label",
         dim=EMB_DIM,

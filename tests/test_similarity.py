@@ -278,6 +278,96 @@ def test_dimsum_centroids_match_posexplode_build(spark):
             assert r[f"c{i}"] == old.get((r["label"], i)), (r["label"], i)
 
 
+def test_blocked_pairs_arrow_kernel_matches_presplit(spark):
+    """The r14 Arrow kernel (blocked_cosine_pairs) must reproduce the r13
+    presplit JVM shape (blocked_cosine_pairs_presplit) bit-for-bit on every
+    hostile row class — same pair SET, same NULL/NaN/short-fold values —
+    and must preserve NaN as a VALUE across the Arrow boundary (Spark ranks
+    NaN above every double, so a NaN→NULL coercion would flip downstream
+    `c >= t` filters). Also pins the duplicate-id rule: the old join's
+    strict id_a < id_b emits NO self-pair for two rows sharing an id."""
+    import math
+
+    from data_engineering_project_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        blocked_cosine_pairs_presplit,
+    )
+
+    dim = 6
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(dim)], "b0") for i in range(5)
+    ]
+    nanv = [1.0] * dim
+    nanv[2] = float("nan")
+    nullv = [1.0] * dim
+    nullv[4] = None
+    rows += [
+        (5, nanv, "b0"),  # NaN element: cosine NaN on both paths
+        (6, nullv, "b0"),  # NULL element: cosine NULL
+        (7, [0.9, 0.7], "b0"),  # equal-short pair: real partial fold
+        (8, [0.8, 0.6], "b0"),
+        (9, [0.5] * 3, "b0"),  # length-mismatched vs everything
+        (10, None, "b0"),  # NULL embedding
+        (11, [], "b0"),  # empty array: NULL vs every partner
+        (20, [0.1] * dim, "b1"),  # second block
+        (21, [0.2] * dim, "b1"),
+        (22, [0.3] * dim, None),  # NULL block: no pairs
+    ]
+    # duplicate id inside one block: strict id_a < id_b drops the self-pair
+    rows += [(30, [0.4] * dim, "b2"), (30, [0.5] * dim, "b2")]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+
+    def collect(fn):
+        out = {}
+        for r in fn(
+            e, id_col="vec_id", vec_col="embedding", block_col="label",
+            dim=dim,
+        ).collect():
+            key = (r["id_a"], r["id_b"], r["label"])
+            assert key not in out, f"duplicate pair {key}"
+            out[key] = r["cosine"]
+        return out
+
+    old = collect(blocked_cosine_pairs_presplit)
+    new = collect(blocked_cosine_pairs)
+    assert set(new) == set(old)
+    n_b0 = 12
+    assert len([k for k in new if k[2] == "b0"]) == n_b0 * (n_b0 - 1) // 2
+    assert (30, 30, "b2") not in new  # duplicate-id self-pair dropped
+    for k in old:
+        a, b = old[k], new[k]
+        assert (
+            a == b
+            or (a is None and b is None)
+            or (a is not None and b is not None and math.isnan(a) and math.isnan(b))
+        ), (k, a, b)
+    # NaN survived the Arrow boundary as NaN (not coerced to NULL):
+    assert new[(0, 5, "b0")] is not None and math.isnan(new[(0, 5, "b0")])
+    # NULL-element and mismatched-length pairs stay NULL:
+    assert new[(0, 6, "b0")] is None and new[(0, 9, "b0")] is None
+    # the equal-short pair carries the REAL partial fold on both paths:
+    assert new[(7, 8, "b0")] is not None and not math.isnan(new[(7, 8, "b0")])
+
+    # ANSI parity on a zero norm product (two empty arrays in one block):
+    # the expression form raises Spark's DIVIDE_BY_ZERO; the Arrow kernel
+    # must be equally loud, not quietly emit NaN/NULL
+    import pytest
+
+    ee = spark.createDataFrame(
+        [(0, [], "z"), (1, [], "z")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    for fn in (blocked_cosine_pairs_presplit, blocked_cosine_pairs):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            fn(
+                ee, id_col="vec_id", vec_col="embedding",
+                block_col="label", dim=dim,
+            ).collect()
+
+
 def test_blocked_pairs_presplit_matches_fold_on_hostile_frame(spark, tmp_path):
     """_blocked_pairs' r13 presplit dot (64 scalar double columns per side,
     left-associated compiled sum, wf-gated) must reproduce the old

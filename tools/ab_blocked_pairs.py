@@ -149,12 +149,24 @@ def v2_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _near_pairs(pairs)
 
 
+def v3_presplit_r13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 production shape, now kept as
+    S.blocked_cosine_pairs_presplit — the r14 Arrow kernel's baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(spark.sparkContext.defaultParallelism, F.col("label"))
+    pairs = S.blocked_cosine_pairs_presplit(
+        e, id_col="vec_id", vec_col="embedding", block_col="label", dim=DIM
+    ).withColumnRenamed("cosine", "c")
+    return _near_pairs(pairs)
+
+
 if __name__ == "__main__":
+    # r14: v0_current routes through the Arrow applyInArrow kernel
+    # (S.blocked_cosine_pairs); v3 is the r13 presplit production shape.
     run_ab(
         {
             "v0_current": v0_current,
-            "v1_unrolled": v1_unrolled,
-            "v2_presplit": v2_presplit,
+            "v3_presplit_r13": v3_presplit_r13,
         }
     )
 

@@ -1,8 +1,8 @@
-"""Dump `.explain("formatted")` for catalog queries to plans/r13/.
+"""Dump `.explain("formatted")` for catalog queries to plans/r<N>/.
 
-Usage:
-    python tools/dump_plans.py before q1 q2 ...   # plans/r13/<q>_before.txt
-    python tools/dump_plans.py after q1 q2 ...    # plans/r13/<q>_after.txt
+Usage ($SPARK_GRAFT_PLANS_ROUND picks the round dir, default r14):
+    python tools/dump_plans.py before q1 q2 ...   # plans/rN/<q>_before.txt
+    python tools/dump_plans.py after q1 q2 ...    # plans/rN/<q>_after.txt
     python tools/dump_plans.py before --headliners
 
 Same session shape as bench.py (get_spark, local[$SPARK_GRAFT_CPUS]); plans
@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
 )
 
 
