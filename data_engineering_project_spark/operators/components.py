@@ -63,6 +63,46 @@ def _unpersist_ids(df: DataFrame, ids: set[int]) -> None:
             t._2().unpersist(False)
 
 
+# Residual-quotient edges at or below this count are solved driver-side
+# (exact union-find) instead of by distributed star contraction. The
+# quotient after 8 propagation rounds holds only the unconverged chain
+# structure — hundreds of rows at the sf0.5 probe — while each star round
+# costs 3 checkpoints + 2 exceptAll-isEmpty ACTIONS of pure job-scheduling
+# constants (~3.3 s measured for a 946-row quotient). 100k edges is a few
+# MB on the driver; anything larger keeps the scale path.
+_UF_MAX_ROWS = 100_000
+
+
+def _union_find_min_label(pairs) -> dict:
+    """Exact min-label connected components on a driver-sized edge list.
+
+    Union by MIN (the smaller root becomes parent) with path compression,
+    so every root IS its component's minimum id — the same contract as
+    the distributed paths: component = smallest reachable node id.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     *,
@@ -166,16 +206,44 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        roots = connected_components_star(quotient, src="u", dst="v").select(
-            F.col("node").alias("component"), F.col("component").alias("_root")
-        )
-        out = labels.join(roots, "component", "left").select(
+        # r14: the residual quotient is typically a FEW HUNDRED rows (946
+        # at the sf0.5 probe) — star contraction on it cost 3.3 s of pure
+        # per-round job constants (3 checkpoints + 2 exceptAll-isEmpty
+        # actions per round on a driver-sized frame). Size-gate: a
+        # quotient within the driver budget is collected and solved with
+        # exact min-label union-find (identical contract — component =
+        # smallest reachable id — equality property-tested); larger
+        # residuals keep the distributed star path.
+        q_rows = quotient.take(_UF_MAX_ROWS + 1)
+        if len(q_rows) <= _UF_MAX_ROWS:
+            mapping = _union_find_min_label([(r["u"], r["v"]) for r in q_rows])
+            spark = labels.sparkSession
+            dt = labels.schema["component"].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            roots = spark.createDataFrame(
+                sorted(mapping.items()),
+                StructType(
+                    [
+                        StructField("component", dt),
+                        StructField("_root", dt),
+                    ]
+                ),
+            )
+        else:
+            roots = connected_components_star(
+                quotient, src="u", dst="v"
+            ).select(
+                F.col("node").alias("component"),
+                F.col("component").alias("_root"),
+            )
+        out = labels.join(F.broadcast(roots), "component", "left").select(
             "node",
             F.coalesce(F.col("_root"), F.col("component")).alias("component"),
         )
-        # the star call consumed `quotient` eagerly (its input checkpoint
-        # materializes on entry) and `out` reads only the final labels
-        # checkpoint + the star's own result frame — sym is unreachable now
+        # the quotient was consumed eagerly (take / the star's input
+        # checkpoint) and `out` reads only the final labels checkpoint +
+        # the roots frame — sym is unreachable now
         _unpersist_ids(out, sym_ids)
         return out
     raise RuntimeError(

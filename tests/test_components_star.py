@@ -96,6 +96,42 @@ def test_quotient_escalation_matches_propagation_on_random_graph(spark):
     assert escalated == converged
 
 
+def test_union_find_min_label_matches_star_semantics():
+    from data_engineering_project_spark.operators.components import (
+        _union_find_min_label,
+    )
+
+    # chain + clique + pair, adversarial union order (large ids first)
+    pairs = [(40, 39), (39, 38), (38, 0), (100, 103), (103, 101), (7, 8)]
+    got = _union_find_min_label(pairs)
+    assert got == {
+        40: 0, 39: 0, 38: 0, 0: 0,
+        100: 100, 103: 100, 101: 100,
+        7: 7, 8: 7,
+    }
+    assert _union_find_min_label([]) == {}
+
+
+def test_quotient_escalation_star_branch_forced(spark, monkeypatch):
+    # Force the escalation past the driver-side union-find gate so the
+    # distributed star branch stays covered; result must be identical to
+    # the (default-gated) union-find answer and to converged propagation.
+    import data_engineering_project_spark.operators.components as comp_mod
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(500, 501)],
+        "src: long, dst: long",
+    )
+    monkeypatch.setattr(comp_mod, "_UF_MAX_ROWS", 0)
+    star_branch = _as_map(connected_components(df, max_iter=2).collect())
+    monkeypatch.undo()
+    uf_branch = _as_map(connected_components(df, max_iter=2).collect())
+    want = {i: 0 for i in range(41)}
+    want.update({500: 500, 501: 500})
+    assert star_branch == want
+    assert uf_branch == want
+
+
 def test_plain_cc_fallback_can_be_disabled(spark):
     import pytest
 
