@@ -67,6 +67,309 @@ def _pq_code(vec: Column, s: int, sub: int, book: dict[int, list[float]]) -> Col
     return F.array_min(scored).getField("cid")
 
 
+def _make_codes_matrix(books: list[dict[int, list[float]]], sub: int):
+    """Build the per-batch PQ-codes closure — the vectorized replica of
+    ``n_sub`` ``_pq_code`` projections (bit-identical: the per-pair
+    distance accumulates ``acc += (x_i - b_i)²`` dimension-by-dimension
+    from 0.0, the strict left fold the zip_with+aggregate expression
+    evaluates, on exact int64→double values; ``np.argmin`` takes the first
+    minimum over codebooks stacked in ascending-cid order = the (d, cid)
+    lexicographic tie-break; NaN cannot arise from integer inputs and
+    finite codebooks).
+
+    Malformed-row semantics, empirically pinned against the expression
+    form (ANSI session; tests/test_timeseries_clustering.py): a NULL
+    vector, a window truncated by a short array, or a NULL element inside
+    the window nulls every candidate's distance and ``array_min`` orders
+    NULL-``d`` structs FIRST — the code degrades to the smallest cid; a
+    fully-present window (even on an over-long row) computes normally.
+
+    Returned as a FACTORY so the worker-side closure is pickled by value
+    (a module-level helper would pickle by reference and fail to import
+    on executors that don't share the driver's sys.path).
+
+    The closure maps ``(vec: pa.ListArray, hn: np.ndarray)`` to
+    ``(codes (m, n_sub) int64, fast mask, fast_idx, Xi)`` where ``Xi`` is
+    the (n_fast, dim) int64 matrix of well-formed rows (reused by the
+    training-stats kernel for exact integer sums).
+    """
+    n_sub = len(books)
+    dim = n_sub * sub
+    keys = [sorted(b) for b in books]
+
+    def slow_code(vals, s: int) -> int:
+        ks = keys[s]
+        if vals is None:
+            return ks[0]
+        lo, hi = s * sub, (s + 1) * sub
+        if len(vals) < hi:
+            return ks[0]
+        window = vals[lo:hi]
+        if any(v is None for v in window):
+            return ks[0]
+        book = books[s]
+        best_d = None
+        best_c = ks[0]
+        for cid in ks:
+            b = book[cid]
+            acc = 0.0
+            for a, bb in zip(window, b):
+                d = float(a) - bb
+                acc += d * d
+            if best_d is None or acc < best_d:
+                best_d, best_c = acc, cid
+        return best_c
+
+    def codes_matrix(vec, hn):
+        import numpy as np
+        import pyarrow as pa
+
+        m = len(vec)
+        valid = vec.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+        lens_f = vec.value_lengths().to_numpy(zero_copy_only=False)
+        lens = np.where(valid, np.nan_to_num(lens_f, nan=-1.0), -1.0).astype(
+            np.int64
+        )
+        fast = valid & ~hn & (lens == dim)
+        codes = np.zeros((m, n_sub), dtype=np.int64)
+        fast_idx = np.flatnonzero(fast)
+        Xi = None
+        if len(fast_idx):
+            k = len(fast_idx)
+            Xi = (
+                vec.take(pa.array(fast_idx))
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .reshape(k, dim)
+            )
+            Xf = Xi.astype(np.float64)
+            for s in range(n_sub):
+                W = Xf[:, s * sub : (s + 1) * sub]
+                D = np.empty((k, len(keys[s])), dtype=np.float64)
+                for ci, cid in enumerate(keys[s]):
+                    b = books[s][cid]
+                    acc = np.zeros(k, dtype=np.float64)
+                    for i in range(sub):
+                        d = W[:, i] - b[i]
+                        acc += d * d
+                    D[:, ci] = acc
+                codes[fast_idx, s] = np.asarray(keys[s], dtype=np.int64)[
+                    np.argmin(D, axis=1)
+                ]
+        for r in np.flatnonzero(~fast):
+            vals = vec[int(r)].as_py() if valid[r] else None
+            for s in range(n_sub):
+                codes[r, s] = slow_code(vals, s)
+        return codes, fast, fast_idx, Xi
+
+    return codes_matrix
+
+
+def pq_codes_arrow(
+    frame: DataFrame,
+    *,
+    books: list[dict[int, list[float]]],
+    sub: int,
+    vec_col: str,
+) -> DataFrame:
+    """All PQ subspace codes as ONE Arrow map stage (guide §4): replaces
+    ``n_sub`` interpreted ``_pq_code`` projections (HOFs are
+    CodegenFallback — the r14 stage attribution put the scan's 1.3 s
+    almost entirely there, tools/ab_ivfpq_stages.py). Passes every other
+    column of ``frame`` through untouched and appends ``c0..c{n_sub-1}``
+    (int, same values as the expression form — semantics pinned in
+    :func:`_codes_matrix` / :func:`_slow_pq_code`). Plan shape: a single
+    ``MapInArrow`` over whatever partitioning the input already has — no
+    shuffle, no BatchEvalPython."""
+    import pyarrow as pa  # driver-side import check  # noqa: F401
+
+    n_sub = len(books)
+    keep = [c for c in frame.columns if c != vec_col]
+    keep_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in frame.schema.fields
+        if f.name != vec_col
+    )
+    out_schema = keep_schema + ", " + ", ".join(
+        f"c{s} int" for s in range(n_sub)
+    )
+    src = frame.select(
+        *keep,
+        F.col(vec_col).alias("_v"),
+        F.coalesce(
+            F.exists(F.col(vec_col), lambda x: x.isNull()), F.lit(False)
+        ).alias("_hn"),
+    )
+
+    codes_matrix = _make_codes_matrix(books, sub)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            vec = tbl.column("_v").combine_chunks()
+            hn = (
+                tbl.column("_hn")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            codes, _, _, _ = codes_matrix(vec, hn)
+            cols = [tbl.column(c).combine_chunks() for c in keep]
+            cols += [
+                pa.array(codes[:, s], type=pa.int32()) for s in range(n_sub)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=keep + [f"c{s}" for s in range(n_sub)]
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
+def _lloyd_stats_arrow(
+    frame: DataFrame,
+    *,
+    books: list[dict[int, list[float]]],
+    sub: int,
+    vec_col: str,
+) -> list:
+    """One Lloyd recompute round's (s, cluster, d) integer sufficient
+    statistics via an Arrow partial-aggregation kernel — the vectorized
+    replica of the expression round (assignment argmins + posexplode +
+    groupBy sum/count), whose interpreted argmin HOFs and 64× row explode
+    were the training round's entire 1.6 s (tools/ab_ivfpq_stages.py).
+
+    Exactness: codes are bit-identical (:func:`_codes_matrix`); per-group
+    sums are int64 over int64 (order-free); count parity includes NULL
+    elements exactly as ``count(lit(1))`` over the explode did, and ``sm``
+    stays NULL for a group whose every element was NULL (slow rows only).
+    A malformed row LONGER than dim raises, reproducing the expression
+    form's ANSI ``element_at(_cls, s+1)`` out-of-bounds error on its
+    phantom trailing dims.
+
+    Returns the collected (s, cluster, d, sm, n) rows, same contract as
+    the old ``.collect()``.
+    """
+    import pyarrow as pa  # driver-side import check  # noqa: F401
+
+    n_sub = len(books)
+    dim = n_sub * sub
+    kmax = max(len(b) for b in books)
+    keys = [sorted(b) for b in books]
+    src = frame.select(
+        F.col(vec_col).alias("_v"),
+        F.coalesce(
+            F.exists(F.col(vec_col), lambda x: x.isNull()), F.lit(False)
+        ).alias("_hn"),
+    )
+
+    codes_matrix = _make_codes_matrix(books, sub)
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        SM = np.zeros((n_sub, kmax, sub), dtype=np.int64)
+        N = np.zeros((n_sub, kmax, sub), dtype=np.int64)
+        # (s, cluster, d) -> [sm, n, seen_nonnull] for slow-row elements
+        slow: dict = {}
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            vec = tbl.column("_v").combine_chunks()
+            hn = (
+                tbl.column("_hn")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            codes, fast, fast_idx, Xi = codes_matrix(vec, hn)
+            if Xi is not None:
+                fast_codes = codes[fast_idx]
+                for s in range(n_sub):
+                    W = Xi[:, s * sub : (s + 1) * sub]
+                    for ci, cid in enumerate(keys[s]):
+                        mask = fast_codes[:, s] == cid
+                        cnt = int(mask.sum())
+                        if cnt:
+                            SM[s, ci] += W[mask].sum(axis=0)
+                            N[s, ci] += cnt
+            valid = vec.is_valid().to_numpy(zero_copy_only=False).astype(
+                bool
+            )
+            for r in np.flatnonzero(~fast):
+                if not valid[r]:
+                    continue  # NULL array explodes to nothing
+                vals = vec[int(r)].as_py()
+                for j, qv in enumerate(vals):
+                    if j >= dim:
+                        raise ArithmeticError(
+                            "[INVALID_ARRAY_INDEX_IN_ELEMENT_AT] phantom "
+                            "trailing dim in PQ training (row longer than "
+                            f"{dim}; ANSI-mode parity with the expression "
+                            "form's element_at)"
+                        )
+                    s = j // sub
+                    g = (s, int(codes[r, s]), j % sub)
+                    ent = slow.setdefault(g, [0, 0, False])
+                    ent[1] += 1
+                    if qv is not None:
+                        ent[0] += qv
+                        ent[2] = True
+        out_s: list[int] = []
+        out_c: list[int] = []
+        out_d: list[int] = []
+        out_sm: list[int] = []
+        out_sm_null: list[bool] = []
+        out_n: list[int] = []
+        for s in range(n_sub):
+            for ci, cid in enumerate(keys[s]):
+                for d in range(sub):
+                    sm = int(SM[s, ci, d])
+                    n = int(N[s, ci, d])
+                    seen = n > 0
+                    g = (s, cid, d)
+                    if g in slow:
+                        esm, en, eseen = slow.pop(g)
+                        sm += esm
+                        n += en
+                        seen = seen or eseen
+                    if n == 0:
+                        continue
+                    out_s.append(s)
+                    out_c.append(cid)
+                    out_d.append(d)
+                    out_sm.append(sm)
+                    out_sm_null.append(not seen)
+                    out_n.append(n)
+        for (s, cid, d), (esm, en, eseen) in sorted(slow.items()):
+            out_s.append(s)
+            out_c.append(cid)
+            out_d.append(d)
+            out_sm.append(esm)
+            out_sm_null.append(not eseen)
+            out_n.append(en)
+        if out_s:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_s, type=pa.int32()),
+                    pa.array(out_c, type=pa.int32()),
+                    pa.array(out_d, type=pa.int32()),
+                    pa.array(out_sm, mask=np.array(out_sm_null), type=pa.int64()),
+                    pa.array(out_n, type=pa.int64()),
+                ],
+                names=["s", "cluster", "d", "sm", "n"],
+            )
+
+    return (
+        src.mapInArrow(gen, "s int, cluster int, d int, sm bigint, n bigint")
+        .groupBy("s", "cluster", "d")
+        .agg(F.sum("sm").alias("sm"), F.sum("n").alias("n"))
+        .collect()
+    )
+
+
 def _assign(pts: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     scored = F.array(
         *[
@@ -192,25 +495,14 @@ def _lloyd_books_multi(
     ]
 
     for _ in range(n_iter - 1):
-        cls = F.array(
-            *[_pq_code(F.col(vec_col), s, sub, books[s]) for s in range(n_sub)]
-        )
-        s_col = F.floor(F.col("dim") / sub).cast("int")
-        stats = (
-            # the assignment argmins resolve in their OWN projection: a
-            # generator (posexplode) in the same select strips the struct
-            # field names the argmin's getField("cid") needs
-            frame.select(F.col(vec_col).alias("_v"), cls.alias("_cls"))
-            .select("_cls", F.posexplode("_v").alias("dim", "qv"))
-            .select(
-                s_col.alias("s"),
-                F.element_at(F.col("_cls"), s_col + 1).alias("cluster"),
-                (F.col("dim") % sub).alias("d"),
-                "qv",
-            )
-            .groupBy("s", "cluster", "d")
-            .agg(F.sum("qv").alias("sm"), F.count(F.lit(1)).alias("n"))
-            .collect()
+        # assignment argmins + the 64× posexplode + groupBy, fused into one
+        # Arrow partial-aggregation map stage (r14; was interpreted-HOF
+        # argmin expressions — the whole training-round cost in
+        # tools/ab_ivfpq_stages.py). Bit-identical stats: exact int64 sums,
+        # count parity incl. NULL elements, ANSI element_at throw on
+        # phantom trailing dims — see _lloyd_stats_arrow.
+        stats = _lloyd_stats_arrow(
+            frame, books=books, sub=sub, vec_col=vec_col
         )
         new_books: list[dict[int, list[float]]] = [{} for _ in range(n_sub)]
         for r in stats:
@@ -371,9 +663,8 @@ def pq_topk(
     # queries in one session; the lazy result recomputes map-only if
     # re-materialized)
     result = (
-        full.select(
-            "vec_id",
-            *[_pq_code(F.col("qf"), s, sub, books[s]).alias(f"c{s}") for s in range(n_sub)],
+        pq_codes_arrow(
+            full.select("vec_id", "qf"), books=books, sub=sub, vec_col="qf"
         )
         .withColumn("adc", adc)
         .filter(F.col("vec_id") != query_id)
@@ -502,9 +793,6 @@ def ivfpq_topk(
     # the first fit materialized ``res``; nothing re-reads the raw corpus
     pts.unpersist()
 
-    def _code_col(s: int) -> Column:
-        return _pq_code(F.col("r"), s, sub, books[s])
-
     # ADC lookup per (probed cell, subspace, code), driver-side in the
     # oracle's left-fold order
     def _adc_table(cell: int, s: int) -> dict[int, float]:
@@ -532,14 +820,13 @@ def ivfpq_topk(
     # projections (literal codebooks and maps), so the whole candidate
     # path is ONE map-only pass over the cached residuals + TakeOrdered —
     # zero joins, zero shuffles (plan-asserted in test_plan_quality.py)
-    cand = (
+    cand = pq_codes_arrow(
         res.filter(F.col("cell").isin([int(c) for c in probes]))
         .filter(F.col("vec_id") != query_id)
-        .select(
-            "vec_id",
-            "cell",
-            *[_code_col(s).alias(f"c{s}") for s in range(n_sub)],
-        )
+        .select("vec_id", "cell", "r"),
+        books=books,
+        sub=sub,
+        vec_col="r",
     )
     adc = None
     for cell in probes:

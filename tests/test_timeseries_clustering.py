@@ -222,3 +222,114 @@ def test_lloyd_books_multi_matches_sequential_subspace_fits(spark):
         )
         is None
     )
+
+
+def test_pq_codes_arrow_matches_expression_on_hostile_frame(spark):
+    """The Arrow codes kernel (pq_codes_arrow) must reproduce the
+    expression-form _pq_code on every hostile row class: NULL vector,
+    short array (whole and partial subspace windows), NULL elements,
+    over-long rows, empty arrays, ties — pinned empirically (ANSI
+    session: a malformed window nulls every candidate distance and
+    array_min orders NULL-d structs first, degrading the code to the
+    smallest cid)."""
+    import random
+
+    from data_engineering_project_spark.operators.clustering import (
+        _pq_code,
+        pq_codes_arrow,
+    )
+
+    books = [
+        {0: [0.0, 0.0], 1: [10.0, 10.0]},
+        {0: [5.0, 5.0], 1: [0.0, 1.0]},
+    ]
+    rng = random.Random(11)
+    rows = [
+        (1, [0, 0, 0, 1]),
+        (2, None),
+        (3, [0, 0]),
+        (4, [0, None, 0, 1]),
+        (5, [0, 0, 0, 1, 99, 99]),
+        (6, []),
+        (7, [0, 0, 0]),
+        (8, [11, 11, 0, 1]),
+        (9, [None, None, None, None]),
+        (10, [5, 5, 5, 5]),  # equidistant tie in s=1 -> smaller cid
+    ] + [
+        (100 + i, [rng.randint(-20, 20) for _ in range(4)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, q array<bigint>")
+    expr = sorted(
+        tuple(r)
+        for r in df.select(
+            "vec_id",
+            *[
+                _pq_code(F.col("q"), s, 2, books[s]).alias(f"c{s}")
+                for s in range(2)
+            ],
+        ).collect()
+    )
+    arrow = sorted(
+        tuple(r)
+        for r in pq_codes_arrow(
+            df, books=books, sub=2, vec_col="q"
+        ).collect()
+    )
+    assert expr == arrow
+
+
+def test_lloyd_stats_arrow_matches_expression_stats(spark):
+    """The Arrow training-stats kernel must reproduce the old
+    posexplode+groupBy round bit-for-bit (sums, counts incl. NULL
+    elements, group set) on a frame mixing well-formed and malformed
+    rows — and raise on a row longer than dim exactly where the ANSI
+    element_at would."""
+    import pytest
+
+    from data_engineering_project_spark.operators.clustering import (
+        _lloyd_stats_arrow,
+        _pq_code,
+    )
+
+    books = [
+        {0: [0.0, 0.0], 1: [10.0, 10.0]},
+        {0: [5.0, 5.0], 1: [0.0, 1.0]},
+    ]
+    rows = [
+        (1, [0, 0, 0, 1]),
+        (2, None),
+        (3, [0, 0]),
+        (4, [0, None, 0, 1]),
+        (6, []),
+        (7, [0, 0, 0]),
+        (8, [11, 11, 0, 1]),
+        (10, [5, 5, 5, 5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, q array<bigint>")
+    cls = F.array(*[_pq_code(F.col("q"), s, 2, books[s]) for s in range(2)])
+    s_col = F.floor(F.col("dim") / 2).cast("int")
+    old = (
+        df.select(F.col("q").alias("_v"), cls.alias("_cls"))
+        .select("_cls", F.posexplode("_v").alias("dim", "qv"))
+        .select(
+            s_col.alias("s"),
+            F.element_at(F.col("_cls"), s_col + 1).alias("cluster"),
+            (F.col("dim") % 2).alias("d"),
+            "qv",
+        )
+        .groupBy("s", "cluster", "d")
+        .agg(F.sum("qv").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    new = _lloyd_stats_arrow(df, books=books, sub=2, vec_col="q")
+    as_t = lambda rs: sorted(
+        (r["s"], r["cluster"], r["d"], r["sm"], r["n"]) for r in rs
+    )
+    assert as_t(old) == as_t(new)
+
+    long_df = spark.createDataFrame(
+        [(5, [0, 0, 0, 1, 99, 99])], "vec_id long, q array<bigint>"
+    )
+    with pytest.raises(Exception, match="ELEMENT_AT"):
+        _lloyd_stats_arrow(long_df, books=books, sub=2, vec_col="q")
