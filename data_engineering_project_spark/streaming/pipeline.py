@@ -929,33 +929,61 @@ def upsert_cohort_state(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ft_new = batch_df.groupBy(
-            F.col(user_col).alias("user_id")
-        ).agg(F.min(time_col).alias("first_ts"))
-        uw_new = batch_df.select(
-            F.col(user_col).alias("user_id"),
-            F.date_trunc("week", F.col(time_col)).alias("active_week"),
-        ).distinct()
-
-        ft_dir = os.path.join(target_dir, "first_touch")
-        current = _recover_and_read(spark, ft_dir)
-        merged = (
-            ft_new
-            if current is None
-            else current.unionByName(ft_new)
-            .groupBy("user_id")
-            .agg(F.min("first_ts").alias("first_ts"))
+        # ONE pre-aggregate per batch (r14): both state components derive
+        # from (user, week) -> min(ts) — first_touch is the min of the
+        # per-week mins (exact partition refinement) and user_weeks is the
+        # groupBy key set (= the old DISTINCT). The old form scanned and
+        # shuffled the batch TWICE (once per component) — half of each
+        # writer invocation's ~0.9 s in tools/ab_cohort_serving.py. The
+        # persisted frame is state-sized (users × active weeks), never
+        # event-sized.
+        # localCheckpoint, not persist: a persisted plan pins the pre-AQE
+        # 64-partition shuffle output (cached plans bypass AQE coalescing
+        # by default) and its materialization job cost MORE than the scan
+        # it saved (tools/ab_cohort_serving.py v1); the checkpoint
+        # materializes the post-AQE coalesced partitions eagerly and both
+        # component merges read state-sized blocks. Tracked so the blocks
+        # are FREED per call — a long-running stream would otherwise
+        # accumulate one checkpoint per batch for the session (the r13
+        # localCheckpoint session-degradation failure mode).
+        from data_engineering_project_spark.operators.components import (
+            _checkpoint_tracked,
+            _unpersist_ids,
         )
-        _atomic_swap_write(merged, ft_dir)
 
-        uw_dir = os.path.join(target_dir, "user_weeks")
-        current = _recover_and_read(spark, uw_dir)
-        merged = (
-            uw_new
-            if current is None
-            else current.unionByName(uw_new).distinct()
+        pre, pre_ids = _checkpoint_tracked(
+            batch_df.groupBy(
+                F.col(user_col).alias("user_id"),
+                F.date_trunc("week", F.col(time_col)).alias("active_week"),
+            ).agg(F.min(time_col).alias("first_ts"))
         )
-        _atomic_swap_write(merged, uw_dir)
+        try:
+            ft_new = pre.groupBy("user_id").agg(
+                F.min("first_ts").alias("first_ts")
+            )
+            uw_new = pre.select("user_id", "active_week")
+
+            ft_dir = os.path.join(target_dir, "first_touch")
+            current = _recover_and_read(spark, ft_dir)
+            merged = (
+                ft_new
+                if current is None
+                else current.unionByName(ft_new)
+                .groupBy("user_id")
+                .agg(F.min("first_ts").alias("first_ts"))
+            )
+            _atomic_swap_write(merged, ft_dir)
+
+            uw_dir = os.path.join(target_dir, "user_weeks")
+            current = _recover_and_read(spark, uw_dir)
+            merged = (
+                uw_new
+                if current is None
+                else current.unionByName(uw_new).distinct()
+            )
+            _atomic_swap_write(merged, uw_dir)
+        finally:
+            _unpersist_ids(pre, pre_ids)
 
     return _write
 
