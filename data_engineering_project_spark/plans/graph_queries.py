@@ -26,6 +26,29 @@ _ITERATIONS = 3
 _BASE = UNIT - DAMPING_MICRO
 
 
+def _symmetrize(base: DataFrame) -> DataFrame:
+    """Undirected edge view of a deduped (src, dst) frame — map-side
+    explode of both orientations, ONE lineage (r14, extending the r13
+    graph_degree_distribution fix to every trade-graph loop consumer):
+    ``base.union(base.select(swapped))`` computed the JOIN+DISTINCT
+    subtree TWICE because the swap projection collapses into the distinct
+    aggregate's output and the union branches stop being identical
+    subtrees, so ReuseExchange cannot fire. Identical edge multiset: the
+    parity encoding makes forward/reverse collisions impossible, and
+    neither form deduplicates across orientations
+    (tools/ab_pagerank_build.py: sf0.5 marginal 3.88 -> 3.26 s on the
+    pagerank consumer; every downstream consumer is order-independent
+    aggregation/joins)."""
+    return base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def _round_cte(prev: str, cur: str) -> str:
     """One unrolled PageRank round: contributions from ``prev`` → ``cur``."""
     return f"""
@@ -96,11 +119,10 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Undirected: materialize both directions (reversed edges cannot collide
-    # with forward ones — the parity encoding differs per side).
-    edges = base.union(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # Undirected: both directions via map-side explode (reversed edges
+    # cannot collide with forward ones — the parity encoding differs per
+    # side); see _symmetrize for why not union-of-swapped.
+    edges = _symmetrize(base)
     ranks = pagerank_quantized(edges, iterations=_ITERATIONS)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -181,9 +203,7 @@ def graph_bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.unionAll(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _symmetrize(base)
     sources = base.agg(F.min("src").alias("node"))
     dist = bfs_hops(edges, sources, rounds=_BFS_ROUNDS)
     return dist.select(
@@ -285,9 +305,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.unionAll(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _symmetrize(base)
     labels = label_propagation(edges, rounds=_LPA_ROUNDS)
     sizes = labels.groupBy("label").agg(
         F.count("*").cast("bigint").alias("community_size")
@@ -376,9 +394,7 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.union(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _symmetrize(base)
     core = kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
     return core.select(
         F.when(F.col("src") % 2 == 0, F.lit("customer"))
