@@ -67,7 +67,9 @@ def _pq_code(vec: Column, s: int, sub: int, book: dict[int, list[float]]) -> Col
     return F.array_min(scored).getField("cid")
 
 
-def _make_codes_matrix(books: list[dict[int, list[float]]], sub: int):
+def _make_codes_matrix(
+    books: list[dict[int, list[float]]], sub: int, strict_len: bool = False
+):
     """Build the per-batch PQ-codes closure — the vectorized replica of
     ``n_sub`` ``_pq_code`` projections (bit-identical: the per-pair
     distance accumulates ``acc += (x_i - b_i)²`` dimension-by-dimension
@@ -83,6 +85,12 @@ def _make_codes_matrix(books: list[dict[int, list[float]]], sub: int):
     the window nulls every candidate's distance and ``array_min`` orders
     NULL-``d`` structs FIRST — the code degrades to the smallest cid; a
     fully-present window (even on an over-long row) computes normally.
+
+    ``strict_len=True`` selects the ``_assign`` (whole-vector k-means)
+    hostile contract instead: the fold there zips the FULL vector against
+    a dim-length centroid, so an over-long row ALSO nulls every distance
+    (the centroid side pads) and degrades to the smallest cid — probed
+    empirically; PQ's ``slice`` semantics compute over-long rows normally.
 
     Returned as a FACTORY so the worker-side closure is pickled by value
     (a module-level helper would pickle by reference and fail to import
@@ -100,6 +108,8 @@ def _make_codes_matrix(books: list[dict[int, list[float]]], sub: int):
     def slow_code(vals, s: int) -> int:
         ks = keys[s]
         if vals is None:
+            return ks[0]
+        if strict_len and len(vals) != dim:
             return ks[0]
         lo, hi = s * sub, (s + 1) * sub
         if len(vals) < hi:
@@ -172,6 +182,8 @@ def pq_codes_arrow(
     books: list[dict[int, list[float]]],
     sub: int,
     vec_col: str,
+    strict_len: bool = False,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """All PQ subspace codes as ONE Arrow map stage (guide §4): replaces
     ``n_sub`` interpreted ``_pq_code`` projections (HOFs are
@@ -186,13 +198,16 @@ def pq_codes_arrow(
 
     n_sub = len(books)
     keep = [c for c in frame.columns if c != vec_col]
-    keep_schema = ", ".join(
+    schema_fields = [
         f"{f.name} {f.dataType.simpleString()}"
         for f in frame.schema.fields
         if f.name != vec_col
-    )
-    out_schema = keep_schema + ", " + ", ".join(
-        f"c{s} int" for s in range(n_sub)
+    ]
+    if keep_vec:
+        vt = frame.schema[vec_col].dataType.simpleString()
+        schema_fields.append(f"{vec_col} {vt}")
+    out_schema = ", ".join(
+        schema_fields + [f"c{s} int" for s in range(n_sub)]
     )
     src = frame.select(
         *keep,
@@ -201,8 +216,11 @@ def pq_codes_arrow(
             F.exists(F.col(vec_col), lambda x: x.isNull()), F.lit(False)
         ).alias("_hn"),
     )
+    out_names = keep + ([vec_col] if keep_vec else []) + [
+        f"c{s}" for s in range(n_sub)
+    ]
 
-    codes_matrix = _make_codes_matrix(books, sub)
+    codes_matrix = _make_codes_matrix(books, sub, strict_len)
 
     def gen(batches):
         import pyarrow as pa
@@ -218,12 +236,12 @@ def pq_codes_arrow(
             )
             codes, _, _, _ = codes_matrix(vec, hn)
             cols = [tbl.column(c).combine_chunks() for c in keep]
+            if keep_vec:
+                cols.append(vec)
             cols += [
                 pa.array(codes[:, s], type=pa.int32()) for s in range(n_sub)
             ]
-            yield pa.RecordBatch.from_arrays(
-                cols, names=keep + [f"c{s}" for s in range(n_sub)]
-            )
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
 
     return src.mapInArrow(gen, out_schema)
 
@@ -234,6 +252,7 @@ def _lloyd_stats_arrow(
     books: list[dict[int, list[float]]],
     sub: int,
     vec_col: str,
+    strict_len: bool = False,
 ) -> list:
     """One Lloyd recompute round's (s, cluster, d) integer sufficient
     statistics via an Arrow partial-aggregation kernel — the vectorized
@@ -265,7 +284,7 @@ def _lloyd_stats_arrow(
         ).alias("_hn"),
     )
 
-    codes_matrix = _make_codes_matrix(books, sub)
+    codes_matrix = _make_codes_matrix(books, sub, strict_len)
 
     def gen(batches):
         import numpy as np
@@ -437,22 +456,35 @@ def _lloyd(
     dim = len(next(iter(centroids.values())))
 
     for _ in range(n_iter - 1):
-        assigned = _assign(pts, centroids)
-        stats = (
-            assigned.select("cluster", F.posexplode("q").alias("dim", "qv"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
+        # assignment argmins + the dim-wide posexplode aggregate fused
+        # into one Arrow partial-aggregation stage (r14): the interpreted
+        # _assign HOF folds were the whole fit cost — emb_semantic_dedup's
+        # adaptive-k fit read 16.1 s of its 19.0 s sf0.5 total
+        # (tools/ab_semantic_dedup.py). strict_len reproduces _assign's
+        # hostile contract (ANY malformed vector, over-long included,
+        # degrades to the smallest cid).
+        stats = _lloyd_stats_arrow(
+            pts, books=[centroids], sub=dim, vec_col="q", strict_len=True
         )
         new_c: dict[int, list[float]] = {}
         for r in stats:
-            new_c.setdefault(r["cluster"], [0.0] * dim)[r["dim"]] = r["s"] / r["n"]
+            new_c.setdefault(r["cluster"], [0.0] * dim)[r["d"]] = (
+                r["sm"] / r["n"]
+            )
         # empty clusters keep their previous centroid
         centroids = {
             cid: new_c.get(cid, centroids[cid]) for cid in sorted(centroids)
         }
 
-    return _assign(pts, centroids), centroids
+    assigned = pq_codes_arrow(
+        pts,
+        books=[centroids],
+        sub=dim,
+        vec_col="q",
+        strict_len=True,
+        keep_vec=True,
+    ).withColumnRenamed("c0", "cluster")
+    return assigned, centroids
 
 
 def _lloyd_books_multi(
