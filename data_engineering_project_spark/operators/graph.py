@@ -278,12 +278,56 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
     """
     if not {"src", "dst"} <= set(edges.columns):
         raise ValueError("edges must have 'src' and 'dst' columns")
-    alive = edges
+    from data_engineering_project_spark.operators.components import (
+        _checkpoint_tracked,
+        _unpersist_ids,
+    )
+
+    # r14 DELTA PEELING (guide §2.2 shuffle fewer bytes): the old loop
+    # re-restricted and re-shuffled the ENTIRE shrinking edge set twice
+    # per round (semi-join on src, semi-join on dst) and re-aggregated
+    # full degrees; each round now moves only the edges INCIDENT TO
+    # FRESHLY-REMOVED nodes: deg_{r+1}(s) = deg_r(s) − #removed
+    # neighbors. Output-identical (A/B'd + property-tested vs the
+    # restriction loop): deg_r equals the degree inside round r's
+    # surviving subgraph by induction, a removed node leaves the degree
+    # table exactly once, and final deg == 0 rows (last-round survivors
+    # whose neighbors all left) are filtered — the old final groupBy
+    # over alive edges never saw them. NULL-key edges reproduce the
+    # semi-join's null semantics: a NULL never matches a join key, so
+    # round 0 drops NULL-src rows from the table and subtracts NULL-dst
+    # edges explicitly; later rounds see no NULL keys.
+    # tools/ab_kcore.py: sf0.5 9.88 → 5.39 s, marginal 7.15 → 2.39 s.
+    edges_ck, edge_ids = _checkpoint_tracked(edges)
+    deg, deg_ids = _checkpoint_tracked(
+        edges_ck.groupBy("src").agg(F.count("*").alias("deg"))
+    )
     for i in range(rounds):
-        deg = alive.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src")
-        alive = alive.join(keep, "src", "left_semi").join(
-            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        removed = deg.filter(F.col("deg") < k).select("src")
+        hit = edges_ck.join(
+            removed.withColumnRenamed("src", "dst"), "dst", "left_semi"
         )
-        alive = alive.localCheckpoint(eager=(i == rounds - 1))
-    return alive.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+        if i == 0:
+            hit = hit.unionByName(
+                edges_ck.filter(F.col("dst").isNull())
+            )
+        delta = hit.groupBy("src").agg(F.count("*").alias("drop"))
+        survivors = deg.filter(F.col("deg") >= k)
+        if i == 0:
+            survivors = survivors.filter(F.col("src").isNotNull())
+        new_deg, new_ids = _checkpoint_tracked(
+            survivors.join(delta, "src", "left").select(
+                "src",
+                (F.col("deg") - F.coalesce(F.col("drop"), F.lit(0))).alias(
+                    "deg"
+                ),
+            )
+        )
+        _unpersist_ids(new_deg, deg_ids)
+        deg_ids = new_ids
+        deg = new_deg
+    out = deg.filter(F.col("deg") > 0).select(
+        "src", F.col("deg").cast("bigint").alias("deg")
+    )
+    _unpersist_ids(out, edge_ids)
+    return out

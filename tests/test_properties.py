@@ -678,3 +678,50 @@ def test_term_counts_null_array_propagates(spark):
         .collect()
     )
     assert row["tc"] is None
+
+
+def test_kcore_delta_matches_restriction_loop_on_hostile_frame(spark):
+    """The r14 delta-peeling rewrite must reproduce the old
+    restrict-alive-edges loop exactly on hostile rows: NULL src / NULL
+    dst edges (semi-joins never match NULL keys, so such edges vanish in
+    round 0 and their endpoints lose that degree), duplicate edges
+    (counted per row by both forms), self-loops, and a last-round
+    survivor whose neighbors all leave (absent from both outputs)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spark.operators.graph import kcore_peel
+
+    edges = [
+        # 4-clique (survives k=3)
+        *[(a, b) for a in range(4) for b in range(4) if a != b],
+        # chain peeled over rounds
+        (4, 5), (5, 4), (5, 6), (6, 5),
+        # clique member also linked to the chain
+        (0, 4), (4, 0),
+        # hostile: null keys, duplicate edge rows, self-loop
+        (None, 1), (1, None), (None, None),
+        (2, 3), (2, 3),
+        (7, 7),
+    ]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["src"], r["deg"])
+        for r in kcore_peel(edf, k=3, rounds=3).collect()
+    }
+
+    # old restriction loop, inline as the reference
+    alive = edf
+    for i in range(3):
+        deg = alive.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= 3).select("src")
+        alive = alive.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+        alive = alive.localCheckpoint(eager=(i == 2))
+    want = {
+        (r["src"], r["deg"])
+        for r in alive.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .collect()
+    }
+    assert got == want
